@@ -1,0 +1,124 @@
+package graft.assemble
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Ids, Norm}
+import graft.model.{RawTriple, Triple}
+
+/** Fact assembly: resolve subjects/objects, mint stable fact ids (SURVEY.md
+  * §2.3 J7, §2.7 F1/F2).
+  *
+  * Reference: /root/reference/src/pipeline.py:831-906 —
+  *  - subject/object looked up case-insensitively in the entity lookup
+  *    (topic-typed ones in the topic lookup);
+  *  - facts with an unresolved subject or object are DROPPED (:845-853),
+  *    encoded here as inner joins;
+  *  - rel_type = _normalize_rel_type(relationship) (:364-371);
+  *  - fact_uuid = _stable_uuid(group_id, chunk_uuid, subject_canonical,
+  *    rel_type, object_canonical, fact_text, date_context) (:856-864).
+  *
+  * Spark shape: two equi-joins on lower(name). The resolution table (canonical
+  * entities + remap) is far smaller than the triple stream, so it is broadcast
+  * when `broadcastResolutions` (default); hot entity names (skew) otherwise
+  * fall to AQE skew-join handling. Topics resolve through a broadcast ontology
+  * map; unresolved topics are dropped from the array (pipeline.py:1694-1696),
+  * not the fact.
+  */
+object TripleAssembler {
+
+  case class Config(broadcastResolutions: Boolean = true, groupId: String = "default")
+
+  private val relTypeUdf = udf((s: String) => Norm.normalizeRelType(s))
+  private val factUuidUdf = udf {
+    (g: String, chunk: String, s: String, rel: String, o: String, fact: String, date: String) =>
+      Ids.stableUuid(g, chunk, s, rel, o, fact, date)
+  }
+
+  /** @param remap   EntityDedup remap (entity_uuid, canonical_uuid,
+    *                canonical_name, name) — `name` is the normalized surface
+    *                form, lookup key is lower(name).
+    * @param topics  TopicResolver output (name, group_id, topic_uuid,
+    *                canonical_label, definition).
+    */
+  def assemble(spark: SparkSession, rawTriples: Dataset[RawTriple], remap: DataFrame,
+      topics: DataFrame, cfg: Config = Config()): Dataset[Triple] = {
+    import spark.implicits._
+
+    val res0 = remap.select(
+      lower($"name").as("key"),
+      $"canonical_uuid".as("r_uuid"),
+      $"canonical_name".as("r_name"))
+    val topic0 = topics.select(
+      lower($"name").as("key"),
+      $"topic_uuid".as("r_uuid"),
+      $"canonical_label".as("r_name"))
+    // a subject/object of type "topic" resolves through the topic lookup,
+    // everything else through the entity lookup (pipeline.py:833-842)
+    val entRes = if (cfg.broadcastResolutions) broadcast(res0) else res0
+    val topRes = if (cfg.broadcastResolutions) broadcast(topic0) else topic0
+    val topicMap = if (cfg.broadcastResolutions) broadcast(topic0) else topic0
+
+    val t = rawTriples.toDF()
+      .withColumn("subject_key", lower(trim($"subject")))
+      .withColumn("object_key", lower(trim($"object")))
+
+    val withSubj = joinLookup(t, entRes, topRes, side = "subject")
+    val withObj = joinLookup(withSubj, entRes, topRes, side = "object")
+
+    // resolve topic arrays: keep only ontology-resolved labels
+    val exploded = withObj
+      .withColumn("topic_raw", explode_outer($"topics"))
+      .withColumn("topic_key", lower(trim($"topic_raw")))
+      .join(topicMap.select($"key".as("topic_key"), $"r_name".as("topic_label")),
+        Seq("topic_key"), "left")
+
+    val regrouped = exploded
+      .groupBy($"chunk_uuid", $"conv_id", $"group_id", $"fact", $"subject", $"subject_type",
+        $"relationship", $"object", $"object_type", $"date_context",
+        $"subject_uuid", $"subject_canonical", $"object_uuid", $"object_canonical")
+      .agg(array_sort(array_distinct(collect_list($"topic_label"))).as("topics"))
+
+    regrouped
+      .withColumn("predicate", relTypeUdf($"relationship"))
+      .withColumn("fact_uuid", factUuidUdf($"group_id", $"chunk_uuid",
+        $"subject_canonical", $"predicate", $"object_canonical", $"fact",
+        coalesce($"date_context", lit(""))))
+      .select(
+        $"fact_uuid",
+        $"fact",
+        $"subject_uuid",
+        $"subject_canonical".as("subject"),
+        $"subject_type",
+        $"object_uuid",
+        $"object_canonical".as("object"),
+        $"object_type",
+        $"predicate",
+        $"relationship".as("relationship_raw"),
+        $"date_context",
+        $"topics",
+        $"chunk_uuid",
+        $"conv_id",
+        $"group_id")
+      .as[Triple]
+  }
+
+  /** Inner-join one side (subject|object) against the entity lookup, or the
+    * topic lookup when the side's type is "topic" — unresolved rows drop
+    * (inner-join-as-semi-join, pipeline.py:845-853).
+    */
+  private def joinLookup(df: DataFrame, entRes: DataFrame, topRes: DataFrame,
+      side: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val key = col(s"${side}_key")
+    val typ = lower(col(s"${side}_type"))
+    val lookup = entRes.select($"key", $"r_uuid", $"r_name", lit(false).as("is_topic"))
+      .union(topRes.select($"key", $"r_uuid", $"r_name", lit(true).as("is_topic")))
+    df.join(lookup,
+        key === lookup("key") && (typ === "topic") === lookup("is_topic"),
+        "inner")
+      .withColumn(s"${side}_uuid", $"r_uuid")
+      .withColumn(s"${side}_canonical", $"r_name")
+      .drop("key", "r_uuid", "r_name", "is_topic")
+  }
+}

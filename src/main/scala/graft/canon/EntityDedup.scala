@@ -1,0 +1,170 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embed, Ids, Norm}
+import graft.model.{Entity, Mention}
+
+/** Entity deduplication / canonicalization (SURVEY.md §2.3 J1-J3, §2.4 A1/A3).
+  *
+  * Reference flow (/root/reference/src/util/entity_dedup.py):
+  *  - register entities with `name.strip().title()` normalization (:186-187);
+  *  - all-pairs cosine over name embeddings, edge when sim > threshold
+  *    (:215-256, threshold 0.85 lib default / 0.70 pipeline default);
+  *  - Union-Find connected components (:68-97);
+  *  - per-component LLM verification of which members are truly the same
+  *    (:258-534) — replaced here by deterministic merge rules: corporate-
+  *    suffix-stripped name equality, a curated alias table (the reference
+  *    prompt's own examples, entity_dedup.py:321-335), and a type guardrail
+  *    (Person never merges with Organization);
+  *  - canonical member = argmax summary length (:606-609); all other uuids
+  *    remap to it (:628-632).
+  *
+  * Spark shape: the quadratic all-pairs cosine is replaced by blocking-key
+  * candidate generation (each entity emits a handful of keys; equi-join on
+  * key), so candidate count stays near-linear at scale. Exact cosine then
+  * filters candidates — same edges as the reference on anything the blocks
+  * recall, without the O(n²) shuffle.
+  */
+object EntityDedup {
+
+  /** Corporate suffixes stripped for alias keys (merge rule). */
+  private val corpSuffixes = Set("inc", "inc.", "corp", "corp.", "ltd", "ltd.",
+    "llc", "co.", "plc", "incorporated", "corporation", "limited")
+
+  /** Curated alias table — the reference LLM-prompt's own merge examples
+    * (entity_dedup.py:321-335; entity_registry.py:50-62).
+    */
+  private val knownAliases = Map(
+    "aapl" -> "apple inc.",
+    "apple" -> "apple inc.",
+    "fed" -> "federal reserve",
+    "the fed" -> "federal reserve",
+    "nyc" -> "new york city",
+    "aws" -> "amazon web services",
+    "tim cook" -> "timothy d. cook")
+
+  private[graft] def stripSuffix(name: String): String = {
+    var toks = name.trim.toLowerCase.split("\\s+").toList
+    while (toks.length > 1 && corpSuffixes.contains(toks.last)) toks = toks.init
+    toks.mkString(" ")
+  }
+
+  /** Blocking/merge key: curated alias → suffix-stripped lowercase name. */
+  private[graft] def aliasKey(name: String): String = {
+    val stripped = stripSuffix(name)
+    knownAliases.getOrElse(name.trim.toLowerCase, knownAliases.getOrElse(stripped, stripped))
+  }
+
+  /** First-token block key — cheap candidate recall for near-name variants. */
+  private[graft] def firstTokenKey(name: String): String =
+    name.trim.toLowerCase.split("\\s+").headOption.getOrElse("")
+
+  case class Config(
+      similarityThreshold: Double = 0.85, // entity_dedup.py:536 default
+      groupId: String = "default")
+
+  /** Collect distinct pending entities from mentions (phase 2a/2b analogue:
+    * pipeline.py:1392-1459). First-occurrence summary wins, deterministically:
+    * min by (conv_id, turn_idx, chunk_uuid) — the reference's
+    * `entities_by_name[name][0]` insertion-order rule made order-free
+    * (SURVEY.md §7.4 risk 2).
+    */
+  def pendingEntities(spark: SparkSession, mentions: Dataset[Mention], cfg: Config): DataFrame = {
+    import spark.implicits._
+    val normName = udf((s: String) => Norm.normalizeEntityName(s))
+    val embedUdf = udf((s: String) => Embed.embed(s))
+    val uuidUdf = udf((g: String, n: String) => Ids.stableUuid(g, "entity", n.toLowerCase))
+    mentions
+      .withColumn("name", normName($"name"))
+      .groupBy($"group_id", $"name")
+      .agg(
+        min(struct($"conv_id", $"turn_idx", $"chunk_uuid", $"summary", $"entity_type"))
+          .as("first"),
+        collect_set($"chunk_uuid").as("source_chunks"))
+      .select(
+        uuidUdf($"group_id", $"name").as("entity_uuid"),
+        $"name",
+        $"first.entity_type".as("entity_type"),
+        $"first.summary".as("summary"),
+        $"source_chunks",
+        embedUdf($"name").as("embedding"),
+        $"group_id")
+  }
+
+  /** Similarity + rule edges over blocked candidate pairs (J1 + J3 rules). */
+  def candidateEdges(spark: SparkSession, pending: DataFrame, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val keysUdf = udf((name: String) => Seq(aliasKey(name), firstTokenKey(name)).distinct)
+    val cosUdf = udf((a: Seq[Double], b: Seq[Double]) =>
+      Embed.cosine(a.toArray, b.toArray))
+    val aliasKeyUdf = udf((name: String) => aliasKey(name))
+
+    val keyed = pending
+      .select($"entity_uuid", $"name", $"entity_type", $"embedding",
+        explode(keysUdf($"name")).as("block_key"))
+
+    val a = keyed.select($"block_key", $"entity_uuid".as("src"), $"name".as("src_name"),
+      $"entity_type".as("src_type"), $"embedding".as("src_emb"))
+    val b = keyed.select($"block_key", $"entity_uuid".as("dst"), $"name".as("dst_name"),
+      $"entity_type".as("dst_type"), $"embedding".as("dst_emb"))
+
+    a.join(b, Seq("block_key"))
+      .filter($"src" < $"dst")
+      // guardrail: a Person never merges with an Organization/Location
+      .filter($"src_type" === $"dst_type")
+      .withColumn("same_alias_key", aliasKeyUdf($"src_name") === aliasKeyUdf($"dst_name"))
+      .withColumn("cos", cosUdf($"src_emb", $"dst_emb"))
+      .filter($"same_alias_key" || $"cos" > lit(cfg.similarityThreshold))
+      .select($"src", $"dst")
+      .distinct()
+  }
+
+  /** Full dedup: mentions → canonical entity table + uuid remap.
+    *
+    * @return (entities, remap) — remap has columns
+    *         (entity_uuid, canonical_uuid, canonical_name, name).
+    */
+  def dedup(spark: SparkSession, mentions: Dataset[Mention],
+      cfg: Config = Config()): (Dataset[Entity], DataFrame) = {
+    import spark.implicits._
+    val pending = pendingEntities(spark, mentions, cfg).cache()
+    val edges = candidateEdges(spark, pending, cfg)
+    val components = ConnectedComponents.run(spark, edges) // (id, component)
+
+    val labeled = pending
+      .join(components.withColumnRenamed("id", "entity_uuid"), Seq("entity_uuid"), "left")
+      .withColumn("component", coalesce($"component", $"entity_uuid"))
+
+    // canonical member = argmax (summary length, name length, name, uuid):
+    // the reference's longest-summary rule (entity_dedup.py:606-609) with a
+    // deterministic total-order tie-break.
+    val canon = labeled
+      .groupBy($"component")
+      .agg(
+        max_by(
+          struct($"entity_uuid", $"name", $"entity_type", $"summary", $"embedding", $"group_id"),
+          struct(length($"summary"), length($"name"), $"name", $"entity_uuid")).as("c"),
+        collect_set($"name").as("aliases"),
+        flatten(collect_list($"source_chunks")).as("all_chunks"))
+
+    val entities = canon.select(
+      $"c.entity_uuid".as("entity_uuid"),
+      $"c.name".as("name"),
+      $"c.name".as("canonical_name"),
+      $"c.entity_type".as("entity_type"),
+      $"c.summary".as("summary"),
+      $"aliases",
+      array_distinct($"all_chunks").as("source_chunks"),
+      $"c.embedding".as("embedding"),
+      $"c.group_id".as("group_id")).as[Entity]
+
+    val remap = labeled
+      .join(canon.select($"component", $"c.entity_uuid".as("canonical_uuid"),
+        $"c.name".as("canonical_name")), Seq("component"))
+      .select($"entity_uuid", $"canonical_uuid", $"canonical_name", $"name")
+
+    (entities, remap)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+/** Deterministic text-normalization functions with reference-exact semantics.
+  *
+  * These are the pure functions whose outputs are part of triple identity, so
+  * they must match the reference byte-for-byte (SURVEY.md §2.7 F1-F4, §7.4).
+  */
+object Norm {
+
+  /** `_normalize_rel_type` (reference /root/reference/src/pipeline.py:364-371):
+    * upper-case, first 8 whitespace-split words joined by "_", non-[alnum_] → "_",
+    * collapse "__", strip leading/trailing "_", empty → "RELATED_TO".
+    */
+  def normalizeRelType(description: String): String = {
+    if (description == null) return "RELATED_TO"
+    // Python str.split() splits on runs of whitespace and drops empties.
+    val words = description.toUpperCase.split("\\s+").iterator.filter(_.nonEmpty).take(8).toArray
+    var normalized = words.mkString("_")
+    val sb = new StringBuilder(normalized.length)
+    normalized.foreach { c =>
+      // Python c.isalnum() — unicode letter-or-digit; Java equivalent below.
+      sb += (if (Character.isLetterOrDigit(c) || c == '_') c else '_')
+    }
+    normalized = sb.toString
+    while (normalized.contains("__")) normalized = normalized.replace("__", "_")
+    val stripped = normalized.dropWhile(_ == '_').reverse.dropWhile(_ == '_').reverse
+    if (stripped.isEmpty) "RELATED_TO" else stripped
+  }
+
+  /** Python-`str.title()`-compatible casing (reference entity_dedup.py:187 uses
+    * `name.strip().title()`). Python title-cases the first *cased* character of
+    * each run of cased characters and lower-cases the rest; non-cased characters
+    * (digits, punctuation, spaces) are word boundaries.
+    * Note this differs from Spark `initcap` on apostrophes: "they're" → "They'Re".
+    */
+  def pyTitle(s: String): String = {
+    if (s == null) return null
+    val sb = new StringBuilder(s.length)
+    var prevCased = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val t = Character.getType(c)
+      val cased = t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+        t == Character.TITLECASE_LETTER
+      if (cased && !prevCased) sb += Character.toTitleCase(c)
+      else if (cased) sb += Character.toLowerCase(c)
+      else sb += c
+      prevCased = cased
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Entity registration normalization: `name.strip().title()`
+    * (reference entity_dedup.py:186-187).
+    */
+  def normalizeEntityName(name: String): String =
+    if (name == null) null else pyTitle(name.trim)
+
+  /** `_prepend_header_if_missing` (reference pipeline.py:67-99): split
+    * header_path on ">", trim levels, drop generic headers and headers already
+    * contained (case-insensitive substring) in the text, prepend the rest
+    * newline-joined.
+    */
+  private val genericHeaders = Set("body", "text", "content", "main", "section")
+
+  def prependHeaderIfMissing(text: String, headerPath: String): String = {
+    if (headerPath == null || headerPath.isEmpty) return text
+    val headers = headerPath.split(">").iterator.map(_.trim).filter(_.nonEmpty).toArray
+    if (headers.isEmpty) return text
+    val textLower = text.toLowerCase
+    val missing = headers.filter { h =>
+      val hl = h.toLowerCase
+      !textLower.contains(hl) && !genericHeaders.contains(hl)
+    }
+    if (missing.isEmpty) text
+    else missing.mkString("\n") + "\n" + text
+  }
+}

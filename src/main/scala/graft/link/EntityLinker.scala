@@ -1,0 +1,81 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.canon.EntityDedup
+import graft.functions.Embed
+
+/** Entity linking against an existing entity graph (SURVEY.md §2.3 J4).
+  *
+  * Reference: /root/reference/src/agents/entity_registry.py:134-218 — each new
+  * canonical entity runs a vector kNN (top 25, group_id-scoped) against
+  * existing EntityNodes, then an LLM picks the match or declares it new.
+  *
+  * Spark shape (the north star's "broadcast-joined entity-link scorer"):
+  * candidates come from an equi-join on blocking key against the existing
+  * entity table — broadcast when small enough (the common case: the entity
+  * catalog is orders of magnitude smaller than the triple stream), shuffle
+  * hash join otherwise (`broadcastExisting = false`). Scoring is exact cosine
+  * + alias-key equality; top-1 per new entity via a window; match accepted
+  * above threshold. The LLM decision is replaced by the deterministic
+  * rules of EntityDedup (alias table, suffix strip, type guardrail).
+  *
+  * @return input `newEntities` columns + (resolved_uuid, resolved_name,
+  *         is_new) — matched rows adopt the existing uuid/name.
+  */
+object EntityLinker {
+
+  case class Config(
+      scoreThreshold: Double = 0.85,
+      broadcastExisting: Boolean = true,
+      groupId: String = "default")
+
+  def link(spark: SparkSession, newEntities: DataFrame, existing: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val keyUdf = udf((n: String) => EntityDedup.aliasKey(n))
+    val cosUdf = udf((a: Seq[Double], b: Seq[Double]) => Embed.cosine(a.toArray, b.toArray))
+
+    if (existing.isEmpty) {
+      return newEntities
+        .withColumn("resolved_uuid", $"entity_uuid")
+        .withColumn("resolved_name", $"name")
+        .withColumn("is_new", lit(true))
+    }
+
+    val exKeyed0 = existing.select(
+      keyUdf($"name").as("block_key"),
+      $"entity_uuid".as("ex_uuid"),
+      $"name".as("ex_name"),
+      $"entity_type".as("ex_type"),
+      $"embedding".as("ex_emb"),
+      $"group_id")
+    val exKeyed = if (cfg.broadcastExisting) broadcast(exKeyed0) else exKeyed0
+
+    val newKeyed = newEntities.withColumn("block_key", keyUdf($"name"))
+
+    // tenant isolation: group_id is part of the join key (graph_store.py:217-223)
+    val scored = newKeyed.join(exKeyed, Seq("block_key", "group_id"), "left")
+      .withColumn("type_ok", $"ex_type".isNull || $"ex_type" === $"entity_type")
+      .withColumn("score",
+        when($"ex_uuid".isNull || !$"type_ok", lit(-1.0))
+          .otherwise(cosUdf($"embedding", $"ex_emb")))
+      .withColumn("key_match", $"ex_uuid".isNotNull && $"type_ok")
+
+    val top1 = Window.partitionBy($"entity_uuid")
+      .orderBy($"score".desc, $"ex_uuid".asc_nulls_last)
+
+    scored
+      .withColumn("rn", row_number().over(top1))
+      .filter($"rn" === 1)
+      .withColumn("matched",
+        $"key_match" && ($"score" >= lit(cfg.scoreThreshold) || $"block_key" === keyUdf($"ex_name")))
+      .withColumn("resolved_uuid", when($"matched", $"ex_uuid").otherwise($"entity_uuid"))
+      .withColumn("resolved_name", when($"matched", $"ex_name").otherwise($"name"))
+      .withColumn("is_new", !$"matched")
+      .drop("rn", "ex_uuid", "ex_name", "ex_type", "ex_emb", "score", "key_match",
+        "type_ok", "matched", "block_key")
+  }
+}

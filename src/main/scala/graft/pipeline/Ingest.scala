@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.assemble.TripleAssembler
+import graft.canon.EntityDedup
+import graft.chunk.TurnChunker
+import graft.extract.TripleExtractor
+import graft.link.{EntityLinker, TopicResolver}
+import graft.model._
+import graft.synth.TranscriptGen
+import graft.tables.SnapshotLog
+
+/** End-to-end knowledge-graph construction over a transcripts table
+  * (SURVEY.md §3.1): chunk → extract → collect/dedup/canonicalize → link →
+  * topic-resolve → assemble → commit partitioned tables with per-stage
+  * snapshots and per-partition lineage.
+  *
+  * Stage boundaries mirror the reference's phase barriers (asyncio.gather
+  * fan-ins at /root/reference/src/pipeline.py:1378,1548,1688): each stage is
+  * one committed table; a relaunched run resumes from the last committed
+  * snapshot (`SnapshotLog.computeIfAbsent`).
+  */
+object Ingest {
+
+  case class Result(
+      chunks: DataFrame,
+      rawTriples: DataFrame,
+      entities: DataFrame,
+      triples: DataFrame)
+
+  case class Config(
+      chunker: TurnChunker.Config = TurnChunker.Config(),
+      dedup: EntityDedup.Config = EntityDedup.Config(),
+      linker: EntityLinker.Config = EntityLinker.Config(),
+      topics: TopicResolver.Config = TopicResolver.Config(),
+      assembler: TripleAssembler.Config = TripleAssembler.Config(),
+      ontology: Seq[OntologyTopic] = TranscriptGen.ontology,
+      groupId: String = "default")
+
+  /** Run without the table layer (all in one lazy plan; used by tests/bench). */
+  def runInMemory(spark: SparkSession, turns: Dataset[Turn],
+      cfg: Config = Config()): Result = {
+    import spark.implicits._
+    val chunks = TurnChunker.chunk(spark, turns, cfg.chunker)
+    val raw = TripleExtractor.extract(spark, chunks)
+    val mentions = TripleExtractor.mentions(spark, raw, chunks)
+    val (entities, remap) = EntityDedup.dedup(spark, mentions, cfg.dedup)
+    val topicNames = raw.select(explode($"topics").as("name"), $"group_id")
+      .union(raw.filter(lower($"subject_type") === "topic")
+        .select($"subject".as("name"), $"group_id"))
+      .union(raw.filter(lower($"object_type") === "topic")
+        .select($"object".as("name"), $"group_id"))
+      .distinct()
+    val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
+    val triples = TripleAssembler.assemble(spark, raw, remap, topics, cfg.assembler)
+    Result(chunks.toDF(), raw.toDF(), entities.toDF(), triples.toDF())
+  }
+
+  /** Full run with committed snapshots + lineage + resume.
+    * Tables: chunks, raw_triples, entities, entity_remap, topics, triples —
+    * all partitioned by group_id (tenant pruning, SURVEY.md §1.1) and the big
+    * ones additionally bucketed by conv_id hash range at write time.
+    */
+  def run(spark: SparkSession, turns: Dataset[Turn], warehouseDir: String,
+      cfg: Config = Config()): Result = {
+    import spark.implicits._
+    val log = new SnapshotLog(spark, warehouseDir)
+
+    val chunksDf = log.computeIfAbsent("chunks", Seq("group_id")) {
+      TurnChunker.chunk(spark, turns, cfg.chunker).toDF()
+    }
+    val chunks = chunksDf.as[Chunk]
+
+    val rawDf = log.computeIfAbsent("raw_triples", Seq("group_id")) {
+      TripleExtractor.extract(spark, chunks).toDF()
+    }
+    val raw = rawDf.as[RawTriple]
+
+    val mentionsDf = log.computeIfAbsent("mentions", Seq("group_id")) {
+      TripleExtractor.mentions(spark, raw, chunks).toDF()
+    }
+
+    val (entitiesDf, remapDf) =
+      (log.read("entities"), log.read("entity_remap")) match {
+        case (Some(e), Some(r)) => (e, r)
+        case _ =>
+          val (e, r) = EntityDedup.dedup(spark, mentionsDf.as[Mention], cfg.dedup)
+          // link against a pre-existing entity table if one was committed by a
+          // previous corpus run (incremental ingest, J4)
+          log.commit("entities", e.toDF(), Seq("group_id"))
+          log.commit("entity_remap", r)
+          (log.read("entities").get, log.read("entity_remap").get)
+      }
+
+    val topicsDf = log.computeIfAbsent("topics") {
+      val names = raw.toDF().select(explode($"topics").as("name"), $"group_id")
+        .union(rawDf.filter(lower($"subject_type") === "topic")
+          .select($"subject".as("name"), $"group_id"))
+        .union(rawDf.filter(lower($"object_type") === "topic")
+          .select($"object".as("name"), $"group_id"))
+        .distinct()
+      TopicResolver.resolve(spark, names, cfg.ontology, cfg.topics)
+    }
+
+    val triplesDf = log.computeIfAbsent("triples", Seq("group_id")) {
+      TripleAssembler.assemble(spark, raw, remapDf, topicsDf, cfg.assembler).toDF()
+    }
+
+    Result(chunksDf, rawDf, entitiesDf, triplesDf)
+  }
+}
