@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput-oriented GC: measured ~2x faster than G1 on the
+  // allocation-heavy extraction path at local[32]
+  "-XX:+UseParallelGC",
 )

@@ -1,24 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.app.ScalingBench
+
+/** Benchmark main (driver contract): one JSON line with
+  *  - headline operator timings on the sfDir tables,
+  *  - full KG-pipeline throughput (turns/sec) over a materialized 1M-turn
+  *    transcript parquet at the requested parallelism,
+  *  - the north rule's scaling evidence: triple-extraction throughput at
+  *    local[2] vs local[8] (N vs 4N proxy) on identical input bytes.
+  *    (This sandbox VM saturates memory bandwidth near 16 threads —
+  *    measured with a pure-JVM probe — so 2→8 is the clean N→4N pair;
+  *    see BASELINE.md.)
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Force full materialization (count() lets Catalyst prune the work). */
+  private def exec(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    val headline = Seq(
+      "q1_agg", "kg_chunk_window", "kg_min_length_filter", "kg_connected_components",
+      "dedup_token_jaccard", "dedup_minhash_pairs", "dedup_simhash_pairs",
+      "ann_topk", "text_stats", "text_langid", "rrf_fusion", "q_window_topk")
+
+    val spark = session(cpus)
+    // warmup: pay one-time codegen/scan init outside the timed loop
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val queryTimes = headline.map { name =>
+      val t = try time(exec(SparkEntry.queries(name)(spark, sfDir))) catch {
+        case _: Throwable => -1.0
+      }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // materialized 1M-turn corpus: every measurement reads the same bytes
+    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
+    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
+
+    val pipeSecs = ScalingBench.measure(cpus, corpusDir, reps = 2, mode = "full")
+    val turnsPerSec = corpusTurns / pipeSecs
+
+    val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
+    val (tps2, tps8) =
+      if (skipScaling) (0.0, 0.0)
+      else {
+        val s2 = ScalingBench.measure(2, corpusDir, reps = 2, mode = "extract")
+        val s8 = ScalingBench.measure(8, corpusDir, reps = 2, mode = "extract")
+        (corpusTurns / s2, corpusTurns / s8)
+      }
+    val efficiency = if (tps2 > 0) (tps8 / tps2) / 4.0 else 0.0
+
+    val qs = (queryTimes :+ ("kg_pipeline_1m_turns" -> pipeSecs))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum + pipeSecs
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$corpusTurns%d,"cores_n":2,"cores_4n":8,"turns_per_sec_n":$tps2%.1f,"turns_per_sec_4n":$tps8%.1f,"efficiency":$efficiency%.3f}}""")
   }
 }

@@ -1,13 +1,575 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Ingest
+import graft.query.Retriever
+import graft.synth.TranscriptGen
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2), with
+  * DuckDB oracle SQL where the semantics are ANSI-expressible. KG-pipeline
+  * operators that hinge on uuid5/minhash/murmur run as rows-only checks and
+  * are covered by the golden-triple E2E in `sbt -batch test` instead.
+  *
+  * Oracle-parity rules applied throughout: identical column names (lowercase),
+  * aligned types (counts → BIGINT, ranks → INT), deterministic total-order
+  * tie-breaks on every rank/limit, and integer-derived doubles (exact IEEE
+  * division) or round(x, k) applied identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def read(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Derived transcripts view over the driver's `events` table — the same
+    * derivation is inlined as a CTE in the oracle SQL, so KG operators are
+    * DuckDB-checkable. (input_hint shape: conv_id, turn_idx, role, text, ts.)
+    */
+  private def transcriptsFromEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    read(s, dir, "events").select(
+      col("user_id").cast("string").as("conv_id"),
+      (row_number().over(w) - 1).cast("int").as("turn_idx"),
+      col("event_type").as("role"),
+      col("props").as("text"),
+      col("ts"))
+  }
+
+  private val transcriptsCte =
+    """WITH transcripts AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+      |         event_type AS role, props AS text, ts
+      |  FROM events)""".stripMargin
+
+  private val entityVocab = Seq("spark", "customer", "vector", "window", "stream", "table")
+
+  private def docTokens(s: SparkSession, dir: String, maxDocId: Long): DataFrame =
+    read(s, dir, "documents").filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"),
+        array_distinct(array_remove(split(lower(col("text")), "[^a-z0-9]+"), "")).as("toks"))
+
+  private def smallSynth = TranscriptGen.Config(numConvs = 6, turnsPerConv = 20, skew = 3)
+
+  /** Flagship: full KG construction on synthesized transcripts. */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = TranscriptGen.transcripts(spark, smallSynth)
+    Ingest.runInMemory(spark, turns).triples.orderBy(col("fact_uuid"))
+  }
+
+  // =========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- KG operators over the derived transcripts view (oracle-checked) ----
+
+    "kg_chunk_window" -> ((s, dir) => {
+      val t = transcriptsFromEvents(s, dir)
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      t.withColumn("chunk_text",
+          array_join(collect_list(col("text")).over(w.rowsBetween(-2, 0)), "\n"))
+        .withColumn("chunk_id",
+          format_string("%s_chunk_%04d", col("conv_id"), row_number().over(w)))
+        .select(col("conv_id"), col("turn_idx"), col("chunk_id"), col("chunk_text"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    "kg_min_length_filter" -> ((s, dir) =>
+      transcriptsFromEvents(s, dir)
+        .filter(length(col("text")) >= 9)
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .orderBy(col("conv_id"), col("turn_idx"))),
+
+    "kg_header_prepend" -> ((s, dir) =>
+      transcriptsFromEvents(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          when(instr(lower(col("text")), lower(col("role"))) > 0, col("text"))
+            .otherwise(concat(col("role"), lit("\n"), col("text"))).as("text_ctx"))
+        .orderBy(col("conv_id"), col("turn_idx"))),
+
+    "kg_rel_normalize" -> ((s, dir) => {
+      val up = upper(col("p_type"))
+      val joined = array_join(slice(split(up, "\\s+"), 1, 8), "_")
+      val repl = regexp_replace(joined, "[^A-Z0-9_]", "_")
+      val coll = regexp_replace(repl, "_+", "_")
+      val trimmed = regexp_replace(coll, "^_+|_+$", "")
+      read(s, dir, "part").select(col("p_partkey"), col("p_type"),
+          when(trimmed === "", "RELATED_TO").otherwise(trimmed).as("rel_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "kg_entity_collect" -> ((s, dir) =>
+      docTokens(s, dir, Long.MaxValue)
+        .select(col("doc_id"), explode(col("toks")).as("name"))
+        .filter(col("name").isin(entityVocab: _*))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("mention_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("name"))),
+
+    "kg_cooccur_triples" -> ((s, dir) => {
+      val tok = docTokens(s, dir, Long.MaxValue)
+        .select(col("doc_id"), explode(col("toks")).as("name"))
+        .filter(col("name").isin(entityVocab: _*))
+      tok.as("a").join(tok.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.name") < col("b.name"))
+        .groupBy(col("a.name").as("subject"), col("b.name").as("object"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("subject"), lit("CO_OCCURS_WITH").as("predicate"), col("object"), col("n"))
+        .orderBy(col("subject"), col("object"))
+    }),
+
+    "kg_connected_components" -> ((s, dir) => {
+      val v = read(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      // zero-pad ids: CC labels min() lexicographically, oracle min()s
+      // numerically — padding makes the two orders coincide
+      val pad = (c: org.apache.spark.sql.Column) => format_string("%012d", c)
+      val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(graft.functions.VectorOps.cosine(col("a.emb"), col("b.emb")) >= 0.35)
+        .select(pad(col("a.vec_id")).as("src"), pad(col("b.vec_id")).as("dst"))
+      val cc = graft.canon.ConnectedComponents.run(s, pairs)
+      v.select(col("vec_id"))
+        .join(cc.withColumn("vec_id", col("id").cast("long")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component").cast("long"), col("vec_id")).as("component"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- training-data dedup (oracle-checked where exact) ----
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(read(s, dir, "documents")).orderBy(col("text_hash"))),
+
+    "dedup_token_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(read(s, dir, "documents").filter(col("doc_id") < 100),
+          n = 1, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- text analysis (oracle-checked) ----
+
+    "text_langid" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "text_stats" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity search (oracle-checked, ids-only for fp safety) ----
+
+    "ann_topk" -> ((s, dir) => {
+      val v = read(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(v, q, k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .select(col("qid"), col("rnk"), col("neighbor_id"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- retrieval scoring (oracle-checked) ----
+
+    "rrf_fusion" -> ((s, dir) => {
+      val e = read(s, dir, "events")
+      val byValue = e.orderBy(col("value").desc, col("event_id")).limit(20)
+        .select(col("event_id"),
+          row_number().over(Window.orderBy(col("value").desc, col("event_id"))).as("rnk"),
+          lit("value").as("source"))
+      val byRecency = e.orderBy(col("ts").desc, col("event_id")).limit(20)
+        .select(col("event_id"),
+          row_number().over(Window.orderBy(col("ts").desc, col("event_id"))).as("rnk"),
+          lit("recency").as("source"))
+      byValue.union(byRecency)
+        .groupBy(col("event_id"))
+        .agg(sum(lit(1.0) / (lit(60) + col("rnk"))).as("rrf_score"),
+          count(lit(1)).as("n_sources"))
+        .orderBy(col("event_id"))
+    }),
+
+    "cross_source_boost" -> ((s, dir) => {
+      val e = read(s, dir, "events")
+      val vectorSide = e.filter(col("value") >= 100)
+        .select(col("event_id").cast("string").as("fact_uuid"),
+          (col("value") / 200.0).as("score"), lit("vector").as("source"),
+          col("event_type").as("fact"))
+      val keywordSide = e.filter(col("value") >= 120)
+        .select(col("event_id").cast("string").as("fact_uuid"),
+          (col("value") / 200.0).as("score"), lit("keyword").as("source"),
+          col("event_type").as("fact"))
+      Retriever.thresholdAndBoost(vectorSide.union(keywordSide))
+        .select(col("fact_uuid"), col("vector_score"), col("final_score"),
+          size(col("sources")).as("n_sources"))
+        .orderBy(col("final_score").desc, col("fact_uuid"))
+    }),
+
+    // ---- relational coverage (oracle-checked) ----
+
+    "q1_agg" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_join_agg" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      read(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+      val o = read(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val p = read(s, dir, "part")
+      val l = read(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_union_distinct" -> ((s, dir) =>
+      read(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(read(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))),
+
+    "q_date_agg" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("month"))),
+
+    // ---- rows-only (non-SQL-expressible: uuid5 / murmur / pipeline) ----
+
+    "kg_pipeline_triples" -> ((s, dir) => entry(s)),
+
+    "kg_pipeline_entities" -> ((s, dir) => {
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      Ingest.runInMemory(s, turns).entities
+        .select(col("entity_uuid"), col("canonical_name"), col("entity_type"),
+          array_sort(col("aliases")).as("aliases"), col("group_id"))
+        .orderBy(col("entity_uuid"))
+    }),
+
+    "kg_retrieval_rrf" -> ((s, dir) => {
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      val facts = Retriever.withFactEmbeddings(Ingest.runInMemory(s, turns).triples)
+      Retriever.search(facts, "acquisitions and partnerships", Seq.empty, topK = 10)
+        .select(col("fact_uuid"), col("rrf_score"), array_sort(col("found_by")).as("found_by"))
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(read(s, dir, "documents").filter(col("doc_id") < 200),
+          n = 1, k = 32, bands = 8, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(read(s, dir, "documents").filter(col("doc_id") < 200),
+          maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(
+          read(s, dir, "embeddings").filter(col("vec_id") < 500),
+          threshold = 0.25, nPlanes = 8, nTables = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "ann_ivf" -> ((s, dir) => {
+      val v = read(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(v, q, k = 10, nCentroids = 16, nprobe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 200)).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    "text_rolling_hash" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy(col("doc_id")))
+  )
+
+  // =========================================================================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "kg_chunk_window" ->
+      s"""$transcriptsCte
+         |SELECT conv_id, turn_idx,
+         |  printf('%s_chunk_%04d', conv_id,
+         |         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS chunk_id,
+         |  string_agg(text, chr(10)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS chunk_text
+         |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "kg_min_length_filter" ->
+      s"""$transcriptsCte
+         |SELECT conv_id, turn_idx, text FROM transcripts
+         |WHERE length(text) >= 9 ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "kg_header_prepend" ->
+      s"""$transcriptsCte
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN strpos(lower(text), lower(role)) > 0 THEN text
+         |       ELSE role || chr(10) || text END AS text_ctx
+         |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "kg_rel_normalize" ->
+      """WITH r AS (
+        |  SELECT p_partkey, p_type,
+        |    array_to_string(list_slice(string_split_regex(upper(p_type), '\s+'), 1, 8), '_') AS j
+        |  FROM part),
+        |r2 AS (
+        |  SELECT p_partkey, p_type,
+        |    regexp_replace(regexp_replace(regexp_replace(j,
+        |      '[^A-Z0-9_]', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS t
+        |  FROM r)
+        |SELECT p_partkey, p_type,
+        |  CASE WHEN t = '' THEN 'RELATED_TO' ELSE t END AS rel_type
+        |FROM r2 ORDER BY p_partkey""".stripMargin,
+
+    "kg_entity_collect" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS name
+        |  FROM documents)
+        |SELECT name, CAST(count(*) AS BIGINT) AS mention_docs, min(doc_id) AS first_doc
+        |FROM toks
+        |WHERE name IN ('spark','customer','vector','window','stream','table')
+        |GROUP BY name ORDER BY name""".stripMargin,
+
+    "kg_cooccur_triples" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS name
+        |  FROM documents),
+        |f AS (SELECT * FROM toks
+        |      WHERE name IN ('spark','customer','vector','window','stream','table'))
+        |SELECT a.name AS subject, 'CO_OCCURS_WITH' AS predicate, b.name AS object,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.name < b.name
+        |GROUP BY a.name, b.name ORDER BY subject, object""".stripMargin,
+
+    "kg_connected_components" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |e AS (
+        |  SELECT a.vec_id AS s, b.vec_id AS d FROM v a, v b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.emb, b.emb) >= 0.35),
+        |sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+        |walk(id, reach) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT w.id, s.d FROM walk w JOIN sym s ON w.reach = s.s)
+        |SELECT id AS vec_id, min(reach) AS component
+        |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "dedup_token_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest([
+        |    {'hits': len(list_intersect(toks, ['the','and','of','to','is','in','that','for','with','on'])), 'lang': 'en'},
+        |    {'hits': len(list_intersect(toks, ['el','la','de','que','y','en','los','del','las','por'])), 'lang': 'es'},
+        |    {'hits': len(list_intersect(toks, ['der','die','und','das','ist','nicht','mit','ein','für','auf'])), 'lang': 'de'},
+        |    {'hits': len(list_intersect(toks, ['le','la','les','des','est','dans','pour','que','une','sur'])), 'lang': 'fr'},
+        |    {'hits': len(list_intersect(toks, ['的','是','在','了','和','有','我','不','这','中'])), 'lang': 'zh'}
+        |  ]) AS sc FROM t),
+        |r AS (
+        |  SELECT doc_id, sc.hits AS hits, sc.lang AS lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sc.hits DESC, sc.lang DESC) AS rn
+        |  FROM s)
+        |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS nchar,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS nalpha,
+        |    CAST(len(list_intersect(toks, ['the','and','of','to','is','in','a','that'])) AS DOUBLE) AS stophits,
+        |    COALESCE(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE), 0.0) AS sumlen
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) AS BIGINT)
+        |    + COALESCE(CAST(list_sum(list_transform(toks,
+        |        w -> CAST(floor(length(w) / 5.0) AS BIGINT))) AS BIGINT), 0) AS n_bpe_tokens,
+        |  CAST(round((
+        |    (CASE WHEN ntok BETWEEN 20 AND 5000 THEN 1.0
+        |          WHEN ntok BETWEEN 5 AND 20000 THEN 0.5 ELSE 0.0 END)
+        |    + (nalpha / greatest(nchar, 1.0))
+        |    + least(stophits / 4.0, 1.0)
+        |    + (CASE WHEN (sumlen / greatest(ntok, 1.0)) BETWEEN 2.5 AND 10.0
+        |            THEN 1.0 ELSE 0.0 END)
+        |  ) / 4.0, 4) AS DOUBLE) AS quality,
+        |  md5(array_to_string(toks, ' ')) AS fingerprint
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ann_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qv FROM v WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.qid, v.vec_id AS nid, list_cosine_similarity(q.qv, v.emb) AS score
+        |  FROM q, v WHERE v.vec_id <> q.qid),
+        |r AS (
+        |  SELECT qid, nid,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INT) AS rnk
+        |  FROM s)
+        |SELECT qid, rnk, nid AS neighbor_id FROM r WHERE rnk <= 10
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "rrf_fusion" ->
+      """WITH a AS (
+        |  SELECT event_id,
+        |    CAST(row_number() OVER (ORDER BY value DESC, event_id) AS INT) AS rnk,
+        |    'value' AS source
+        |  FROM events ORDER BY value DESC, event_id LIMIT 20),
+        |b AS (
+        |  SELECT event_id,
+        |    CAST(row_number() OVER (ORDER BY ts DESC, event_id) AS INT) AS rnk,
+        |    'recency' AS source
+        |  FROM events ORDER BY ts DESC, event_id LIMIT 20),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT event_id, sum(1.0 / (60 + rnk)) AS rrf_score,
+        |       CAST(count(*) AS BIGINT) AS n_sources
+        |FROM u GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    "cross_source_boost" ->
+      """WITH u AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS fact_uuid, value / 200.0 AS score,
+        |         'vector' AS source FROM events WHERE value >= 100
+        |  UNION ALL
+        |  SELECT CAST(event_id AS VARCHAR), value / 200.0, 'keyword'
+        |  FROM events WHERE value >= 120),
+        |g AS (
+        |  SELECT fact_uuid, max(score) AS vector_score,
+        |         CAST(count(DISTINCT source) AS INT) AS n_sources
+        |  FROM u GROUP BY fact_uuid),
+        |f AS (
+        |  SELECT fact_uuid, vector_score,
+        |         vector_score + 0.15 * (n_sources - 1) AS final_score, n_sources
+        |  FROM g WHERE vector_score >= 0.65)
+        |SELECT fact_uuid, vector_score, final_score, n_sources FROM f
+        |ORDER BY final_score DESC, fact_uuid LIMIT 50""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+        |  CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM r
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_date_agg" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+  )
 }

@@ -54,17 +54,21 @@ object TripleAssembler {
       $"topic_uuid".as("r_uuid"),
       $"canonical_label".as("r_name"))
     // a subject/object of type "topic" resolves through the topic lookup,
-    // everything else through the entity lookup (pipeline.py:833-842)
-    val entRes = if (cfg.broadcastResolutions) broadcast(res0) else res0
-    val topRes = if (cfg.broadcastResolutions) broadcast(topic0) else topic0
+    // everything else through the entity lookup (pipeline.py:833-842).
+    // NOTE: the union must happen BEFORE the broadcast hint — union of two
+    // broadcast-hinted frames silently drops the hint and the lookup join
+    // degrades to a full shuffle of the fact stream.
+    val lookup0 = res0.select($"key", $"r_uuid", $"r_name", lit(false).as("is_topic"))
+      .union(topic0.select($"key", $"r_uuid", $"r_name", lit(true).as("is_topic")))
+    val lookup = if (cfg.broadcastResolutions) broadcast(lookup0) else lookup0
     val topicMap = if (cfg.broadcastResolutions) broadcast(topic0) else topic0
 
     val t = rawTriples.toDF()
       .withColumn("subject_key", lower(trim($"subject")))
       .withColumn("object_key", lower(trim($"object")))
 
-    val withSubj = joinLookup(t, entRes, topRes, side = "subject")
-    val withObj = joinLookup(withSubj, entRes, topRes, side = "object")
+    val withSubj = joinLookup(t, lookup, side = "subject")
+    val withObj = joinLookup(withSubj, lookup, side = "object")
 
     // resolve topic arrays: keep only ontology-resolved labels
     val exploded = withObj
@@ -103,17 +107,14 @@ object TripleAssembler {
       .as[Triple]
   }
 
-  /** Inner-join one side (subject|object) against the entity lookup, or the
-    * topic lookup when the side's type is "topic" — unresolved rows drop
-    * (inner-join-as-semi-join, pipeline.py:845-853).
+  /** Inner-join one side (subject|object) against the combined entity/topic
+    * lookup; a side of type "topic" resolves through topic rows only —
+    * unresolved rows drop (inner-join-as-semi-join, pipeline.py:845-853).
     */
-  private def joinLookup(df: DataFrame, entRes: DataFrame, topRes: DataFrame,
-      side: String): DataFrame = {
+  private def joinLookup(df: DataFrame, lookup: DataFrame, side: String): DataFrame = {
     import df.sparkSession.implicits._
     val key = col(s"${side}_key")
     val typ = lower(col(s"${side}_type"))
-    val lookup = entRes.select($"key", $"r_uuid", $"r_name", lit(false).as("is_topic"))
-      .union(topRes.select($"key", $"r_uuid", $"r_name", lit(true).as("is_topic")))
     df.join(lookup,
         key === lookup("key") && (typ === "topic") === lookup("is_topic"),
         "inner")

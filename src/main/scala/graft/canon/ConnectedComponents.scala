@@ -20,6 +20,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Below this edge count the graph is union-found on the driver — same
+    * result, none of the per-iteration job latency. The distributed loop is
+    * the 10^12-scale path; alias graphs collapse to ~|entities| edges, far
+    * below this bound, so the driver path is bounded-memory by construction.
+    */
+  val SmallGraphEdges = 2000000L
+
   /** @param edges DataFrame with string columns (src, dst); undirected.
     * @return DataFrame (id, component) where component = min id reachable.
     */
@@ -30,6 +37,13 @@ object ConnectedComponents {
       .filter($"src" =!= $"dst")
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val edgeCount = sym.count()
+    if (edgeCount <= SmallGraphEdges) {
+      val result = runLocal(spark, sym.as[(String, String)].collect())
+      sym.unpersist()
+      return result
+    }
 
     val vertices = sym.select($"src".as("id"))
       .union(edges.select($"src".as("id")))
@@ -60,5 +74,32 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Driver union-find with path compression (the reference's own structure,
+    * entity_dedup.py:68-97) for graphs under SmallGraphEdges. Produces the
+    * identical (id, min-reachable-id) labeling as the distributed loop.
+    */
+  private def runLocal(spark: SparkSession, edges: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by min keeps the min-label invariant directly
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toSeq.map(id => (id, find(id)))
+    spark.createDataset(rows).toDF("id", "component")
   }
 }

@@ -82,7 +82,10 @@ object EntityDedup {
       .agg(
         min(struct($"conv_id", $"turn_idx", $"chunk_uuid", $"summary", $"entity_type"))
           .as("first"),
-        collect_set($"chunk_uuid").as("source_chunks"))
+        // bounded provenance sample: a hot entity at corpus scale has millions
+        // of chunks — full per-chunk provenance lives on the triples table,
+        // the entity row carries a deterministic sample
+        slice(sort_array(collect_set($"chunk_uuid")), 1, 20).as("source_chunks"))
       .select(
         uuidUdf($"group_id", $"name").as("entity_uuid"),
         $"name",

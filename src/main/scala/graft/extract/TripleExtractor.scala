@@ -78,6 +78,7 @@ object TripleExtractor {
             out += RawTriple(
               chunk_uuid = c.chunk_uuid,
               conv_id = c.conv_id,
+              turn_idx = c.window_end,
               group_id = c.group_id,
               fact = m.group(0),
               subject = subject,
@@ -100,24 +101,20 @@ object TripleExtractor {
 
   /** Phase-2a analogue: collect entity mentions from fact subjects/objects
     * (pipeline.py:1388-1418). Topic-typed mentions are excluded here and
-    * routed to the topic path (pipeline.py:704-706).
+    * routed to the topic path (pipeline.py:704-706). Narrow flatMap — the
+    * turn index rides on the RawTriple, so no join back to chunks.
     */
-  def mentions(spark: SparkSession, triples: Dataset[RawTriple],
-      chunks: Dataset[Chunk]): Dataset[Mention] = {
+  def mentions(spark: SparkSession, triples: Dataset[RawTriple]): Dataset[Mention] = {
     import spark.implicits._
-    val turnIdx = chunks.select($"chunk_uuid", $"window_end".as("turn_idx"))
     triples.flatMap { t =>
-      Iterator(
-        (t.subject, t.subject_type, t.chunk_uuid, t.conv_id, t.group_id),
-        (t.`object`, t.object_type, t.chunk_uuid, t.conv_id, t.group_id))
-    }.toDF("name", "entity_type", "chunk_uuid", "conv_id", "group_id")
-      .filter(org.apache.spark.sql.functions.lower($"entity_type") =!= "topic")
-      .join(turnIdx, Seq("chunk_uuid"))
-      .selectExpr(
-        "name",
-        "entity_type",
-        "concat(name, ' is an entity observed in transcripts.') as summary",
-        "chunk_uuid", "conv_id", "cast(turn_idx as int) as turn_idx", "group_id")
-      .as[Mention]
+      def m(name: String, typ: String) =
+        Mention(name, typ, s"$name is an entity observed in transcripts.",
+          t.chunk_uuid, t.conv_id, t.turn_idx, t.group_id)
+      val s = if (t.subject_type.toLowerCase != "topic")
+        Iterator.single(m(t.subject, t.subject_type)) else Iterator.empty
+      val o = if (t.object_type.toLowerCase != "topic")
+        Iterator.single(m(t.`object`, t.object_type)) else Iterator.empty
+      s ++ o
+    }
   }
 }

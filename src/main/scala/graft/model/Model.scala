@@ -33,6 +33,7 @@ case class Chunk(
 case class RawTriple(
     chunk_uuid: String,
     conv_id: String,
+    turn_idx: Int,
     group_id: String,
     fact: String,
     subject: String,

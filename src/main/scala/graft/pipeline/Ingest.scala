@@ -39,13 +39,21 @@ object Ingest {
       ontology: Seq[OntologyTopic] = TranscriptGen.ontology,
       groupId: String = "default")
 
-  /** Run without the table layer (all in one lazy plan; used by tests/bench). */
+  /** Run without the table layer (used by tests/bench). The chunk and
+    * raw-triple stages are persisted: four downstream consumers (mentions,
+    * topics, assembly, entity source-chunks) would otherwise re-run the
+    * chunk-window shuffle and regex extraction per consumer. In the committed
+    * `run` path the snapshot tables play this role.
+    */
   def runInMemory(spark: SparkSession, turns: Dataset[Turn],
       cfg: Config = Config()): Result = {
     import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
     val chunks = TurnChunker.chunk(spark, turns, cfg.chunker)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val raw = TripleExtractor.extract(spark, chunks)
-    val mentions = TripleExtractor.mentions(spark, raw, chunks)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mentions = TripleExtractor.mentions(spark, raw)
     val (entities, remap) = EntityDedup.dedup(spark, mentions, cfg.dedup)
     val topicNames = raw.select(explode($"topics").as("name"), $"group_id")
       .union(raw.filter(lower($"subject_type") === "topic")
@@ -79,7 +87,7 @@ object Ingest {
     val raw = rawDf.as[RawTriple]
 
     val mentionsDf = log.computeIfAbsent("mentions", Seq("group_id")) {
-      TripleExtractor.mentions(spark, raw, chunks).toDF()
+      TripleExtractor.mentions(spark, raw).toDF()
     }
 
     val (entitiesDf, remapDf) =

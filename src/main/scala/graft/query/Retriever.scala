@@ -1,0 +1,178 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Embed
+
+/** Deterministic retrieval over the triples table (SURVEY.md §3.2/§3.3).
+  *
+  * Reproduces the reference's LLM-free query semantics:
+  *  - scoped retrieval: facts incident to an entity (subject OR object side,
+  *    unioned) with vector score ≥ 0.3 (v6/graph_store.py:335-431);
+  *  - global vector retrieval: score > 0.25, top 30 (v6/schemas.py:40-43,
+  *    util/deterministic_retrieval.py:220);
+  *  - relevance threshold 0.65 + cross-source boost +0.15 per extra source,
+  *    cap 50 (v6/researcher.py:64,357-414);
+  *  - 1-hop expansion at fixed score 0.45 (v6/graph_store.py:549-602);
+  *  - keyword search: stop-word-filtered token overlap (researcher.py:72-102);
+  *  - RRF fusion Σ 1/(60+rank) across vector/keyword/graph strategies
+  *    (util/deterministic_retrieval.py:48-159).
+  *
+  * All scoring is column arithmetic over the embedding column — codegen'd, no
+  * driver loops; per-strategy rank via window; fusion via groupBy-sum. Scale:
+  * the only shuffles are the per-strategy rank windows (partitioned by the
+  * single query — for batched multi-query use, partition by query_id) and the
+  * fact_id fusion groupBy.
+  */
+object Retriever {
+
+  case class Config(
+      relevanceThreshold: Double = 0.65, // v6/schemas.py:37
+      scopedFloor: Double = 0.3,
+      globalFloor: Double = 0.25,
+      globalTopK: Int = 30,
+      scopedTopK: Int = 500, // v6/graph_store.py:340
+      maxFactsToScore: Int = 50, // v6/schemas.py:43
+      crossSourceBoost: Double = 0.15, // v6/researcher.py:64
+      expansionScore: Double = 0.45, // v6/graph_store.py:560
+      rrfK: Int = 60)
+
+  /** Stop words from util/deterministic_retrieval.py:166-185 (abridged to the
+    * high-frequency core; semantics identical for our token streams).
+    */
+  private val stopWords = Set(
+    "a", "an", "the", "is", "are", "was", "were", "be", "been", "being", "have",
+    "has", "had", "do", "does", "did", "will", "would", "could", "should", "may",
+    "might", "must", "shall", "can", "to", "of", "in", "for", "on", "with", "at",
+    "by", "from", "as", "into", "through", "during", "before", "after", "and",
+    "but", "if", "or", "because", "what", "which", "who", "whom", "this", "that",
+    "these", "those", "it", "its", "about", "tell", "describe", "explain", "give")
+
+  /** Keyword extraction (P6): lowercase word tokens, drop stop words and
+    * short tokens (>2 chars kept).
+    */
+  def extractKeywords(query: String): Seq[String] =
+    "\\b\\w+\\b".r.findAllIn(query.toLowerCase).toSeq
+      .filter(w => !stopWords.contains(w) && w.length > 2)
+
+  private def factEmbCol: Column = col("embedding")
+
+  /** Cosine of the (broadcast literal) query embedding against the stored
+    * fact embedding column — pure column arithmetic.
+    */
+  private def scoreCol(queryEmb: Array[Double]): Column = {
+    val q = lit(queryEmb)
+    aggregate(zip_with(q, factEmbCol, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Triples table augmented with a deterministic fact embedding. Callers
+    * should persist this (it is the "vector index").
+    */
+  def withFactEmbeddings(triples: DataFrame): DataFrame = {
+    val embedUdf = udf((s: String) => Embed.embed(s))
+    triples.withColumn("embedding", embedUdf(col("fact")))
+  }
+
+  /** Global vector search: score > floor, top k (v6 global path). */
+  def globalSearch(facts: DataFrame, query: String, cfg: Config = Config()): DataFrame = {
+    val s = scoreCol(Embed.embed(query))
+    facts.withColumn("score", s)
+      .filter(col("score") > cfg.globalFloor)
+      .orderBy(col("score").desc, col("fact_uuid"))
+      .limit(cfg.globalTopK)
+      .withColumn("source", lit("global"))
+  }
+
+  /** Scoped retrieval: facts incident to entityUuid (subject ∪ object),
+    * scored, floored, top-k (J8).
+    */
+  def scopedSearch(facts: DataFrame, entityUuid: String, query: String,
+      cfg: Config = Config()): DataFrame = {
+    val s = scoreCol(Embed.embed(query))
+    facts.filter(col("subject_uuid") === entityUuid || col("object_uuid") === entityUuid)
+      .withColumn("score", s)
+      .filter(col("score") >= cfg.scopedFloor)
+      .orderBy(col("score").desc, col("fact_uuid"))
+      .limit(cfg.scopedTopK)
+      .withColumn("source", lit("scoped"))
+  }
+
+  /** Threshold + cross-source boost + cap (v6/researcher.py:357-414, A6/A7):
+    * union of per-source results → dedupe by fact_uuid keeping max score and
+    * the contributing source set → boost → threshold → top maxFactsToScore.
+    */
+  def thresholdAndBoost(results: DataFrame, cfg: Config = Config()): DataFrame = {
+    results.groupBy(col("fact_uuid"))
+      .agg(
+        max(col("score")).as("vector_score"),
+        collect_set(col("source")).as("sources"),
+        first(col("fact")).as("fact"))
+      .withColumn("final_score",
+        col("vector_score") + lit(cfg.crossSourceBoost) * (size(col("sources")) - 1))
+      .filter(col("vector_score") >= cfg.relevanceThreshold)
+      .orderBy(col("final_score").desc, col("fact_uuid"))
+      .limit(cfg.maxFactsToScore)
+  }
+
+  /** 1-hop expansion (J10): all facts incident to the given entities, fixed
+    * score 0.45, capped.
+    */
+  def expandOneHop(facts: DataFrame, entityUuids: Seq[String], maxFacts: Int,
+      cfg: Config = Config()): DataFrame = {
+    facts.filter(col("subject_uuid").isin(entityUuids: _*) ||
+        col("object_uuid").isin(entityUuids: _*))
+      .withColumn("score", lit(cfg.expansionScore))
+      .orderBy(col("fact_uuid"))
+      .limit(maxFacts)
+      .withColumn("source", lit("graph"))
+  }
+
+  /** Keyword search: score = |query keywords ∩ fact tokens| (BM25 analogue of
+    * the fulltext path), top k.
+    */
+  def keywordSearch(facts: DataFrame, query: String, topK: Int = 30): DataFrame = {
+    val kws = extractKeywords(query)
+    if (kws.isEmpty) return facts.limit(0).withColumn("score", lit(0.0))
+      .withColumn("source", lit("keyword"))
+    val tokens = split(lower(col("fact")), "\\W+")
+    facts.withColumn("score",
+        size(array_intersect(tokens, lit(kws.toArray))).cast("double"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("fact_uuid"))
+      .limit(topK)
+      .withColumn("source", lit("keyword"))
+  }
+
+  /** RRF fusion (A8): per-strategy rank → Σ 1/(k+rank) per fact. Input must
+    * have (fact_uuid, score, source). Deterministic rank tie-break on
+    * fact_uuid mirrors the reference's stable enumerate order.
+    */
+  def rrfFuse(results: DataFrame, topK: Int, cfg: Config = Config()): DataFrame = {
+    val byStrategy = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("fact_uuid"))
+    results.withColumn("rank", row_number().over(byStrategy))
+      .groupBy(col("fact_uuid"))
+      .agg(
+        sum(lit(1.0) / (lit(cfg.rrfK) + col("rank"))).as("rrf_score"),
+        collect_set(col("source")).as("found_by"))
+      .orderBy(col("rrf_score").desc, col("fact_uuid"))
+      .limit(topK)
+  }
+
+  /** DeterministicRetriever.search analogue (deterministic_retrieval.py:379-402):
+    * vector ∥ keyword ∥ graph → RRF(60) → top-k.
+    */
+  def search(facts: DataFrame, query: String, anchorEntities: Seq[String],
+      topK: Int = 10, cfg: Config = Config()): DataFrame = {
+    val vector = globalSearch(facts, query, cfg).select("fact_uuid", "score", "source")
+    val keyword = keywordSearch(facts, query).select("fact_uuid", "score", "source")
+    val graph =
+      if (anchorEntities.isEmpty)
+        vector.limit(0)
+      else expandOneHop(facts, anchorEntities, cfg.scopedTopK, cfg)
+        .select("fact_uuid", "score", "source")
+    rrfFuse(vector.union(keyword).union(graph), topK, cfg)
+  }
+}

@@ -63,7 +63,7 @@ class ExtractorSpec extends SparkSpec {
   test("mentions exclude topic-typed names and carry first-occurrence info") {
     val chunks = Seq(chunk("Nova Energy Ltd. partnered with Atlas Media regarding Inflation.")).toDS()
     val raw = TripleExtractor.extract(spark, chunks)
-    val ms = TripleExtractor.mentions(spark, raw, chunks).collect()
+    val ms = TripleExtractor.mentions(spark, raw).collect()
     assert(ms.map(_.name).sorted.toSeq === Seq("Atlas Media", "Nova Energy Ltd."))
     assert(ms.forall(_.summary.endsWith("is an entity observed in transcripts.")))
   }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (3L, "completely different content about semiconductor supply chains and foundry capacity"),
+    (4L, "el rapido zorro marron salta sobre el perro perezoso junto al rio"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exact(docs).collect()
+    val dupGroup = d.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 0L) // keep_id = min(0,1)
+    assert(Dedup.exactDropList(docs).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("ngram jaccard finds near-dup pair (0,2) and not (0,3)") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH recalls the exact-dup pair and the near-dup pair") {
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup must be recalled: $pairs")
+    assert(pairs.contains((0L, 2L)), s"near dup should be recalled: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dup within hamming distance; distinct docs apart") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical → hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 40).map { i =>
+      val base = Array.tabulate(16)(d => math.sin(i / 8 * 31 + d).toFloat)
+      val noisy = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i.toLong, noisy.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("embedding cosine pairs: same-cluster vectors found, cross-cluster not") {
+    val pairs = Dedup.embeddingCosinePairs(vecs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    // clusters are blocks of 8 consecutive ids
+    assert(pairs.forall { case (a, b) => a / 8 == b / 8 })
+  }
+
+  test("brute-force ANN top-k returns same-cluster neighbors, ranked") {
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val res = Similarity.bruteForceTopK(vecs, queries, k = 3).collect()
+    assert(res.length === 6)
+    assert(res.forall(r => r.getLong(2) / 8 == r.getLong(0) / 8))
+    // ranks are 1..3 per query
+    assert(res.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3)))
+  }
+
+  test("IVF ANN recalls most of brute-force top-k") {
+    val queries = vecs.filter($"vec_id" % 8 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
+  test("text analysis: langid, token counts, quality, fingerprint") {
+    val annotated = TextAnalysis.annotate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(annotated(0L).getAs[String]("lang_pred") === "en")
+    assert(annotated(4L).getAs[String]("lang_pred") === "es")
+    assert(annotated(5L).getAs[String]("lang_pred") === "und")
+    assert(annotated(0L).getAs[Int]("n_tokens") === 14)
+    assert(annotated(0L).getAs[String]("fingerprint") ===
+      annotated(1L).getAs[String]("fingerprint"))
+    assert(annotated(0L).getAs[String]("fingerprint") !==
+      annotated(2L).getAs[String]("fingerprint"))
+    assert(annotated(0L).getAs[Double]("quality") > annotated(5L).getAs[Double]("quality"))
+  }
+
+  test("multimodal: stub decode + features via mapPartitions; metadata-only prunes payload") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length === 30)
+    val f0 = feats.find(_.media_id == 0L).get
+    assert(f0.width === 16 && f0.height === 16)
+    assert(math.abs(f0.byte_hist.sum - 1.0) < 1e-9)
+    assert(f0.frames_sampled === (f0.n_bytes - 16) / 64)
+    // metadata-only access over a parquet scan must prune the binary column
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val meta = Multimodal.metadataOnly(spark.read.parquet(dir))
+    val scan = meta.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse(scan)
+    assert(!readSchema.contains("content"),
+      s"payload column must be pruned from the scan: $readSchema")
+    assert(meta.count() > 0)
+  }
+}

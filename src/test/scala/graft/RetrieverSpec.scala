@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Ingest
+import graft.query.Retriever
+import graft.synth.TranscriptGen
+
+class RetrieverSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val facts = {
+    val turns = TranscriptGen.transcripts(spark,
+      TranscriptGen.Config(numConvs = 6, turnsPerConv = 25, skew = 3))
+    val triples = Ingest.runInMemory(spark, turns).triples
+    Retriever.withFactEmbeddings(triples).cache()
+  }
+
+  test("keyword extraction drops stop words (researcher.py:72-102)") {
+    assert(Retriever.extractKeywords("What happened to wages in Boston?") ===
+      Seq("happened", "wages", "boston"))
+    assert(Retriever.extractKeywords("the of and") === Seq.empty)
+  }
+
+  test("scoped retrieval returns only facts incident to the entity (J8)") {
+    val e = facts.select($"subject_uuid").first().getString(0)
+    val res = Retriever.scopedSearch(facts, e, "acquisitions and investments")
+    val rows = res.select($"fact_uuid").collect().map(_.getString(0)).toSet
+    val incident = facts.filter($"subject_uuid" === e || $"object_uuid" === e)
+      .select($"fact_uuid").collect().map(_.getString(0)).toSet
+    assert(rows.subsetOf(incident))
+  }
+
+  test("global search self-retrieves a fact's own text as top hit") {
+    val f = facts.select($"fact").first().getString(0)
+    val top = Retriever.globalSearch(facts, f).select($"fact").first().getString(0)
+    assert(top === f)
+  }
+
+  test("cross-source boost adds 0.15 per extra source (A7)") {
+    val rows = Seq(
+      ("f1", 0.9, "global", "t1"), ("f1", 0.7, "scoped", "t1"),
+      ("f2", 0.9, "global", "t2")).toDF("fact_uuid", "score", "source", "fact")
+    val out = Retriever.thresholdAndBoost(rows).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("final_score")).toMap
+    assert(math.abs(out("f1") - 1.05) < 1e-9)
+    assert(math.abs(out("f2") - 0.9) < 1e-9)
+  }
+
+  test("threshold drops below-0.65 facts (P4)") {
+    val rows = Seq(
+      ("f1", 0.64, "global", "t"), ("f2", 0.66, "global", "t"))
+      .toDF("fact_uuid", "score", "source", "fact")
+    val out = Retriever.thresholdAndBoost(rows).collect().map(_.getString(0)).toSet
+    assert(out === Set("f2"))
+  }
+
+  test("RRF fusion: rank 1 in two strategies beats rank 1 in one (A8)") {
+    val rows = Seq(
+      ("a", 0.9, "vector"), ("b", 0.8, "vector"),
+      ("a", 5.0, "keyword"), ("c", 4.0, "keyword"))
+      .toDF("fact_uuid", "score", "source")
+    val out = Retriever.rrfFuse(rows, topK = 10).collect()
+    assert(out.head.getString(0) === "a")
+    val aScore = out.head.getAs[Double]("rrf_score")
+    assert(math.abs(aScore - 2.0 / 61.0) < 1e-12)
+  }
+
+  test("end-to-end search returns topK fused results with found_by provenance") {
+    val out = Retriever.search(facts, "Quantum Dynamics acquisitions", Seq.empty, topK = 5)
+    assert(out.count() <= 5 && out.count() > 0)
+    assert(out.columns.toSeq === Seq("fact_uuid", "rrf_score", "found_by"))
+  }
+
+  test("1-hop expansion has fixed score 0.45 (v6/graph_store.py:549-602)") {
+    val e = facts.select($"subject_uuid").first().getString(0)
+    val out = Retriever.expandOneHop(facts, Seq(e), maxFacts = 10)
+    assert(out.select($"score").distinct().collect().map(_.getDouble(0)).toSeq === Seq(0.45))
+  }
+}
