@@ -138,6 +138,43 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "kg_firstlast_chunks" -> ((s, dir) => {
+      // W3: document-date extraction scans chunks[:6] and chunks[-6:]
+      // (pipeline.py:1346-1348) — here first/last 3 turns per conversation
+      val t = transcriptsFromEvents(s, dir)
+      val asc = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val desc = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
+      t.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .filter(col("rn_a") <= 3 || col("rn_d") <= 3)
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          when(col("rn_a") <= 3, "head").otherwise("tail").as("pos"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+      read(s, dir, "events")
+        .withColumn("new_s", when(gap.isNull || gap > 1800, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "q_rollup" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
     // ---- training-data dedup (oracle-checked where exact) ----
 
     "dedup_exact" -> ((s, dir) =>
@@ -406,6 +443,42 @@ object SparkEntry {
         |  SELECT w.id, s.d FROM walk w JOIN sym s ON w.reach = s.s)
         |SELECT id AS vec_id, min(reach) AS component
         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "kg_firstlast_chunks" ->
+      s"""$transcriptsCte
+         |SELECT conv_id, turn_idx, text,
+         |  CASE WHEN rn_a <= 3 THEN 'head' ELSE 'tail' END AS pos
+         |FROM (
+         |  SELECT conv_id, turn_idx, text,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn_a,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn_d
+         |  FROM transcripts)
+         |WHERE rn_a <= 3 OR rn_d <= 3
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

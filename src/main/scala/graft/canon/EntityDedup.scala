@@ -170,4 +170,17 @@ object EntityDedup {
 
     (entities, remap)
   }
+
+  /** Dedup run statistics (A5, reference entity_dedup.py:558-600):
+    * components_found (multi-member merge groups), distinct_entities,
+    * duplicates_merged.
+    */
+  def stats(spark: SparkSession, remap: DataFrame): DataFrame = {
+    import spark.implicits._
+    remap.groupBy($"canonical_uuid").agg(count(lit(1)).as("sz"))
+      .agg(
+        sum(when($"sz" > 1, 1L).otherwise(0L)).as("components_found"),
+        count(lit(1)).as("distinct_entities"),
+        sum($"sz" - 1).as("duplicates_merged"))
+  }
 }

@@ -77,4 +77,38 @@ object Norm {
     if (missing.isEmpty) text
     else missing.mkString("\n") + "\n" + text
   }
+
+  /** Summary merge (F10, reference pipeline.py:374-390 / entity_registry.py:
+    * 330-333): empty sides pass through; containment short-circuits (the
+    * reference skips the LLM call); otherwise the deterministic analogue of
+    * the LLM merge is newline concatenation (the reference's own exception
+    * fallback, pipeline.py:389-390).
+    */
+  def mergeSummaries(old: String, nw: String): String = {
+    val o = if (old == null) "" else old
+    val n = if (nw == null) "" else nw
+    if (o.trim.isEmpty) n
+    else if (n.trim.isEmpty) o
+    else if (o.contains(n)) o
+    else if (n.contains(o)) n
+    else o + "\n" + n
+  }
+
+  /** Lenient date parse (F7, reference pipeline.py:1266-1271 +
+    * temporal_extractor.py:110-123): ISO date/datetime prefix → LocalDate;
+    * year-month → day 1; bare year → Jan 1; anything invalid → None.
+    */
+  def parseDateLenient(s: String): Option[java.time.LocalDate] = {
+    if (s == null) return None
+    val t = s.trim
+    def tryParse(f: => java.time.LocalDate): Option[java.time.LocalDate] =
+      try Some(f) catch { case _: Exception => None }
+    if (t.length >= 10 && t.charAt(4) == '-' && t.charAt(7) == '-')
+      tryParse(java.time.LocalDate.parse(t.take(10)))
+    else if (t.matches("\\d{4}-\\d{2}"))
+      tryParse(java.time.LocalDate.parse(t + "-01"))
+    else if (t.matches("\\d{4}"))
+      tryParse(java.time.LocalDate.of(t.toInt, 1, 1))
+    else None
+  }
 }

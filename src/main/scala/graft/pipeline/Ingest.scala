@@ -118,4 +118,50 @@ object Ingest {
 
     Result(chunksDf, rawDf, entitiesDf, triplesDf)
   }
+
+  /** Incremental ingest of an additional corpus into an EXISTING warehouse
+    * (J4 entity linking, reference entity_registry.py:134-218): the new
+    * corpus is chunked/extracted/deduped on its own, then its canonical
+    * entities are linked against the committed entity table — matches adopt
+    * the existing uuid/name, new ones append (MERGE semantics). New triples
+    * append idempotently on fact_uuid.
+    */
+  def runIncremental(spark: SparkSession, turns: Dataset[Turn], warehouseDir: String,
+      cfg: Config = Config()): Result = {
+    import spark.implicits._
+    val log = new SnapshotLog(spark, warehouseDir)
+    val existing = log.read("entities").getOrElse(
+      throw new IllegalStateException("runIncremental needs a committed entities table"))
+
+    val chunks = TurnChunker.chunk(spark, turns, cfg.chunker)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = TripleExtractor.extract(spark, chunks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mentions = TripleExtractor.mentions(spark, raw)
+    val (newEntities, remap) = EntityDedup.dedup(spark, mentions, cfg.dedup)
+
+    val linked = EntityLinker.link(spark, newEntities.toDF(), existing, cfg.linker)
+    // remap through the link result: mention name → resolved (existing or new)
+    val finalRemap = remap
+      .join(linked.select($"entity_uuid".as("canonical_uuid"),
+        $"resolved_uuid", $"resolved_name"), Seq("canonical_uuid"))
+      .select($"entity_uuid", $"resolved_uuid".as("canonical_uuid"),
+        $"resolved_name".as("canonical_name"), $"name")
+
+    val topicNames = raw.toDF().select(explode($"topics").as("name"), $"group_id").distinct()
+    val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
+    val triples = TripleAssembler.assemble(spark, raw, finalRemap, topics, cfg.assembler)
+
+    val entityRows = linked
+      .withColumn("entity_uuid", $"resolved_uuid")
+      .withColumn("canonical_name", $"resolved_name")
+      .withColumn("name", $"resolved_name")
+      .drop("resolved_uuid", "resolved_name", "is_new")
+      .select(existing.columns.map(col): _*)
+    log.mergeAppend("entities", entityRows, Seq("entity_uuid"), Seq("group_id"))
+    log.mergeAppend("triples", triples.toDF(), Seq("fact_uuid"), Seq("group_id"))
+    log.mergeAppend("chunks", chunks.toDF(), Seq("chunk_uuid"), Seq("group_id"))
+
+    Result(chunks.toDF(), raw.toDF(), log.read("entities").get, log.read("triples").get)
+  }
 }

@@ -1,0 +1,98 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Point-lookup / traversal API over the graph tables — the MCP tool surface
+  * (SURVEY.md §3.3; reference src/querying_system/mcp_server.py:849-1023):
+  * resolve_entity_or_topic, get_chunk(s), get_chunks_by_edge, get_entity_info,
+  * explore_neighbors, search_relationships. Each is a parameterized DataFrame
+  * lookup (J8-J12) — partition-pruned by group_id, equi-joined on ids.
+  */
+object GraphLookup {
+
+  /** resolve_entity_or_topic: case-insensitive name/alias match against the
+    * entity table (exact key first — the graph_store's exact-match shortcut).
+    */
+  def resolveEntity(entities: DataFrame, name: String, groupId: String = "default"): DataFrame = {
+    val key = name.trim.toLowerCase
+    entities.filter(col("group_id") === groupId)
+      .filter(lower(col("canonical_name")) === key ||
+        exists(col("aliases"), a => lower(a) === key))
+      .select(col("entity_uuid"), col("canonical_name"), col("entity_type"), col("summary"))
+  }
+
+  /** get_chunk(entity_one, entity_two, edge_type): provenance chunks of the
+    * facts connecting two entities via an edge type (mcp_server get_chunk).
+    */
+  def chunksBetween(triples: DataFrame, chunks: DataFrame, entityA: String,
+      entityB: String, edgeType: Option[String] = None): DataFrame = {
+    val pair = triples.filter(
+      (col("subject_uuid") === entityA && col("object_uuid") === entityB) ||
+        (col("subject_uuid") === entityB && col("object_uuid") === entityA))
+    val filtered = edgeType.fold(pair)(e => pair.filter(col("predicate") === e))
+    filtered.select(col("fact_uuid"), col("fact"), col("predicate"), col("chunk_uuid"))
+      .join(chunks.select(col("chunk_uuid"), col("chunk_id"), col("text"),
+        col("conv_id"), col("header_path")), Seq("chunk_uuid"), "left")
+  }
+
+  /** get_chunks_by_edge(entity, edge, direction): facts of one edge type
+    * incident to an entity, direction ∈ outgoing|incoming|both.
+    */
+  def chunksByEdge(triples: DataFrame, entity: String, edgeType: String,
+      direction: String = "both"): DataFrame = {
+    val side = direction match {
+      case "outgoing" => col("subject_uuid") === entity
+      case "incoming" => col("object_uuid") === entity
+      case _ => col("subject_uuid") === entity || col("object_uuid") === entity
+    }
+    triples.filter(side && col("predicate") === edgeType)
+      .select(col("fact_uuid"), col("subject"), col("predicate"), col("object"),
+        col("fact"), col("chunk_uuid"), col("date_context"))
+  }
+
+  /** explore_neighbors: distinct (predicate, neighbor) pairs around an
+    * entity with fact counts — 1-hop adjacency summary.
+    */
+  def exploreNeighbors(triples: DataFrame, entity: String): DataFrame = {
+    val out = triples.filter(col("subject_uuid") === entity)
+      .select(col("predicate"), col("object_uuid").as("neighbor_uuid"),
+        col("object").as("neighbor"), lit("outgoing").as("direction"))
+    val in = triples.filter(col("object_uuid") === entity)
+      .select(col("predicate"), col("subject_uuid").as("neighbor_uuid"),
+        col("subject").as("neighbor"), lit("incoming").as("direction"))
+    out.union(in)
+      .groupBy(col("predicate"), col("neighbor_uuid"), col("neighbor"), col("direction"))
+      .agg(count(lit(1)).as("n_facts"))
+      .orderBy(col("n_facts").desc, col("neighbor"), col("predicate"))
+  }
+
+  /** search_relationships: substring/predicate search over fact text. */
+  def searchRelationships(triples: DataFrame, pattern: String, limitN: Int = 50): DataFrame =
+    triples.filter(lower(col("fact")).contains(pattern.toLowerCase) ||
+        col("predicate").contains(pattern.toUpperCase))
+      .select(col("fact_uuid"), col("subject"), col("predicate"), col("object"), col("fact"))
+      .orderBy(col("fact_uuid"))
+      .limit(limitN)
+
+  /** Topic-scoped retrieval (J9, v6/graph_store.py:433-487): facts whose
+    * topics array carries the topic label, scored against the query embedding,
+    * floor-filtered.
+    */
+  def topicScoped(factsWithEmb: DataFrame, topicLabel: String, query: String,
+      floor: Double = 0.3): DataFrame = {
+    val q = lit(graft.functions.Embed.embed(query))
+    factsWithEmb.filter(array_contains(col("topics"), topicLabel))
+      .withColumn("score",
+        aggregate(zip_with(q, col("embedding"), (a, b) => a * b), lit(0.0), (acc, v) => acc + v))
+      .filter(col("score") >= floor)
+      .withColumn("source", lit("topic"))
+      .orderBy(col("score").desc, col("fact_uuid"))
+  }
+
+  /** get_chunks / chunk-content fetch (J12): semi-join + project. */
+  def fetchChunks(chunks: DataFrame, chunkUuids: Seq[String]): DataFrame =
+    chunks.filter(col("chunk_uuid").isin(chunkUuids: _*))
+      .select(col("chunk_uuid"), col("chunk_id"), col("conv_id"), col("text"),
+        col("header_path"), col("document_date"))
+}

@@ -100,6 +100,25 @@ class SnapshotLog(spark: SparkSession, baseDir: String) {
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
+  /** MERGE-style append (S6 semantics, reference pipeline.py:416-547
+    * UNWIND-upsert + dedup-before-write :791-801): rows whose key already
+    * exists in the latest snapshot are dropped (left_anti), the remainder is
+    * appended as a new snapshot of existing ∪ new. Idempotent: re-running the
+    * same append is a no-op on content. Returns the new snapshot id (or the
+    * current one when nothing new arrived).
+    */
+  def mergeAppend(name: String, df: DataFrame, keys: Seq[String],
+      partitionBy: Seq[String] = Nil): Long = {
+    read(name) match {
+      case None => commit(name, df.dropDuplicates(keys), partitionBy)
+      case Some(existing) =>
+        val fresh = df.dropDuplicates(keys)
+          .join(existing.select(keys.map(col): _*), keys, "left_anti")
+        if (fresh.isEmpty) latestSnapshot(name).get
+        else commit(name, existing.unionByName(fresh), partitionBy)
+    }
+  }
+
   /** Read a stage if committed, else compute + commit it (resume semantics). */
   def computeIfAbsent(name: String, partitionBy: Seq[String] = Nil)(f: => DataFrame): DataFrame =
     read(name) match {

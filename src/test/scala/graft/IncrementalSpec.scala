@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.canon.EntityDedup
+import graft.functions.Norm
+import graft.pipeline.Ingest
+import graft.query.GraphLookup
+import graft.synth.TranscriptGen
+import graft.tables.SnapshotLog
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeAppend is idempotent and keeps MERGE semantics (S6)") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    val log = new SnapshotLog(spark, dir)
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    log.mergeAppend("t", a, Seq("id"))
+    assert(log.read("t").get.count() === 2)
+    // same rows again → no new snapshot content
+    log.mergeAppend("t", a, Seq("id"))
+    assert(log.read("t").get.count() === 2)
+    // overlap + one new key → only the new key appends
+    val b = Seq((2L, "y2"), (3L, "z")).toDF("id", "v")
+    log.mergeAppend("t", b, Seq("id"))
+    val rows = log.read("t").get.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "x"), (2L, "y"), (3L, "z"))) // existing wins
+  }
+
+  test("incremental ingest links alias-only corpus to existing entity uuids (J4)") {
+    val dir = Files.createTempDirectory("graft-incr").toString
+    val cfgA = TranscriptGen.Config(numConvs = 4, turnsPerConv = 20, skew = 2, seed = 42)
+    Ingest.run(spark, TranscriptGen.transcripts(spark, cfgA), dir)
+    val log = new SnapshotLog(spark, dir)
+    val entitiesBefore = log.read("entities").get.count()
+    val triplesBefore = log.read("triples").get.count()
+
+    // corpus B: different conversations (different seed) — overlapping world
+    val cfgB = TranscriptGen.Config(numConvs = 4, turnsPerConv = 20, skew = 2, seed = 1042)
+    val r = Ingest.runIncremental(spark, TranscriptGen.transcripts(spark, cfgB), dir)
+
+    val after = log.read("entities").get
+    assert(log.read("triples").get.count() > triplesBefore)
+    assert(after.count() >= entitiesBefore)
+    // entity uuids are unique post-merge and shared names kept their uuid
+    assert(after.select($"entity_uuid").distinct().count() === after.count())
+    // rerunning corpus B is a no-op on triples (fact_uuid MERGE)
+    val triplesAfter = log.read("triples").get.count()
+    Ingest.runIncremental(spark, TranscriptGen.transcripts(spark, cfgB), dir)
+    assert(log.read("triples").get.count() === triplesAfter)
+  }
+
+  test("dedup stats (A5)") {
+    val ms = Seq(
+      graft.model.Mention("Quantum Dynamics Inc", "Organization", "Quantum Dynamics Inc is an entity observed in transcripts.", "c1", "conv1", 0, "default"),
+      graft.model.Mention("Quantum Dynamics", "Organization", "Quantum Dynamics is an entity observed in transcripts.", "c2", "conv1", 1, "default"),
+      graft.model.Mention("Granite Foods LLC", "Organization", "Granite Foods LLC is an entity observed in transcripts.", "c3", "conv1", 2, "default")).toDS()
+    val (_, remap) = EntityDedup.dedup(spark, ms)
+    val st = EntityDedup.stats(spark, remap).collect().head
+    assert(st.getAs[Long]("components_found") === 1L)
+    assert(st.getAs[Long]("distinct_entities") === 2L)
+    assert(st.getAs[Long]("duplicates_merged") === 1L)
+  }
+
+  test("summary merge heuristic (F10) and lenient date parse (F7)") {
+    assert(Norm.mergeSummaries("", "new") === "new")
+    assert(Norm.mergeSummaries("old", "") === "old")
+    assert(Norm.mergeSummaries("Apple makes phones and laptops", "phones") ===
+      "Apple makes phones and laptops") // containment short-circuit
+    assert(Norm.mergeSummaries("a", "b") === "a\nb")
+    assert(Norm.parseDateLenient("2024-03-15") === Some(java.time.LocalDate.of(2024, 3, 15)))
+    assert(Norm.parseDateLenient("2024-03-15T10:00:00Z") === Some(java.time.LocalDate.of(2024, 3, 15)))
+    assert(Norm.parseDateLenient("2024-03") === Some(java.time.LocalDate.of(2024, 3, 1)))
+    assert(Norm.parseDateLenient("2024") === Some(java.time.LocalDate.of(2024, 1, 1)))
+    assert(Norm.parseDateLenient("2024-02-30") === None) // invalid like reference
+    assert(Norm.parseDateLenient("soon") === None)
+    assert(Norm.parseDateLenient(null) === None)
+  }
+
+  test("graph lookups: resolve, neighbors, chunks-between, topic-scoped (J9/J12, MCP surface)") {
+    val cfg = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val res = Ingest.runInMemory(spark, TranscriptGen.transcripts(spark, cfg))
+    val triples = res.triples.cache()
+    val entities = res.entities.cache()
+
+    val anyEntity = entities.select($"canonical_name").first().getString(0)
+    val resolved = GraphLookup.resolveEntity(entities, anyEntity.toLowerCase)
+    assert(resolved.count() === 1)
+
+    val e = triples.select($"subject_uuid").first().getString(0)
+    val nb = GraphLookup.exploreNeighbors(triples, e).collect()
+    assert(nb.nonEmpty && nb.forall(_.getAs[Long]("n_facts") > 0))
+
+    val t0 = triples.select($"subject_uuid", $"object_uuid", $"predicate", $"chunk_uuid").first()
+    val between = GraphLookup.chunksBetween(triples, res.chunks, t0.getString(0), t0.getString(1),
+      Some(t0.getString(2)))
+    assert(between.count() >= 1)
+    assert(between.filter($"text".isNotNull).count() >= 1) // provenance joined
+
+    val byEdge = GraphLookup.chunksByEdge(triples, t0.getString(0), t0.getString(2), "outgoing")
+    assert(byEdge.count() >= 1)
+
+    val fetched = GraphLookup.fetchChunks(res.chunks, Seq(t0.getString(3)))
+    assert(fetched.count() === 1)
+
+    val withTopic = triples.filter(size($"topics") > 0).limit(1).collect()
+    if (withTopic.nonEmpty) {
+      val label = withTopic.head.getAs[Seq[String]]("topics").head
+      val facts = graft.query.Retriever.withFactEmbeddings(triples)
+      val scoped = GraphLookup.topicScoped(facts, label, withTopic.head.getAs[String]("fact"),
+        floor = 0.1)
+      assert(scoped.count() >= 1)
+    }
+
+    val found = GraphLookup.searchRelationships(triples, "acquired")
+    assert(found.count() > 0)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Turn
+import graft.streaming.StreamingIngest
+import graft.tables.SnapshotLog
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def turn(conv: String, idx: Int, text: String): Turn =
+    Turn(conv, idx, "user", text, "", new Timestamp(1704067200000L + idx * 60000L))
+
+  private val fact1 = "Apex Systems Inc acquired Nova Robotics Ltd in 2019. extra filler text to pass the length filter."
+  private val fact2 = "Granite Foods LLC partnered with Vertex Capital Inc. extra filler text to pass the length filter."
+
+  test("streaming ingest: micro-batches land raw triples idempotently (foreachBatch + MERGE)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[Turn]
+    val q = StreamingIngest.start(spark, mem.toDS(), dir)
+    try {
+      mem.addData(turn("c1", 0, fact1))
+      q.processAllAvailable()
+      val log = new SnapshotLog(spark, dir)
+      assert(log.read("raw_triples").get.count() === 1)
+
+      // second batch: one new fact + a REPLAY of the first → only one lands
+      mem.addData(turn("c1", 0, fact1), turn("c2", 0, fact2))
+      q.processAllAvailable()
+      val raw = log.read("raw_triples").get
+      assert(raw.count() === 2)
+      assert(raw.select($"subject").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("Apex Systems Inc", "Granite Foods LLC"))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation over the turn stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val agg = StreamingIngest.turnVolume(mem.toDS(), window = "10 minutes")
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("turn_volume").start()
+    try {
+      mem.addData((0 until 25).map(i => turn("c1", i, s"turn $i")): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT conv_id, n_turns FROM turn_volume").collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getAs[Long]("n_turns")).sum === 25L)
+    } finally q.stop()
+  }
+}
