@@ -25,8 +25,16 @@ object VectorOps {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity with zero-norm guard → 0.0. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity with zero-norm guard → 0.0. Backed by the native
+    * codegen'd expression (one fused loop); `cosineHof` keeps the
+    * higher-order-function formulation for A/B comparison — both produce
+    * bit-identical doubles (same accumulation order and formula).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expr.CosineSimilarity(a, b)
+
+  /** HOF formulation (interpreted lambdas; ~no whole-stage codegen). */
+  def cosineHof(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embed, VectorOps}
+import graft.functions.expr.CosineSimilarity
+
+class CosineExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = {
+    val rnd = new scala.util.Random(11)
+    (0 until 200).map { i =>
+      val a = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val b = if (i % 17 == 0) Array.fill(64)(0.0) else Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      (i, a.toSeq, b.toSeq)
+    }.toDF("id", "a", "b")
+  }
+
+  test("native expression is bit-identical to the HOF formulation and scala impl") {
+    val both = pairs.select($"id", $"a", $"b",
+        CosineSimilarity($"a", $"b").as("fast"),
+        VectorOps.cosineHof($"a", $"b").as("hof"))
+      .collect()
+    both.foreach { r =>
+      val fast = r.getDouble(3)
+      val hof = r.getDouble(4)
+      assert(fast === hof, s"row ${r.getInt(0)}")
+      val scala = Embed.cosine(r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+      assert(fast === scala)
+    }
+  }
+
+  test("zero-norm guard and null propagation") {
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(CosineSimilarity($"a", $"b")).first().getDouble(0)
+    assert(z === 0.0)
+    val n = Seq((None: Option[Seq[Double]], Some(Seq(1.0)))).toDF("a", "b")
+      .select(CosineSimilarity($"a", $"b")).first()
+    assert(n.isNullAt(0))
+  }
+
+  test("float arrays are accepted via cast (embeddings table shape)") {
+    val f = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .select(CosineSimilarity($"a", $"b")).first().getDouble(0)
+    assert(math.abs(f - 1.0) < 1e-15)
+  }
+
+  test("expression stays inside whole-stage codegen (no interpreted lambdas)") {
+    // runtime source (range) so the projection isn't constant-folded away
+    val df = spark.range(100)
+      .withColumn("a", array((0 until 8).map(i => rand(i).cast("double")): _*))
+      .withColumn("b", array((0 until 8).map(i => rand(i + 100).cast("double")): _*))
+    val plan = df.select(CosineSimilarity($"a", $"b").as("c"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.next().trim.startsWith("*(1) Project [cosine_similarity"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Ingest
+import graft.synth.TranscriptGen
+
+/** Physical-plan hygiene at the operators that matter at 100 TB: filters
+  * reach the parquet scan, projections prune columns, the fact-resolution
+  * join broadcasts, and no accidental cartesian products appear in the
+  * pipeline plan.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+
+  test("filter + projection push into the parquet scan (PushedFilters/ReadSchema)") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_quantity" > 30.0)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), scan)
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"unused columns must be pruned: $readSchema")
+  }
+
+  test("group_id partition filter prunes partitions on committed tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val turns = TranscriptGen.transcripts(spark, TranscriptGen.Config(3, 15, 2))
+    Ingest.run(spark, turns, dir)
+    val triples = new graft.tables.SnapshotLog(spark, dir).read("triples").get
+      .filter($"group_id" === "default")
+    val plan = triples.queryExecution.executedPlan.toString
+    // partition column filter shows as PartitionFilters on the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("group_id"), plan)
+  }
+
+  test("fact-resolution join is a broadcast hash join, and no cartesian product in the pipeline") {
+    val turns = TranscriptGen.transcripts(spark, TranscriptGen.Config(4, 20, 2))
+    val triples = Ingest.runInMemory(spark, turns).triples
+    val plan = triples.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "resolution lookups must broadcast:\n" + plan)
+    assert(!plan.contains("CartesianProduct"), "no cartesian in the pipeline plan:\n" + plan)
+  }
+
+  test("q1-style agg runs partial aggregation (map-side combine)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two HashAggregate levels = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}
