@@ -51,6 +51,25 @@ object Bench {
       "dedup_token_jaccard", "dedup_minhash_pairs", "dedup_simhash_pairs",
       "ann_topk", "text_stats", "text_langid", "rrf_fusion", "q_window_topk")
 
+    // pipeline + scaling measurements FIRST (fresh heap — measured: a JVM
+    // that has churned through the query list reports 3-4x slower pipeline
+    // times), headline queries last.
+    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
+    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
+
+    val pipeSecs = ScalingBench.measure(cpus, corpusDir, reps = 3, mode = "full")
+    val turnsPerSec = corpusTurns / pipeSecs
+
+    val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
+    val (tps2, tps8) =
+      if (skipScaling) (0.0, 0.0)
+      else {
+        val s2 = ScalingBench.measure(2, corpusDir, reps = 3, mode = "extract")
+        val s8 = ScalingBench.measure(8, corpusDir, reps = 3, mode = "extract")
+        (corpusTurns / s2, corpusTurns / s8)
+      }
+    val efficiency = if (tps2 > 0) (tps8 / tps2) / 4.0 else 0.0
+
     val spark = session(cpus)
     // warmup: pay one-time codegen/scan init outside the timed loop
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -61,23 +80,6 @@ object Bench {
       name -> t
     }
     spark.stop()
-
-    // materialized 1M-turn corpus: every measurement reads the same bytes
-    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
-    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
-
-    val pipeSecs = ScalingBench.measure(cpus, corpusDir, reps = 2, mode = "full")
-    val turnsPerSec = corpusTurns / pipeSecs
-
-    val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
-    val (tps2, tps8) =
-      if (skipScaling) (0.0, 0.0)
-      else {
-        val s2 = ScalingBench.measure(2, corpusDir, reps = 2, mode = "extract")
-        val s8 = ScalingBench.measure(8, corpusDir, reps = 2, mode = "extract")
-        (corpusTurns / s2, corpusTurns / s8)
-      }
-    val efficiency = if (tps2 > 0) (tps8 / tps2) / 4.0 else 0.0
 
     val qs = (queryTimes :+ ("kg_pipeline_1m_turns" -> pipeSecs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

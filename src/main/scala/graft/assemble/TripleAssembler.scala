@@ -70,24 +70,44 @@ object TripleAssembler {
     val withSubj = joinLookup(t, lookup, side = "subject")
     val withObj = joinLookup(withSubj, lookup, side = "object")
 
-    // resolve topic arrays: keep only ontology-resolved labels
-    val exploded = withObj
-      .withColumn("topic_raw", explode_outer($"topics"))
-      .withColumn("topic_key", lower(trim($"topic_raw")))
-      .join(topicMap.select($"key".as("topic_key"), $"r_name".as("topic_label")),
-        Seq("topic_key"), "left")
+    // Resolve topic arrays to ontology labels (unresolved entries drop,
+    // pipeline.py:1694-1696). Fast path: the resolved-topic map is bounded by
+    // the distinct surface forms that matched the ontology — broadcast it and
+    // rewrite the array in place (no explode, no fact-stream regroup shuffle).
+    // Falls back to explode + regroup when the map is unexpectedly large.
+    val maxBroadcastTopics = 200000
+    val topicCount = topic0.limit(maxBroadcastTopics + 1).count()
+    val resolved =
+      if (cfg.broadcastResolutions && topicCount <= maxBroadcastTopics) {
+        val entries = topic0.select($"key", $"r_name").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val bc = spark.sparkContext.broadcast(entries)
+        val resolveTopics = udf { (ts: Seq[String]) =>
+          if (ts == null) Seq.empty[String]
+          else ts.flatMap(x => bc.value.get(x.trim.toLowerCase)).distinct.sorted
+        }
+        withObj.withColumn("topics", resolveTopics($"topics"))
+      } else {
+        val exploded = withObj
+          .withColumn("topic_raw", explode_outer($"topics"))
+          .withColumn("topic_key", lower(trim($"topic_raw")))
+          .join(topicMap.select($"key".as("topic_key"), $"r_name".as("topic_label")),
+            Seq("topic_key"), "left")
+        exploded
+          .groupBy($"chunk_uuid", $"conv_id", $"group_id", $"fact", $"subject",
+            $"subject_type", $"relationship", $"object", $"object_type", $"date_context",
+            $"subject_uuid", $"subject_canonical", $"object_uuid", $"object_canonical")
+          .agg(array_sort(array_distinct(collect_list($"topic_label"))).as("topics"))
+      }
 
-    val regrouped = exploded
-      .groupBy($"chunk_uuid", $"conv_id", $"group_id", $"fact", $"subject", $"subject_type",
-        $"relationship", $"object", $"object_type", $"date_context",
-        $"subject_uuid", $"subject_canonical", $"object_uuid", $"object_canonical")
-      .agg(array_sort(array_distinct(collect_list($"topic_label"))).as("topics"))
-
-    regrouped
+    resolved
       .withColumn("predicate", relTypeUdf($"relationship"))
       .withColumn("fact_uuid", factUuidUdf($"group_id", $"chunk_uuid",
         $"subject_canonical", $"predicate", $"object_canonical", $"fact",
         coalesce($"date_context", lit(""))))
+      // identical re-extractions collapse on the deterministic identity
+      // (MERGE-on-fact_id semantics, pipeline.py:620-634)
+      .dropDuplicates("fact_uuid")
       .select(
         $"fact_uuid",
         $"fact",
