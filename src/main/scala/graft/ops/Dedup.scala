@@ -91,25 +91,36 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: k-signature → b bands of r rows → bucket
-    * join on (band, hash(band slice)) → verify estimated Jaccard (signature
-    * agreement) ≥ threshold. North-star blocking strategy: candidates are
-    * generated by equi-join, never all-pairs.
+    * join on (band, hash(band slice)) → verify Jaccard ≥ threshold on the
+    * candidates. North-star blocking strategy: candidates come from an
+    * equi-join, never all-pairs.
+    *
+    * `verifyExact` (default): candidates carry their distinct-shingle sets
+    * and are verified with EXACT Jaccard — precision 1.0, recall limited
+    * only by banding (1-(1-j^r)^b). With `verifyExact = false` the cheaper
+    * signature-agreement estimate is used (±1/√k noise near the threshold;
+    * measured at k=32/th=0.7: P≈R≈0.85 vs exact).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      threshold: Double = 0.8, verifyExact: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigUdf = udf { (text: String) =>
+    val prepUdf = udf { (text: String) =>
       val toks = if (text == null) Seq.empty[String]
         else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-      minhashSig(toks, n, k)
+      val shingles =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      (minhashSig(toks, n, k), shingles)
     }
-    val sigs = docs.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    val sigs = docs.select(col(idCol).as("id"), prepUdf(col(textCol)).as("p"))
+      .select(col("id"), col("p._1").as("sig"), col("p._2").as("shingles"))
       .filter(element_at(col("sig"), 1) =!= Int.MaxValue) // too short → no shingles
 
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"), col("sig"), col("shingles"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b))).as(Seq("band", "bucket")))
 
@@ -117,15 +128,24 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
 
-    cand.withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    if (verifyExact) {
+      cand.withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      cand.withColumn("est_jaccard",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    }
   }
 
   // ---------- SimHash ----------

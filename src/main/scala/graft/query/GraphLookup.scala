@@ -95,4 +95,45 @@ object GraphLookup {
     chunks.filter(col("chunk_uuid").isin(chunkUuids: _*))
       .select(col("chunk_uuid"), col("chunk_id"), col("conv_id"), col("text"),
         col("header_path"), col("document_date"))
+
+  // ---- V7 chunk-centric retrieval (SURVEY.md §3.3; v7/graph_store.py:428-838) ----
+
+  /** get_entity_chunks: distinct provenance chunks of all facts incident to
+    * an entity, with the incident fact count per chunk.
+    */
+  def entityChunks(triples: DataFrame, chunks: DataFrame, entityUuid: String): DataFrame =
+    triples.filter(col("subject_uuid") === entityUuid || col("object_uuid") === entityUuid)
+      .groupBy(col("chunk_uuid"))
+      .agg(count(lit(1)).as("n_facts"))
+      .join(chunks.select(col("chunk_uuid"), col("chunk_id"), col("conv_id"),
+        col("text"), col("header_path")), Seq("chunk_uuid"))
+      .orderBy(col("n_facts").desc, col("chunk_uuid"))
+
+  /** get_1hop_neighbors (v7): neighbor entities' chunks via the hub pattern. */
+  def oneHopNeighborChunks(triples: DataFrame, chunks: DataFrame,
+      entityUuid: String, maxNeighbors: Int = 10): DataFrame = {
+    val neighbors = exploreNeighbors(triples, entityUuid)
+      .limit(maxNeighbors)
+      .select(col("neighbor_uuid"))
+    triples.join(neighbors,
+        triples("subject_uuid") === neighbors("neighbor_uuid") ||
+          triples("object_uuid") === neighbors("neighbor_uuid"))
+      .select(col("chunk_uuid"), col("neighbor_uuid"))
+      .distinct()
+      .join(chunks.select(col("chunk_uuid"), col("chunk_id"), col("text")), Seq("chunk_uuid"))
+  }
+
+  /** global_chunk_search (v7): score chunks directly against the query via
+    * the deterministic embedding, top-k.
+    */
+  def globalChunkSearch(chunks: DataFrame, query: String, topK: Int = 10): DataFrame = {
+    val embedUdf = udf((s: String) => graft.functions.Embed.embed(s))
+    val q = lit(graft.functions.Embed.embed(query))
+    chunks
+      .withColumn("score",
+        graft.functions.expr.CosineSimilarity(embedUdf(col("text")), q))
+      .orderBy(col("score").desc, col("chunk_uuid"))
+      .limit(topK)
+      .select(col("chunk_uuid"), col("chunk_id"), col("conv_id"), col("text"), col("score"))
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Ingest
+import graft.query.{GraphLookup, Researcher, Retriever}
+import graft.sources.JsonlSource
+import graft.synth.TranscriptGen
+
+class ResearcherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val built = {
+    val cfg = TranscriptGen.Config(numConvs = 6, turnsPerConv = 25, skew = 3)
+    val r = Ingest.runInMemory(spark, TranscriptGen.transcripts(spark, cfg))
+    (Retriever.withFactEmbeddings(r.triples).cache(), r.entities.cache(), r.chunks.cache())
+  }
+
+  test("hint resolution: exact alias wins; unknown hints resolve by similarity or drop") {
+    val (_, entities, _) = built
+    val name = entities.select($"canonical_name").first().getString(0)
+    val res = Researcher.resolveHints(entities, Seq(name.toUpperCase, "Zzqx Qzk"))
+    val byHint = res.collect().map(r => r.getString(2) -> r.getString(1)).toMap
+    assert(byHint(name.toUpperCase) === name)
+  }
+
+  test("research: dual-path evidence respects threshold, boost, and cap") {
+    val (facts, entities, _) = built
+    val someFact = facts.select($"fact", $"subject").first()
+    val out = Researcher.research(facts, entities, someFact.getString(0),
+      entityHints = Seq(someFact.getString(1)))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    // the fact itself is top evidence (self-similarity 1.0 ≥ threshold)
+    assert(rows.head.getAs[String]("fact") === someFact.getString(0))
+    // scores sorted descending
+    val scores = rows.map(_.getAs[Double]("final_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // dual-path facts carry both sources and a boost above their vector score
+    val multi = rows.filter(_.getAs[Seq[String]]("sources").length > 1)
+    assert(multi.forall(_.getAs[Double]("final_score") > 0.65))
+  }
+
+  test("enumeration questions get the larger evidence cap (40 vs 15)") {
+    val cfg = Researcher.Config(retriever = Retriever.Config(relevanceThreshold = 0.0,
+      globalTopK = 100))
+    val (facts, entities, _) = built
+    val small = Researcher.research(facts, entities, "partnerships", cfg = cfg)
+    val big = Researcher.research(facts, entities, "partnerships",
+      enumeration = true, cfg = cfg)
+    assert(small.count() <= 15 && big.count() <= 40)
+    assert(big.count() >= small.count())
+  }
+
+  test("v7 chunk-centric retrieval: entity chunks, neighbor chunks, global chunk search") {
+    val (facts, _, chunks) = built
+    val e = facts.select($"subject_uuid").first().getString(0)
+    val ec = GraphLookup.entityChunks(facts, chunks, e).collect()
+    assert(ec.nonEmpty && ec.forall(_.getAs[Long]("n_facts") > 0))
+    val nb = GraphLookup.oneHopNeighborChunks(facts, chunks, e)
+    assert(nb.count() > 0)
+    val anyText = chunks.select($"text").first().getString(0)
+    val top = GraphLookup.globalChunkSearch(chunks, anyText, topK = 3).collect()
+    assert(top.head.getAs[String]("text") === anyText) // self-retrieval
+  }
+
+  test("JSONL source: PERMISSIVE skips malformed lines, limit applies (S3)") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("t.jsonl")
+    val good = (0 until 5).map(i =>
+      s"""{"conv_id":"c1","turn_idx":$i,"role":"user","text":"turn $i","tool":"","ts":"2024-01-01T00:0$i:00.000Z"}""")
+    val bad = Seq("""{"conv_id": BROKEN""", """not json at all""")
+    java.nio.file.Files.write(f, (good.take(3) ++ bad ++ good.drop(3)).mkString("\n").getBytes)
+    val turns = JsonlSource.readTranscripts(spark, f.toString)
+    assert(turns.count() === 5)
+    assert(JsonlSource.corruptCount(spark, f.toString) === 2)
+    assert(JsonlSource.readTranscripts(spark, f.toString, limit = Some(2)).count() === 2)
+    // and the loaded turns run through the pipeline
+    val turnsWithText = turns.map(t => t.copy(text =
+      "Apex Systems Inc acquired Nova Robotics Ltd in 2019. filler to pass the minimum length."))
+    val triples = Ingest.runInMemory(spark, turnsWithText).triples
+    assert(triples.count() > 0)
+  }
+}
