@@ -61,14 +61,14 @@ object Bench {
     val turnsPerSec = corpusTurns / pipeSecs
 
     val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
-    val (tps2, tps8) =
+    val (tpsN, tps4N) =
       if (skipScaling) (0.0, 0.0)
       else {
-        val s2 = ScalingBench.measure(2, corpusDir, reps = 3, mode = "extract")
-        val s8 = ScalingBench.measure(8, corpusDir, reps = 3, mode = "extract")
-        (corpusTurns / s2, corpusTurns / s8)
+        val sN = ScalingBench.measure(8, corpusDir, reps = 3, mode = "extract")
+        val s4N = ScalingBench.measure(32, corpusDir, reps = 3, mode = "extract")
+        (corpusTurns / sN, corpusTurns / s4N)
       }
-    val efficiency = if (tps2 > 0) (tps8 / tps2) / 4.0 else 0.0
+    val efficiency = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
 
     val spark = session(cpus)
     // warmup: pay one-time codegen/scan init outside the timed loop
@@ -85,6 +85,6 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum + pipeSecs
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$corpusTurns%d,"cores_n":2,"cores_4n":8,"turns_per_sec_n":$tps2%.1f,"turns_per_sec_4n":$tps8%.1f,"efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$corpusTurns%d,"cores_n":8,"cores_4n":32,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f}}""")
   }
 }

@@ -79,6 +79,20 @@ class PipelineSpec extends SparkSpec {
     assert(lin.agg(sum($"output_rows")).collect().head.getLong(0) === t1.length.toLong)
   }
 
+  test("determinism under parallelism + skew: triple set identical across partitionings") {
+    // heavily skewed corpus: conv 0 is 12× the others (north-star skew case)
+    val skewed = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 12)
+    def tripleSet(partitions: Int): Set[String] = {
+      val turns = TranscriptGen.transcripts(spark, skewed).repartition(partitions)
+      Ingest.runInMemory(spark, turns).triples
+        .select($"fact_uuid").collect().map(_.getString(0)).toSet
+    }
+    val a = tripleSet(3)
+    val b = tripleSet(16)
+    assert(a === b, "output must not depend on partitioning")
+    assert(a.nonEmpty)
+  }
+
   test("partial resume: killing after chunks commit resumes from raw_triples") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     val small = TranscriptGen.Config(numConvs = 3, turnsPerConv = 15, skew = 2)
