@@ -51,24 +51,28 @@ object Bench {
       "dedup_token_jaccard", "dedup_minhash_pairs", "dedup_simhash_pairs",
       "ann_topk", "text_stats", "text_langid", "rrf_fusion", "q_window_topk")
 
-    // pipeline + scaling measurements FIRST (fresh heap — measured: a JVM
-    // that has churned through the query list reports 3-4x slower pipeline
-    // times), headline queries last.
-    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
-    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
-
-    val pipeSecs = ScalingBench.measure(cpus, corpusDir, reps = 3, mode = "full")
-    val turnsPerSec = corpusTurns / pipeSecs
-
+    // Measurement order matters in one JVM (measured: a JVM that has churned
+    // through many sessions reports 2-4x slower runs): scaling pair first on
+    // a 3M-turn corpus (big enough that executor work, not per-job fixed
+    // cost, dominates even at 32 cores), then the pipeline, queries last.
     val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
+    val scalingTurnsTarget = 3000000L
+    var scalingTurns = 0L
     val (tpsN, tps4N) =
       if (skipScaling) (0.0, 0.0)
       else {
-        val sN = ScalingBench.measure(8, corpusDir, reps = 3, mode = "extract")
-        val s4N = ScalingBench.measure(32, corpusDir, reps = 3, mode = "extract")
-        (corpusTurns / sN, corpusTurns / s4N)
+        val scalingDir = Files.createTempDirectory("graft-bench-scaling").toString
+        scalingTurns = ScalingBench.materializeCorpus(scalingTurnsTarget, scalingDir)
+        val sN = ScalingBench.measure(8, scalingDir, reps = 3, mode = "extract")
+        val s4N = ScalingBench.measure(32, scalingDir, reps = 3, mode = "extract")
+        (scalingTurns / sN, scalingTurns / s4N)
       }
     val efficiency = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
+
+    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
+    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
+    val pipeSecs = ScalingBench.measure(cpus, corpusDir, reps = 3, mode = "full")
+    val turnsPerSec = corpusTurns / pipeSecs
 
     val spark = session(cpus)
     // warmup: pay one-time codegen/scan init outside the timed loop
@@ -85,6 +89,6 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum + pipeSecs
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$corpusTurns%d,"cores_n":8,"cores_4n":32,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$scalingTurns%d,"cores_n":8,"cores_4n":32,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f}}""")
   }
 }

@@ -26,7 +26,8 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      // 4 waves per core smooths stragglers; AQE coalesces the small ones
+      .config("spark.sql.shuffle.partitions", cores * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -30,9 +30,16 @@ object TurnChunker {
       minChars: Int = 50,
       groupId: String = "default")
 
+  // rows reach this projection conv-clustered (post window shuffle, sorted by
+  // conv), so a single-entry per-thread memo removes one SHA-1 per row
+  private val docUuidMemo = ThreadLocal.withInitial[Array[String]](() => Array(null, null))
   private val chunkUuidUdf = udf { (groupId: String, convId: String, turnIdx: Int) =>
-    val docUuid = Ids.stableUuid(groupId, convId)
-    Ids.stableUuid(groupId, docUuid, s"idx:$turnIdx")
+    val memo = docUuidMemo.get()
+    if (memo(0) != convId) {
+      memo(0) = convId
+      memo(1) = Ids.stableUuid(groupId, convId)
+    }
+    Ids.stableUuid(groupId, memo(1), s"idx:$turnIdx")
   }
   private val prependUdf = udf { (text: String, headerPath: String) =>
     Norm.prependHeaderIfMissing(text, headerPath)
