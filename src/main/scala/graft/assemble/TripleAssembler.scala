@@ -76,11 +76,11 @@ object TripleAssembler {
     // rewrite the array in place (no explode, no fact-stream regroup shuffle).
     // Falls back to explode + regroup when the map is unexpectedly large.
     val maxBroadcastTopics = 200000
-    val topicCount = topic0.limit(maxBroadcastTopics + 1).count()
+    // single job: fetch up to the cap + 1; overflow → fallback path
+    val capped = topic0.select($"key", $"r_name").limit(maxBroadcastTopics + 1).collect()
     val resolved =
-      if (cfg.broadcastResolutions && topicCount <= maxBroadcastTopics) {
-        val entries = topic0.select($"key", $"r_name").collect()
-          .map(r => r.getString(0) -> r.getString(1)).toMap
+      if (cfg.broadcastResolutions && capped.length <= maxBroadcastTopics) {
+        val entries = capped.map(r => r.getString(0) -> r.getString(1)).toMap
         val bc = spark.sparkContext.broadcast(entries)
         val resolveTopics = udf { (ts: Seq[String]) =>
           if (ts == null) Seq.empty[String]

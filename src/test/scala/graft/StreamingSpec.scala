@@ -40,6 +40,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState session tracker accumulates per-conv state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.Turn]
+    val updates = StreamingIngest.sessionTracker(mem.toDS(), idleTimeout = None)
+    val q = updates.writeStream.outputMode("append").format("memory")
+      .queryName("conv_sessions").start()
+    try {
+      mem.addData(turn("c1", 0, fact1), turn("c1", 1, "short"))
+      q.processAllAvailable()
+      mem.addData(turn("c1", 2, fact2), turn("c2", 0, fact1))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT conv_id, n_turns, n_fact_turns FROM conv_sessions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // c1 emitted twice: after batch 1 (2 turns, 1 fact) and batch 2 (3, 2)
+      assert(rows.contains(("c1", 2L, 1L)))
+      assert(rows.contains(("c1", 3L, 2L)))
+      assert(rows.contains(("c2", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the turn stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Turn]
