@@ -39,18 +39,18 @@ object Ingest {
       ontology: Seq[OntologyTopic] = TranscriptGen.ontology,
       groupId: String = "default")
 
-  /** Run without the table layer (used by tests/bench). The chunk and
-    * raw-triple stages are persisted: four downstream consumers (mentions,
-    * topics, assembly, entity source-chunks) would otherwise re-run the
-    * chunk-window shuffle and regex extraction per consumer. In the committed
-    * `run` path the snapshot tables play this role.
+  /** Run without the table layer (used by tests/bench). Only the raw-triple
+    * stage is persisted: its four downstream consumers (mentions, topic
+    * names ×2, assembly) would otherwise re-run the chunk-window shuffle and
+    * regex extraction each. Chunks have a single consumer (extraction) — a
+    * cache there would be a pure write-read overhead. In the committed `run`
+    * path the snapshot tables play the persistence role.
     */
   def runInMemory(spark: SparkSession, turns: Dataset[Turn],
       cfg: Config = Config()): Result = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     val chunks = TurnChunker.chunk(spark, turns, cfg.chunker)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val raw = TripleExtractor.extract(spark, chunks)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val mentions = TripleExtractor.mentions(spark, raw)
