@@ -6,15 +6,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.app.ScalingBench
 
-/** Benchmark main (driver contract): one JSON line with
+/** Benchmark main (driver contract): one JSON line on stdout with
   *  - headline operator timings on the sfDir tables,
   *  - full KG-pipeline throughput (turns/sec) over a materialized 1M-turn
   *    transcript parquet at the requested parallelism,
   *  - the north rule's scaling evidence: triple-extraction throughput at
-  *    local[2] vs local[8] (N vs 4N proxy) on identical input bytes.
-  *    (This sandbox VM saturates memory bandwidth near 16 threads —
-  *    measured with a pure-JVM probe — so 2→8 is the clean N→4N pair;
-  *    see BASELINE.md.)
+  *    local[8] vs local[32] (N vs 4N proxy) on identical input bytes.
+  *
+  * Measurement isolation: every throughput number is measured in a FRESH
+  * FORKED JVM (`ScalingBench --measure`). Measured in round 1: a JVM that has
+  * churned through several SparkSessions reports the same job 2-3× slower
+  * (codegen-cache growth, broadcast-block debris, heap fragmentation under
+  * ParallelGC), which corrupted the recorded scaling efficiency (0.46 in-bench
+  * vs 0.81 isolated). Forking makes the honest number the recorded number.
+  * Levels are still interleaved best-of-two: host noise on this VM swings
+  * single runs 2×, but rarely both interleaved samples of a level.
   */
 object Bench {
 
@@ -51,10 +57,6 @@ object Bench {
       "dedup_token_jaccard", "dedup_minhash_pairs", "dedup_simhash_pairs",
       "ann_topk", "text_stats", "text_langid", "rrf_fusion", "q_window_topk")
 
-    // Measurement order matters in one JVM (measured: a JVM that has churned
-    // through many sessions reports 2-4x slower runs): scaling pair first on
-    // a 3M-turn corpus (big enough that executor work, not per-job fixed
-    // cost, dominates even at 32 cores), then the pipeline, queries last.
     val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
     val scalingTurnsTarget = 3000000L
     var scalingTurns = 0L
@@ -63,20 +65,19 @@ object Bench {
       else {
         val scalingDir = Files.createTempDirectory("graft-bench-scaling").toString
         scalingTurns = ScalingBench.materializeCorpus(scalingTurnsTarget, scalingDir)
-        // interleave the levels and take best-of per level: host noise on
-        // this VM swings single sessions 2x, but rarely both interleaved
-        // sessions of a level
-        val sN = (1 to 2).map(_ =>
-          ScalingBench.measure(8, scalingDir, reps = 2, mode = "extract")).min
-        val s4N = (1 to 2).map(_ =>
-          ScalingBench.measure(32, scalingDir, reps = 2, mode = "extract")).min
+        // fresh JVM per sample, interleaved, best-of per level
+        val samples = Seq(8, 32, 8, 32).map { cores =>
+          cores -> ScalingBench.forkMeasure(cores, scalingDir, reps = 2, mode = "extract")
+        }
+        val sN = samples.collect { case (8, s) => s }.min
+        val s4N = samples.collect { case (32, s) => s }.min
         (scalingTurns / sN, scalingTurns / s4N)
       }
     val efficiency = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
 
     val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
     val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
-    val pipeSecs = ScalingBench.measure(cpus, corpusDir, reps = 3, mode = "full")
+    val pipeSecs = ScalingBench.forkMeasure(cpus, corpusDir, reps = 3, mode = "full")
     val turnsPerSec = corpusTurns / pipeSecs
 
     val spark = session(cpus)
@@ -93,7 +94,13 @@ object Bench {
     val qs = (queryTimes :+ ("kg_pipeline_1m_turns" -> pipeSecs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum + pipeSecs
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$scalingTurns%d,"cores_n":8,"cores_4n":32,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f}}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$scalingTurns%d,"cores_n":8,"cores_4n":32,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f}}"""
+    println(json)
+    // belt-and-braces: also land the line in a file the driver (or a human)
+    // can pick up if stdout gets decorated by the launcher
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
   }
 }

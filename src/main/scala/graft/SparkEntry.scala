@@ -312,14 +312,17 @@ object SparkEntry {
         .orderBy(col("month"))),
 
     // ---- rows-only (non-SQL-expressible: uuid5 / murmur / pipeline) ----
+    // NOTE: every array column is stringified (array_join / to_json) — the
+    // driver harness sorts results with pandas, which cannot hash ndarrays.
 
-    "kg_pipeline_triples" -> ((s, dir) => entry(s)),
+    "kg_pipeline_triples" -> ((s, dir) =>
+      entry(s).withColumn("topics", array_join(array_sort(col("topics")), "|"))),
 
     "kg_pipeline_entities" -> ((s, dir) => {
       val turns = TranscriptGen.transcripts(s, smallSynth)
       Ingest.runInMemory(s, turns).entities
         .select(col("entity_uuid"), col("canonical_name"), col("entity_type"),
-          array_sort(col("aliases")).as("aliases"), col("group_id"))
+          array_join(array_sort(col("aliases")), "|").as("aliases"), col("group_id"))
         .orderBy(col("entity_uuid"))
     }),
 
@@ -327,7 +330,22 @@ object SparkEntry {
       val turns = TranscriptGen.transcripts(s, smallSynth)
       val facts = Retriever.withFactEmbeddings(Ingest.runInMemory(s, turns).triples)
       Retriever.search(facts, "acquisitions and partnerships", Seq.empty, topK = 10)
-        .select(col("fact_uuid"), col("rrf_score"), array_sort(col("found_by")).as("found_by"))
+        .select(col("fact_uuid"), col("rrf_score"),
+          array_join(array_sort(col("found_by")), "|").as("found_by"))
+    }),
+
+    // question → decompose → hint-resolve → dual-path retrieve → boost → cap,
+    // with NO pre-supplied hints (the v6 flow end-to-end; rows-only check —
+    // the question is a corpus fact's own text, so evidence must clear the
+    // 0.65 relevance threshold deterministically)
+    "kg_research_e2e" -> ((s, dir) => {
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      val r = Ingest.runInMemory(s, turns)
+      val facts = Retriever.withFactEmbeddings(r.triples)
+      val q = facts.orderBy(col("fact_uuid")).select(col("fact")).first().getString(0)
+      graft.query.Researcher.researchQuestion(facts, r.entities, q, TranscriptGen.ontology)
+        .withColumn("sources", array_join(array_sort(col("sources")), "|"))
+        .orderBy(col("fact_uuid"))
     }),
 
     "dedup_minhash_pairs" -> ((s, dir) =>
@@ -358,6 +376,7 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 200)).toDF()
+        .withColumn("byte_hist", to_json(col("byte_hist")))
         .orderBy(col("media_id"))
     }),
 

@@ -82,6 +82,55 @@ object ScalingBench {
     best
   }
 
+  /** JDK17 module opens Spark needs outside spark-submit — mirrors
+    * build.sbt's javaOptions (children don't inherit sbt's fork flags).
+    */
+  private val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run one (cores, mode) measurement in a FRESH child JVM and return its
+    * best-of-reps seconds. Fresh-JVM isolation is load-bearing: a long-lived
+    * bench JVM measures the same job 2-3× slower after a few sessions
+    * (BASELINE.md §JVM churn). The child prints one `[measure] <secs>` line.
+    */
+  def forkMeasure(cores: Int, corpusDir: String, reps: Int, mode: String): Double = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      s"-Xmx$mem", "-XX:+UseParallelGC",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.app.ScalingBench", "--measure", cores.toString, corpusDir,
+      reps.toString, mode)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    // drain stderr on a thread so Spark logging can't fill the pipe and block
+    val errDrain = new Thread(() => {
+      val es = proc.getErrorStream
+      val buf = new Array[Byte](8192)
+      while (es.read(buf) >= 0) {}
+    })
+    errDrain.setDaemon(true)
+    errDrain.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = proc.waitFor()
+    val secs = out.linesIterator.collectFirst {
+      case l if l.startsWith("[measure] ") => l.stripPrefix("[measure] ").trim.toDouble
+    }
+    secs.getOrElse(throw new IllegalStateException(
+      s"forked measurement failed (rc=$rc, cores=$cores, mode=$mode): $out"))
+  }
+
   def run(turnsTarget: Long, cores: Seq[Int], reps: Int = 2,
       mode: String = "full"): Map[Int, Double] = {
     val dir = Files.createTempDirectory("graft-scaling-corpus").toString
@@ -96,6 +145,13 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--measure")) {
+      // child-JVM entry used by forkMeasure: one level, one mode, one line
+      val Array(_, coresS, dir, repsS, mode) = args
+      val secs = measure(coresS.toInt, dir, repsS.toInt, mode)
+      println(f"[measure] $secs%.6f")
+      return
+    }
     val turns = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cores = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(8, 32))
     val reps = args.lift(2).map(_.toInt).getOrElse(2)

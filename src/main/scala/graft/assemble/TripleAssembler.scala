@@ -84,7 +84,7 @@ object TripleAssembler {
         val bc = spark.sparkContext.broadcast(entries)
         val resolveTopics = udf { (ts: Seq[String]) =>
           if (ts == null) Seq.empty[String]
-          else ts.flatMap(x => bc.value.get(x.trim.toLowerCase)).distinct.sorted
+          else ts.flatMap(x => bc.value.get(x.trim.toLowerCase(java.util.Locale.ROOT))).distinct.sorted
         }
         withObj.withColumn("topics", resolveTopics($"topics"))
       } else {

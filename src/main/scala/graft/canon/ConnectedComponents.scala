@@ -14,24 +14,38 @@ import org.apache.spark.storage.StorageLevel
   * the constant-factor overhead of large-star/small-star for our workload
   * while remaining fully distributed (no GraphFrames jar in /opt/spark/jars).
   *
-  * Scale notes: each round is one shuffle on `id`; `localCheckpoint` every
-  * round truncates lineage so plans don't grow across iterations; the driver
-  * only sees a per-round changed-count (an aggregated Long), never data rows.
+  * Scale notes: each round is one shuffle on `id`; a per-round checkpoint
+  * truncates lineage so plans don't grow across iterations — a RELIABLE
+  * checkpoint when `spark.sparkContext.setCheckpointDir` was called (executor
+  * loss on a real cluster cannot drop blocks), `localCheckpoint` otherwise.
+  * The driver only sees a per-round changed-count (an aggregated Long),
+  * never data rows.
   */
 object ConnectedComponents {
 
   /** Below this edge count the graph is union-found on the driver — same
     * result, none of the per-iteration job latency. The distributed loop is
-    * the 10^12-scale path; alias graphs collapse to ~|entities| edges, far
-    * below this bound, so the driver path is bounded-memory by construction.
+    * the 10^12-scale path; alias graphs collapse to ~|entities| edges, so the
+    * driver path stays bounded: 100k edges ≈ ~15 MB of uuid strings on the
+    * driver, two orders of magnitude under any sane driver heap.
     */
-  val SmallGraphEdges = 2000000L
+  val SmallGraphEdges = 100000L
 
   /** @param edges DataFrame with string columns (src, dst); undirected.
+    * @param smallGraphEdges driver-fallback threshold (tests force the
+    *        distributed path by passing 0).
     * @return DataFrame (id, component) where component = min id reachable.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     import spark.implicits._
+    // lineage truncation per round: reliable checkpoint when the session has
+    // a checkpoint dir (survives executor loss on a real cluster);
+    // localCheckpoint otherwise (single-JVM local mode)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
@@ -39,7 +53,7 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val edgeCount = sym.count()
-    if (edgeCount <= SmallGraphEdges) {
+    if (edgeCount <= smallGraphEdges) {
       val result = runLocal(spark, sym.as[(String, String)].collect())
       sym.unpersist()
       return result
@@ -50,7 +64,7 @@ object ConnectedComponents {
       .union(edges.select($"dst".as("id")))
       .distinct()
 
-    var labels = vertices.withColumn("component", $"id").localCheckpoint()
+    var labels = truncate(vertices.withColumn("component", $"id"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -63,9 +77,9 @@ object ConnectedComponents {
       //    vertex ids, so the self-join is total) → O(log n) convergence on
       //    long chains instead of O(diameter)
       val jump = merged.select($"id".as("jid"), $"component".as("jcomp"))
-      val next = merged.join(jump, merged("component") === jump("jid"), "left")
-        .select($"id", least($"component", coalesce($"jcomp", $"component")).as("component"))
-        .localCheckpoint()
+      val next = truncate(
+        merged.join(jump, merged("component") === jump("jid"), "left")
+          .select($"id", least($"component", coalesce($"jcomp", $"component")).as("component")))
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter($"component" =!= $"old")
         .count()

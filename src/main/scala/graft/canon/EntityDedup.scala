@@ -46,7 +46,7 @@ object EntityDedup {
     "tim cook" -> "timothy d. cook")
 
   private[graft] def stripSuffix(name: String): String = {
-    var toks = name.trim.toLowerCase.split("\\s+").toList
+    var toks = name.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toList
     while (toks.length > 1 && corpSuffixes.contains(toks.last)) toks = toks.init
     toks.mkString(" ")
   }
@@ -54,15 +54,21 @@ object EntityDedup {
   /** Blocking/merge key: curated alias → suffix-stripped lowercase name. */
   private[graft] def aliasKey(name: String): String = {
     val stripped = stripSuffix(name)
-    knownAliases.getOrElse(name.trim.toLowerCase, knownAliases.getOrElse(stripped, stripped))
+    knownAliases.getOrElse(name.trim.toLowerCase(java.util.Locale.ROOT),
+      knownAliases.getOrElse(stripped, stripped))
   }
 
   /** First-token block key — cheap candidate recall for near-name variants. */
   private[graft] def firstTokenKey(name: String): String =
-    name.trim.toLowerCase.split("\\s+").headOption.getOrElse("")
+    name.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").headOption.getOrElse("")
 
   case class Config(
       similarityThreshold: Double = 0.85, // entity_dedup.py:536 default
+      // first-token blocks larger than this skip pair generation (the alias
+      // key still merges their suffix/alias variants): pair count within a
+      // block is O(n²), and one hot token ("The", "Global"...) would
+      // otherwise own the stage at corpus scale
+      maxBlockSize: Int = 1000,
       groupId: String = "default")
 
   /** Collect distinct pending entities from mentions (phase 2a/2b analogue:
@@ -75,7 +81,8 @@ object EntityDedup {
     import spark.implicits._
     val normName = udf((s: String) => Norm.normalizeEntityName(s))
     val embedUdf = udf((s: String) => Embed.embed(s))
-    val uuidUdf = udf((g: String, n: String) => Ids.stableUuid(g, "entity", n.toLowerCase))
+    val uuidUdf = udf((g: String, n: String) =>
+      Ids.stableUuid(g, "entity", n.toLowerCase(java.util.Locale.ROOT)))
     mentions
       .withColumn("name", normName($"name"))
       .groupBy($"group_id", $"name")
@@ -96,32 +103,56 @@ object EntityDedup {
         $"group_id")
   }
 
-  /** Similarity + rule edges over blocked candidate pairs (J1 + J3 rules). */
+  /** Similarity + rule edges over blocked candidates (J1 + J3 rules).
+    *
+    * Two edge sources, both linear-ish at corpus scale:
+    *  1. alias-rule edges: entities sharing an aliasKey (suffix strip /
+    *     curated table) merge unconditionally — emitted as a STAR to the min
+    *     member per (aliasKey, type), i.e. |block| - 1 edges instead of the
+    *     O(|block|²) all-pairs that a self-join would produce. Connected
+    *     components are identical either way.
+    *  2. similarity edges: exact cosine > threshold over pairs within a
+    *     firstToken block, pairs generated ONLY for blocks ≤ maxBlockSize.
+    *     Over-cap blocks (hot name tokens) are counted + logged, never
+    *     silently dropped — their members still merge through rule 1.
+    *     (Two entities sharing an aliasKey block are aliasKey-EQUAL, so rule
+    *     1 subsumes every pair the old aliasKey-block join contributed.)
+    */
   def candidateEdges(spark: SparkSession, pending: DataFrame, cfg: Config): DataFrame = {
     import spark.implicits._
-    val keysUdf = udf((name: String) => Seq(aliasKey(name), firstTokenKey(name)).distinct)
     val cosUdf = udf((a: Seq[Double], b: Seq[Double]) =>
       Embed.cosine(a.toArray, b.toArray))
     val aliasKeyUdf = udf((name: String) => aliasKey(name))
+    val firstTokUdf = udf((name: String) => firstTokenKey(name))
 
-    val keyed = pending
-      .select($"entity_uuid", $"name", $"entity_type", $"embedding",
-        explode(keysUdf($"name")).as("block_key"))
+    val base = pending.select($"entity_uuid", $"entity_type", $"embedding",
+      aliasKeyUdf($"name").as("akey"), firstTokUdf($"name").as("fkey"))
 
-    val a = keyed.select($"block_key", $"entity_uuid".as("src"), $"name".as("src_name"),
-      $"entity_type".as("src_type"), $"embedding".as("src_emb"))
-    val b = keyed.select($"block_key", $"entity_uuid".as("dst"), $"name".as("dst_name"),
-      $"entity_type".as("dst_type"), $"embedding".as("dst_emb"))
+    // (1) alias-rule star edges — one shuffle on (akey, type), no pairs
+    val aliasEdges = base
+      .withColumn("hub", min($"entity_uuid")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"akey", $"entity_type")))
+      .filter($"entity_uuid" =!= $"hub")
+      .select($"hub".as("src"), $"entity_uuid".as("dst"))
 
-    a.join(b, Seq("block_key"))
-      .filter($"src" < $"dst")
-      // guardrail: a Person never merges with an Organization/Location
-      .filter($"src_type" === $"dst_type")
-      .withColumn("same_alias_key", aliasKeyUdf($"src_name") === aliasKeyUdf($"dst_name"))
-      .withColumn("cos", cosUdf($"src_emb", $"dst_emb"))
-      .filter($"same_alias_key" || $"cos" > lit(cfg.similarityThreshold))
+    // (2) similarity pairs within capped firstToken blocks
+    val blockSizes = base.groupBy($"fkey", $"entity_type").agg(count(lit(1)).as("bsz"))
+    val hot = blockSizes.filter($"bsz" > cfg.maxBlockSize).count()
+    if (hot > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"candidateEdges: $hot firstToken block(s) exceed maxBlockSize=${cfg.maxBlockSize}; " +
+        "similarity pairs skipped for them (alias-rule merges still apply)")
+    val capped = base.join(blockSizes.filter($"bsz" <= cfg.maxBlockSize).select($"fkey", $"entity_type"),
+      Seq("fkey", "entity_type"))
+    val a = capped.select($"fkey", $"entity_type", $"entity_uuid".as("src"),
+      $"embedding".as("src_emb"))
+    val b = capped.select($"fkey", $"entity_type", $"entity_uuid".as("dst"),
+      $"embedding".as("dst_emb"))
+    val simEdges = a.join(b, Seq("fkey", "entity_type"))
+      .filter($"src" < $"dst") // guardrail: same entity_type enforced by the key
+      .filter(cosUdf($"src_emb", $"dst_emb") > lit(cfg.similarityThreshold))
       .select($"src", $"dst")
-      .distinct()
+
+    aliasEdges.union(simEdges).distinct()
   }
 
   /** Full dedup: mentions → canonical entity table + uuid remap.

@@ -115,9 +115,9 @@ object TripleExtractor {
       def m(name: String, typ: String) =
         Mention(name, typ, s"$name is an entity observed in transcripts.",
           t.chunk_uuid, t.conv_id, t.turn_idx, t.group_id)
-      val s = if (t.subject_type.toLowerCase != "topic")
+      val s = if (t.subject_type.toLowerCase(java.util.Locale.ROOT) != "topic")
         Iterator.single(m(t.subject, t.subject_type)) else Iterator.empty
-      val o = if (t.object_type.toLowerCase != "topic")
+      val o = if (t.object_type.toLowerCase(java.util.Locale.ROOT) != "topic")
         Iterator.single(m(t.`object`, t.object_type)) else Iterator.empty
       s ++ o
     }

@@ -22,7 +22,7 @@ object Embed {
     if (text == null) return v
     if (text.isEmpty) return v
     // \u0001 boundary pads give begin/end trigrams weight (alias similarity)
-    val s = "\u0001\u0001" + text.toLowerCase + "\u0001\u0001"
+    val s = "\u0001\u0001" + text.toLowerCase(java.util.Locale.ROOT) + "\u0001\u0001"
     var i = 0
     while (i + 3 <= s.length) {
       val g = s.substring(i, i + 3)

@@ -1,9 +1,14 @@
 package graft.functions
 
+import java.util.Locale
+
 /** Deterministic text-normalization functions with reference-exact semantics.
   *
   * These are the pure functions whose outputs are part of triple identity, so
   * they must match the reference byte-for-byte (SURVEY.md §2.7 F1-F4, §7.4).
+  * All case mapping uses Locale.ROOT: Python str.upper/lower are
+  * locale-independent, while JVM-default-locale toUpperCase would map i/I
+  * differently under e.g. a Turkish locale and silently change identities.
   */
 object Norm {
 
@@ -14,7 +19,8 @@ object Norm {
   def normalizeRelType(description: String): String = {
     if (description == null) return "RELATED_TO"
     // Python str.split() splits on runs of whitespace and drops empties.
-    val words = description.toUpperCase.split("\\s+").iterator.filter(_.nonEmpty).take(8).toArray
+    val words = description.toUpperCase(Locale.ROOT).split("\\s+")
+      .iterator.filter(_.nonEmpty).take(8).toArray
     var normalized = words.mkString("_")
     val sb = new StringBuilder(normalized.length)
     normalized.foreach { c =>
@@ -69,9 +75,9 @@ object Norm {
     if (headerPath == null || headerPath.isEmpty) return text
     val headers = headerPath.split(">").iterator.map(_.trim).filter(_.nonEmpty).toArray
     if (headers.isEmpty) return text
-    val textLower = text.toLowerCase
+    val textLower = text.toLowerCase(Locale.ROOT)
     val missing = headers.filter { h =>
-      val hl = h.toLowerCase
+      val hl = h.toLowerCase(Locale.ROOT)
       !textLower.contains(hl) && !genericHeaders.contains(hl)
     }
     if (missing.isEmpty) text

@@ -25,6 +25,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // a null ELEMENT yields a null result, so nullability also depends on the
+  // arrays' containsNull — without this, non-nullable children would make
+  // codegen emit an assignment to the FalseLiteral isNull slot
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(DoubleType, _) => true
@@ -38,6 +49,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // a null ELEMENT poisons the whole similarity → null result, matching the
+    // HOF formulation (zip_with/aggregate propagate element nulls to the sum)
+    var k = 0
+    while (k < x.numElements()) { if (x.isNullAt(k)) return null; k += 1 }
+    k = 0
+    while (k < y.numElements()) { if (y.isNullAt(k)) return null; k += 1 }
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var na = 0.0
@@ -70,22 +87,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("hasNullElem")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $a.numElements() && !$bad; $i++) {
+         |  if ($a.isNullAt($i)) $bad = true;
          |}
-         |for (int $i = $n; $i < $a.numElements(); $i++) {
-         |  double $xi = $a.getDouble($i); $na += $xi * $xi;
+         |for (int $i = 0; $i < $b.numElements() && !$bad; $i++) {
+         |  if ($b.isNullAt($i)) $bad = true;
          |}
-         |for (int $i = $n; $i < $b.numElements(); $i++) {
-         |  double $yi = $b.getDouble($i); $nb += $yi * $yi;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  for (int $i = $n; $i < $a.numElements(); $i++) {
+         |    double $xi = $a.getDouble($i); $na += $xi * $xi;
+         |  }
+         |  for (int $i = $n; $i < $b.numElements(); $i++) {
+         |    double $yi = $b.getDouble($i); $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |    $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
-         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

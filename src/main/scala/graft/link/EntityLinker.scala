@@ -35,7 +35,12 @@ object EntityLinker {
   def link(spark: SparkSession, newEntities: DataFrame, existing: DataFrame,
       cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val keyUdf = udf((n: String) => EntityDedup.aliasKey(n))
+    // SAME key set as batch EntityDedup.candidateEdges (aliasKey + firstToken)
+    // so incremental ingest recalls every near-name merge a batch run makes —
+    // splitting a corpus into two increments must not change the entity graph.
+    val keysUdf = udf((n: String) =>
+      Seq(EntityDedup.aliasKey(n), EntityDedup.firstTokenKey(n)).distinct)
+    val aliasKeyUdf = udf((n: String) => EntityDedup.aliasKey(n))
     val cosUdf = udf((a: Seq[Double], b: Seq[Double]) => Embed.cosine(a.toArray, b.toArray))
 
     if (existing.isEmpty) {
@@ -46,7 +51,8 @@ object EntityLinker {
     }
 
     val exKeyed0 = existing.select(
-      keyUdf($"name").as("block_key"),
+      explode(keysUdf($"name")).as("block_key"),
+      aliasKeyUdf($"name").as("ex_akey"),
       $"entity_uuid".as("ex_uuid"),
       $"name".as("ex_name"),
       $"entity_type".as("ex_type"),
@@ -54,15 +60,20 @@ object EntityLinker {
       $"group_id")
     val exKeyed = if (cfg.broadcastExisting) broadcast(exKeyed0) else exKeyed0
 
-    val newKeyed = newEntities.withColumn("block_key", keyUdf($"name"))
+    val newKeyed = newEntities
+      .withColumn("akey", aliasKeyUdf($"name"))
+      .withColumn("block_key", explode(keysUdf($"name")))
 
     // tenant isolation: group_id is part of the join key (graph_store.py:217-223)
+    // match rules, mirroring batch dedup (J3): same aliasKey → merge
+    // unconditionally; otherwise exact cosine >= threshold. Type guardrail on
+    // both paths (Person never merges with Organization).
     val scored = newKeyed.join(exKeyed, Seq("block_key", "group_id"), "left")
-      .withColumn("type_ok", $"ex_type".isNull || $"ex_type" === $"entity_type")
-      .withColumn("score",
-        when($"ex_uuid".isNull || !$"type_ok", lit(-1.0))
-          .otherwise(cosUdf($"embedding", $"ex_emb")))
-      .withColumn("key_match", $"ex_uuid".isNotNull && $"type_ok")
+      .withColumn("type_ok", $"ex_type".isNotNull && $"ex_type" === $"entity_type")
+      .withColumn("alias_match", $"type_ok" && $"akey" === $"ex_akey")
+      .withColumn("cos",
+        when(!$"type_ok", lit(-1.0)).otherwise(cosUdf($"embedding", $"ex_emb")))
+      .withColumn("score", when($"alias_match", lit(2.0)).otherwise($"cos"))
 
     val top1 = Window.partitionBy($"entity_uuid")
       .orderBy($"score".desc, $"ex_uuid".asc_nulls_last)
@@ -70,12 +81,11 @@ object EntityLinker {
     scored
       .withColumn("rn", row_number().over(top1))
       .filter($"rn" === 1)
-      .withColumn("matched",
-        $"key_match" && ($"score" >= lit(cfg.scoreThreshold) || $"block_key" === keyUdf($"ex_name")))
+      .withColumn("matched", $"alias_match" || $"cos" >= lit(cfg.scoreThreshold))
       .withColumn("resolved_uuid", when($"matched", $"ex_uuid").otherwise($"entity_uuid"))
       .withColumn("resolved_name", when($"matched", $"ex_name").otherwise($"name"))
       .withColumn("is_new", !$"matched")
-      .drop("rn", "ex_uuid", "ex_name", "ex_type", "ex_emb", "score", "key_match",
-        "type_ok", "matched", "block_key")
+      .drop("rn", "ex_uuid", "ex_name", "ex_type", "ex_emb", "ex_akey", "score",
+        "cos", "alias_match", "type_ok", "matched", "block_key", "akey")
   }
 }

@@ -110,7 +110,7 @@ object Dedup {
     import spark.implicits._
     val prepUdf = udf { (text: String) =>
       val toks = if (text == null) Seq.empty[String]
-        else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
       val shingles =
         if (toks.length < n) Seq.empty[String]
         else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
@@ -168,22 +168,34 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprint, block on 4×16-bit chunks
-    * (a pair within Hamming distance ≤ 3 shares at least one exact chunk —
-    * pigeonhole), verify Hamming distance ≤ maxHamming on candidates.
+  /** SimHash near-dup pairs: 64-bit fingerprint, block on nChunks equal bit
+    * slices (a pair within Hamming distance ≤ nChunks-1 shares at least one
+    * exact chunk — pigeonhole), verify Hamming distance ≤ maxHamming on
+    * candidates. nChunks is auto-sized to the smallest power-of-two chunking
+    * that keeps the pigeonhole guarantee EXHAUSTIVE for the requested radius
+    * (4×16-bit for ham≤3, 8×8-bit for ham≤7, 16×4-bit for ham≤15). Radii > 15
+    * would need >16 chunks of <4 bits, whose buckets approach all-pairs —
+    * rejected rather than silently losing recall. Wide radii cost more
+    * candidates at scale (narrower chunks → hotter buckets); that's inherent
+    * to wide-radius Hamming LSH, not an implementation artifact.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"simhashPairs blocking is exhaustive only for maxHamming <= 15, got $maxHamming")
+    val nChunks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+    val chunkBits = 64 / nChunks
+    val chunkMask = (1L << chunkBits) - 1
     val spark = docs.sparkSession
     import spark.implicits._
     val shUdf = udf { (text: String) =>
       val toks = if (text == null) Seq.empty[String]
-        else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
       simhash64(toks)
     }
     val sigs = docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("sim"))
-    val chunkArr = array((0 until 4).map(c =>
-      shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val chunkArr = array((0 until nChunks).map(c =>
+      shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(chunkMask))): _*)
     val chunked = sigs.select(col("id"), col("sim"),
       posexplode(chunkArr).as(Seq("chunk", "ck")))
     chunked.as("a").join(chunked.as("b"),

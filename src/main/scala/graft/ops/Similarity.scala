@@ -45,13 +45,21 @@ object Similarity {
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val spark = corpus.sparkSession
-    // deterministic centroid pick: rows whose id hashes into the first
-    // nCentroids slots of a large ring (stable across partitioning)
-    val ring = Window.orderBy(abs(hash(col(idCol))), col(idCol))
-    val centroids = corpus
-      .withColumn("r", row_number().over(ring))
-      .filter(col("r") <= nCentroids)
-      .select(col("r").as("centroid_id"), col(vecCol).as("cvec"))
+    import spark.implicits._
+    // deterministic centroid pick: the nCentroids corpus rows with the
+    // smallest abs(hash(id)) — a TakeOrderedAndProject (per-partition top-k +
+    // driver merge of nCentroids rows), NOT a global window: a partition-less
+    // Window.orderBy would funnel the whole corpus through one task.
+    // nCentroids is small by contract, so the driver-side materialization is
+    // bounded and the centroid table broadcasts.
+    val picked = corpus
+      .orderBy(abs(hash(col(idCol))), col(idCol))
+      .limit(nCentroids)
+      .select(col(vecCol).cast("array<double>").as("cvec"))
+      .collect()
+    val centroids = picked.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
+      .toSeq.toDF("centroid_id", "cvec")
 
     def nearestCentroids(df: DataFrame, keyCol: String, v: String, outCol: String,
         take: Int): DataFrame = {

@@ -15,7 +15,7 @@ object GraphLookup {
     * entity table (exact key first — the graph_store's exact-match shortcut).
     */
   def resolveEntity(entities: DataFrame, name: String, groupId: String = "default"): DataFrame = {
-    val key = name.trim.toLowerCase
+    val key = name.trim.toLowerCase(java.util.Locale.ROOT)
     entities.filter(col("group_id") === groupId)
       .filter(lower(col("canonical_name")) === key ||
         exists(col("aliases"), a => lower(a) === key))
@@ -69,8 +69,8 @@ object GraphLookup {
 
   /** search_relationships: substring/predicate search over fact text. */
   def searchRelationships(triples: DataFrame, pattern: String, limitN: Int = 50): DataFrame =
-    triples.filter(lower(col("fact")).contains(pattern.toLowerCase) ||
-        col("predicate").contains(pattern.toUpperCase))
+    triples.filter(lower(col("fact")).contains(pattern.toLowerCase(java.util.Locale.ROOT)) ||
+        col("predicate").contains(pattern.toUpperCase(java.util.Locale.ROOT)))
       .select(col("fact_uuid"), col("subject"), col("predicate"), col("object"), col("fact"))
       .orderBy(col("fact_uuid"))
       .limit(limitN)
@@ -83,8 +83,8 @@ object GraphLookup {
       floor: Double = 0.3): DataFrame = {
     val q = lit(graft.functions.Embed.embed(query))
     factsWithEmb.filter(array_contains(col("topics"), topicLabel))
-      .withColumn("score",
-        aggregate(zip_with(q, col("embedding"), (a, b) => a * b), lit(0.0), (acc, v) => acc + v))
+      // pre-normalized embeddings: cosine = dot, via the codegen'd expression
+      .withColumn("score", graft.functions.expr.DotProduct(q, col("embedding")))
       .filter(col("score") >= floor)
       .withColumn("source", lit("topic"))
       .orderBy(col("score").desc, col("fact_uuid"))

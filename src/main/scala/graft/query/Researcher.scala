@@ -44,7 +44,7 @@ object Researcher {
       .select(col("entity_uuid"), col("canonical_name"), lit("").as("hint"))
     val spark = entities.sparkSession
     import spark.implicits._
-    val hintDf = hints.map(h => (h, h.trim.toLowerCase, Embed.embed(h)))
+    val hintDf = hints.map(h => (h, h.trim.toLowerCase(java.util.Locale.ROOT), Embed.embed(h)))
       .toDF("hint", "hint_key", "hint_emb")
     val scored = entities.crossJoin(broadcast(hintDf))
       .withColumn("exact",
@@ -86,14 +86,19 @@ object Researcher {
     // step 3: merge + threshold + boost + cap
     val scored = Retriever.thresholdAndBoost(union, cfg.retriever)
 
-    // step 4: heuristic gap expansion when evidence is thin
-    val nScored = scored.count()
+    // step 4: heuristic gap expansion when evidence is thin. ONE bounded
+    // driver action (≤ thinEvidence rows) decides expansion AND supplies the
+    // anchors — a separate count() would add a full job per question.
+    val top = scored.orderBy(col("final_score").desc, col("fact_uuid"))
+      .limit(cfg.thinEvidence)
+      .join(facts.select(col("fact_uuid"), col("subject_uuid")), Seq("fact_uuid"), "left")
+      .select(col("fact_uuid"), col("subject_uuid"), col("final_score"))
+      .collect()
     val expanded =
-      if (nScored >= cfg.thinEvidence || nScored == 0) scored
+      if (top.length >= cfg.thinEvidence || top.isEmpty) scored
       else {
-        val anchors = scored.orderBy(col("final_score").desc, col("fact_uuid")).limit(3)
-          .join(facts.select(col("fact_uuid"), col("subject_uuid")), Seq("fact_uuid"))
-          .select(col("subject_uuid")).collect().map(_.getString(0)).toSeq.distinct
+        val anchors = top.sortBy(r => (-r.getDouble(2), r.getString(0))).take(3)
+          .map(_.getString(1)).filter(_ != null).toSeq.distinct
         val extra = Retriever.expandOneHop(facts, anchors,
             cfg.retriever.scopedTopK, cfg.retriever)
           .join(scored.select(col("fact_uuid")), Seq("fact_uuid"), "left_anti")
@@ -115,5 +120,44 @@ object Researcher {
         array_sort(col("sources")).as("sources"))
       .orderBy(col("final_score").desc, col("fact_uuid"))
       .limit(k)
+  }
+
+  /** Full question-driven flow: deterministic decomposition (entity hints,
+    * topic hints, question type — Decomposer) feeding `research`, so the v6
+    * pipeline runs from a bare question with NO pre-supplied hints (the
+    * reference's decomposer step, shared/decomposer.py:97-165).
+    */
+  def researchQuestion(facts: DataFrame, entities: DataFrame, question: String,
+      ontology: Seq[graft.model.OntologyTopic] = Nil, cfg: Config = Config()): DataFrame = {
+    val d = Decomposer.decompose(question, ontology)
+    research(facts, entities, question, d.entityHints, d.topicHints,
+      enumeration = d.questionType == Decomposer.Enumeration, cfg)
+  }
+
+  /** ENUMERATION drilldown — deterministic analogue of the reference's step 5
+    * entity expansion (v6/researcher.py:502-615: the LLM selects ≤10 entities
+    * and expands 3 facts each; here selection = top entities by incident-fact
+    * count within the evidence set). Returns the extra facts, labeled.
+    */
+  def enumerationDrilldown(facts: DataFrame, evidence: DataFrame,
+      maxEntities: Int = 10, factsPerEntity: Int = 3): DataFrame = {
+    val ev = evidence.select(col("fact_uuid"))
+    val evFacts = facts.join(ev, Seq("fact_uuid"), "left_semi")
+    val topEntities = evFacts
+      .select(explode(array(col("subject_uuid"), col("object_uuid"))).as("drill_uuid"))
+      .groupBy(col("drill_uuid")).agg(count(lit(1)).as("n_incident"))
+      .orderBy(col("n_incident").desc, col("drill_uuid"))
+      .limit(maxEntities)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("drill_uuid")).orderBy(col("fact_uuid"))
+    facts
+      .join(org.apache.spark.sql.functions.broadcast(topEntities),
+        facts("subject_uuid") === col("drill_uuid") ||
+          facts("object_uuid") === col("drill_uuid"))
+      .join(ev, Seq("fact_uuid"), "left_anti") // only NEW facts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= factsPerEntity)
+      .select(col("fact_uuid"), col("fact"), col("drill_uuid").as("entity_uuid"),
+        lit("enumeration").as("source"))
   }
 }

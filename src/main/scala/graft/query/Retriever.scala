@@ -16,7 +16,9 @@ import graft.functions.Embed
   *  - relevance threshold 0.65 + cross-source boost +0.15 per extra source,
   *    cap 50 (v6/researcher.py:64,357-414);
   *  - 1-hop expansion at fixed score 0.45 (v6/graph_store.py:549-602);
-  *  - keyword search: stop-word-filtered token overlap (researcher.py:72-102);
+  *  - keyword search: stop-word-filtered BM25 over fact tokens — the
+  *    deterministic analogue of the Lucene fulltext index
+  *    (researcher.py:72-102; util/deterministic_retrieval.py:230-283);
   *  - RRF fusion Σ 1/(60+rank) across vector/keyword/graph strategies
   *    (util/deterministic_retrieval.py:48-159).
   *
@@ -54,18 +56,19 @@ object Retriever {
     * short tokens (>2 chars kept).
     */
   def extractKeywords(query: String): Seq[String] =
-    "\\b\\w+\\b".r.findAllIn(query.toLowerCase).toSeq
+    "\\b\\w+\\b".r.findAllIn(query.toLowerCase(java.util.Locale.ROOT)).toSeq
       .filter(w => !stopWords.contains(w) && w.length > 2)
 
   private def factEmbCol: Column = col("embedding")
 
   /** Cosine of the (broadcast literal) query embedding against the stored
-    * fact embedding column — pure column arithmetic.
+    * fact embedding column. Both sides are pre-normalized (Embed.embed), so
+    * the cosine is the plain dot product — computed by the native codegen'd
+    * DotProduct expression (one fused loop inside WholeStageCodegen), not the
+    * interpreted aggregate(zip_with(...)) lambda.
     */
-  private def scoreCol(queryEmb: Array[Double]): Column = {
-    val q = lit(queryEmb)
-    aggregate(zip_with(q, factEmbCol, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
-  }
+  private def scoreCol(queryEmb: Array[Double]): Column =
+    graft.functions.expr.DotProduct(lit(queryEmb), factEmbCol)
 
   /** Triples table augmented with a deterministic fact embedding. Callers
     * should persist this (it is the "vector index").
@@ -129,16 +132,46 @@ object Retriever {
       .withColumn("source", lit("graph"))
   }
 
-  /** Keyword search: score = |query keywords ∩ fact tokens| (BM25 analogue of
-    * the fulltext path), top k.
+  /** Keyword search: BM25 (k1=1.2, b=0.75, Lucene idf) over fact tokens —
+    * the deterministic stand-in for the reference's Lucene fulltext path
+    * (util/deterministic_retrieval.py:230-283). Raw overlap counting would
+    * rank-invert BM25 whenever a common term outvotes a rare one, distorting
+    * the RRF fusion input (A8).
+    *
+    * Corpus stats (N, avgdl, per-keyword document frequency) are gathered by
+    * two bounded aggregation jobs (one scalar row + ≤|keywords| rows). A
+    * standing deployment materializes the per-term df table once per corpus
+    * snapshot instead of re-aggregating per query.
     */
-  def keywordSearch(facts: DataFrame, query: String, topK: Int = 30): DataFrame = {
-    val kws = extractKeywords(query)
-    if (kws.isEmpty) return facts.limit(0).withColumn("score", lit(0.0))
+  def keywordSearch(facts: DataFrame, query: String, topK: Int = 30,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val kws = extractKeywords(query).distinct
+    def empty = facts.limit(0).withColumn("score", lit(0.0))
       .withColumn("source", lit("keyword"))
-    val tokens = split(lower(col("fact")), "\\W+")
-    facts.withColumn("score",
-        size(array_intersect(tokens, lit(kws.toArray))).cast("double"))
+    if (kws.isEmpty) return empty
+    val tokens = array_remove(split(lower(col("fact")), "\\W+"), "")
+
+    val stats = facts.agg(count(lit(1)).as("n"), avg(size(tokens)).as("avgdl")).first()
+    val n = stats.getLong(0)
+    if (n == 0L) return empty
+    val avgdl = math.max(stats.getDouble(1), 1.0)
+    val dfMap = facts
+      .select(explode(array_intersect(tokens, lit(kws.toArray))).as("kw"))
+      .groupBy(col("kw")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(t: String): Double = {
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) // Lucene BM25 idf
+    }
+
+    val dl = size(tokens).cast("double")
+    val score = kws.map { t =>
+      val tf = size(filter(tokens, x => x === lit(t))).cast("double")
+      lit(idf(t)) * tf * (k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+    }.reduce(_ + _)
+
+    facts.withColumn("score", score)
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("fact_uuid"))
       .limit(topK)

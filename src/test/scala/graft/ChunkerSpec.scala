@@ -36,11 +36,71 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks.map(_.chunk_id).toSeq === Seq("c1_chunk_0001", "c1_chunk_0002"))
   }
 
-  test("chunk uuid = uuid5(group, doc_uuid, idx:i) (pipeline.py:1272-1276)") {
+  test("chunk uuid = uuid5(group, document_name, idx:i) (pipeline.py:1272-1276)") {
+    // conv_id plays the document_name role; NO intermediate doc-uuid hash
     val turns = Seq(turn("c9", 7, longA)).toDS()
     val c = TurnChunker.chunk(spark, turns).collect().head
-    val docUuid = graft.functions.Ids.stableUuid("default", "c9")
-    assert(c.chunk_uuid === graft.functions.Ids.stableUuid("default", docUuid, "idx:7"))
+    assert(c.chunk_uuid === graft.functions.Ids.stableUuid("default", "c9", "idx:7"))
+  }
+
+  test("W2: tool banner inherits to later turns until replaced (markdown_chunker.py:41-49)") {
+    val turns = Seq(
+      turn("c1", 0, longA, role = "user"),
+      turn("c1", 1, longB, role = "tool", tool = "search"),
+      turn("c1", 2, "a further long paragraph continuing the same conversation thread.", role = "user"),
+      turn("c1", 3, longA + " more", role = "tool", tool = "calc"),
+      turn("c1", 4, longB + " more", role = "assistant")).toDS()
+    val chunks = TurnChunker.chunk(spark, turns).collect().sortBy(_.window_end)
+    assert(chunks(0).header_path === "user") // no banner seen yet
+    assert(chunks(1).header_path === "tool > search")
+    assert(chunks(2).header_path === "user > search") // inherited
+    assert(chunks(3).header_path === "tool > calc") // replaced
+    assert(chunks(4).header_path === "assistant > calc") // inherited again
+  }
+
+  test("W2 inheritance crosses salt sub-window boundaries") {
+    val turns = (Seq(turn("c1", 0, longA, role = "tool", tool = "search")) ++
+      (1 to 12).map(i => turn("c1", i, s"turn $i $longA"))).toDS()
+    val salted = TurnChunker.chunk(spark, turns, TurnChunker.Config(saltTurns = 4))
+      .collect().sortBy(_.window_end)
+    assert(salted.last.header_path === "user > search",
+      "carry_tool must survive the (conv, salt) boundary")
+  }
+
+  test("W3+F7: document_date from head/tail chunk text, min(ts) fallback (pipeline.py:1342-1355)") {
+    val dated = Seq(
+      turn("c1", 0, "the quarterly report dated 2024-03 was circulated to the team for review."),
+      turn("c1", 1, longA),
+      turn("c2", 0, longB),
+      turn("c2", 1, longA)).toDS()
+    val byConv = TurnChunker.chunk(spark, dated).collect().groupBy(_.conv_id)
+    val expected = new java.sql.Timestamp(java.time.LocalDate.of(2024, 3, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    assert(byConv("c1").map(_.document_date).distinct.toSeq === Seq(expected))
+    // no parseable date in c2 → min(ts) over the conversation
+    assert(byConv("c2").map(_.document_date).distinct.toSeq ===
+      Seq(new java.sql.Timestamp(1704067200000L)))
+  }
+
+  test("salted sub-windows produce byte-identical output to unsalted (skew path)") {
+    // 90 turns incl. short/null gaps and tool turns; windowSize 3 exercises
+    // the cross-boundary prev-tail prefix, saltTurns 7 forces many boundaries
+    val turns = (0 until 90).map { i =>
+      val text =
+        if (i % 11 == 5) "short" // dropped by min-length
+        else if (i % 17 == 9) null // dropped by null filter
+        else s"turn number $i " + longA
+      turn("c1", i, text, role = if (i % 3 == 0) "tool" else "user",
+        tool = if (i % 3 == 0) s"t${i / 30}" else "")
+    }.toDS()
+    for (w <- Seq(1, 3)) {
+      val cfgSalted = TurnChunker.Config(windowSize = w, saltTurns = 7)
+      val cfgPlain = TurnChunker.Config(windowSize = w, saltTurns = 1000000)
+      val a = TurnChunker.chunk(spark, turns, cfgSalted).collect().sortBy(_.window_end)
+      val b = TurnChunker.chunk(spark, turns, cfgPlain).collect().sortBy(_.window_end)
+      assert(a.length === b.length, s"windowSize=$w")
+      a.zip(b).foreach { case (x, y) => assert(x === y, s"windowSize=$w") }
+    }
   }
 
   test("role/tool header context is prepended when missing (pipeline.py:67-99)") {

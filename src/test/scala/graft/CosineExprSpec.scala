@@ -31,6 +31,32 @@ class CosineExprSpec extends SparkSpec {
     }
   }
 
+  test("DotProduct expression is bit-identical to the HOF dot (pre-normalized cosine path)") {
+    val normed = pairs.select($"id",
+        VectorOps.normalize($"a").as("na"), VectorOps.normalize($"b").as("nb"))
+      .select($"id",
+        graft.functions.expr.DotProduct($"na", $"nb").as("fast"),
+        VectorOps.dot($"na", $"nb").as("hof"))
+      .collect()
+    normed.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row ${r.getInt(0)}")
+    }
+  }
+
+  test("null ELEMENT poisons the result to null, matching the HOF semantics") {
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    val r = df.select(
+      CosineSimilarity($"a", $"b").as("cos"),
+      graft.functions.expr.DotProduct($"a", $"b").as("dot"),
+      VectorOps.cosineHof($"a".cast("array<double>"), $"b".cast("array<double>")).as("hof"))
+      .first()
+    assert(r.isNullAt(0), "cosine expr must return null on a null element")
+    assert(r.isNullAt(1), "dot expr must return null on a null element")
+    assert(r.isNullAt(2), "HOF reference semantics: null element -> null")
+  }
+
   test("zero-norm guard and null propagation") {
     val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
       .select(CosineSimilarity($"a", $"b")).first().getDouble(0)

@@ -64,6 +64,50 @@ class DedupSpec extends SparkSpec {
     assert(entities.count() === 2)
   }
 
+  test("distributed CC path (forced) produces the same labels as the driver fallback") {
+    // chain + separate clique + isolated pair, big enough to iterate
+    val edges = ((0 until 300).map(i => (f"v$i%04d", f"v${i + 1}%04d")) ++
+      Seq(("w1", "w2"), ("w2", "w3"), ("w1", "w3"), ("z8", "z9"))).toDF("src", "dst")
+    val local = ConnectedComponents.run(spark, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = ConnectedComponents.run(spark, edges, smallGraphEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === local)
+    assert(dist("v0300") === "v0000" && dist("w3") === "w1" && dist("z9") === "z8")
+  }
+
+  test("hot firstToken blocks are capped: 10k same-first-token entities, no quadratic pairs") {
+    val pending = (0 until 10000).map { i =>
+      (f"e$i%05d", s"Hot Token Entity $i", "Organization",
+        graft.functions.Embed.embed(s"Hot Token Entity $i").toSeq)
+    }.toDF("entity_uuid", "name", "entity_type", "embedding")
+    val t0 = System.nanoTime()
+    val edges = EntityDedup.candidateEdges(spark, pending,
+      EntityDedup.Config(maxBlockSize = 1000))
+    val n = edges.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // all 10k share firstToken "hot" (> cap → no similarity pairs) and have
+    // distinct alias keys (no star edges) → zero candidate edges, fast
+    assert(n === 0L, s"capped hot block must yield no pair edges, got $n")
+    assert(secs < 60.0, f"hot block must not go quadratic ($secs%.1f s)")
+  }
+
+  test("alias-star edges still merge suffix variants inside over-cap blocks") {
+    val base = (0 until 50).map(i =>
+      (f"e$i%03d", s"Hot Name $i", "Organization",
+        graft.functions.Embed.embed(s"Hot Name $i").toSeq))
+    val pair = Seq(
+      ("x001", "Hot Stuff Inc.", "Organization", graft.functions.Embed.embed("Hot Stuff Inc.").toSeq),
+      ("x002", "Hot Stuff", "Organization", graft.functions.Embed.embed("Hot Stuff").toSeq))
+    val pending = (base ++ pair).toDF("entity_uuid", "name", "entity_type", "embedding")
+    // cap of 10 excludes the 52-member "hot" block from pair generation,
+    // but the aliasKey star must still connect the Inc./bare pair
+    val edges = EntityDedup.candidateEdges(spark, pending,
+        EntityDedup.Config(maxBlockSize = 10))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges.contains(("x001", "x002")))
+  }
+
   test("dedup idempotency: canonicalizing canonical entities is a no-op") {
     val ms = Seq(
       mention("Quantum Dynamics Inc."),

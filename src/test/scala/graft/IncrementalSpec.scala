@@ -53,6 +53,61 @@ class IncrementalSpec extends SparkSpec {
     assert(log.read("triples").get.count() === triplesAfter)
   }
 
+  test("linking gates properly: alias-key merges; near-name needs cosine >= threshold (J4)") {
+    import graft.link.EntityLinker
+    def ent(uuid: String, name: String) =
+      (uuid, name, "Organization", graft.functions.Embed.embed(name).toSeq, "default")
+    val existing = Seq(ent("ex1", "Quantum Dynamics Inc."), ent("ex2", "Granite Foods LLC"))
+      .toDF("entity_uuid", "name", "entity_type", "embedding", "group_id")
+    val incoming = Seq(
+      ent("n1", "Quantum Dynamics"), // alias key equal → merge unconditionally
+      ent("n2", "Granite Food LLC"), // near-name: firstToken ≠, cosine decides... (granite block)
+      ent("n3", "Quantum Leap Partners")) // shares firstToken, cosine below threshold → new
+      .toDF("entity_uuid", "name", "entity_type", "embedding", "group_id")
+    // explicit threshold between the two fixtures' cosines, so BOTH gate
+    // branches are exercised (near-name ≈ 0.82 merges, unrelated ≈ 0.4 stays)
+    val linked = EntityLinker.link(spark, incoming, existing,
+        EntityLinker.Config(scoreThreshold = 0.8))
+      .select($"entity_uuid", $"resolved_uuid", $"is_new").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(linked("n1") === ("ex1", false), "alias-key equality must merge")
+    assert(linked("n3")._1 === "n3", "sub-threshold near-name must stay new")
+    // n2 "Granite Food" vs "Granite Foods": firstToken block 'granite',
+    // char-trigram cosine ≥ threshold → merges via the similarity gate
+    val cos = graft.functions.Embed.cosine(
+      graft.functions.Embed.embed("Granite Food LLC"),
+      graft.functions.Embed.embed("Granite Foods LLC"))
+    assert(cos >= 0.8 && cos < 0.85, s"fixture assumption (cos=$cos)")
+    assert(linked("n2") === ("ex2", false), s"cosine gate must merge (cos=$cos)")
+  }
+
+  test("split-corpus parity: A then incremental-B matches one batch run (J4 invariant)") {
+    val cfg = TranscriptGen.Config(numConvs = 8, turnsPerConv = 25, skew = 2)
+    val all = TranscriptGen.transcripts(spark, cfg).cache()
+    val partA = all.filter($"conv_id" < "conv00004")
+    val partB = all.filter($"conv_id" >= "conv00004")
+
+    val batch = Ingest.runInMemory(spark, all)
+    val batchKeys = batch.entities.select($"canonical_name").collect()
+      .map(r => graft.canon.EntityDedup.aliasKey(r.getString(0))).toSet
+
+    val dir = Files.createTempDirectory("graft-split").toString
+    Ingest.run(spark, partA, dir)
+    Ingest.runIncremental(spark, partB, dir)
+    val log = new SnapshotLog(spark, dir)
+    val incr = log.read("entities").get
+    val incrKeys = incr.select($"canonical_name").collect()
+      .map(r => graft.canon.EntityDedup.aliasKey(r.getString(0))).toSet
+
+    // same entity graph at the alias-key level (canonical FORM may differ when
+    // the longer alias only appears in corpus B — batch re-picks, incremental
+    // keeps A's committed canonical)
+    assert(incrKeys === batchKeys,
+      s"only-in-batch=${batchKeys -- incrKeys} only-in-incr=${incrKeys -- batchKeys}")
+    // and B's alias-equal entities adopted A's committed uuids (no dup rows)
+    assert(incr.select($"entity_uuid").distinct().count() === incr.count())
+  }
+
   test("dedup stats (A5)") {
     val ms = Seq(
       graft.model.Mention("Quantum Dynamics Inc", "Organization", "Quantum Dynamics Inc is an entity observed in transcripts.", "c1", "conv1", 0, "default"),

@@ -45,6 +45,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "no cartesian in the pipeline plan:\n" + plan)
   }
 
+  test("IVF plan has no single-partition exchange (centroid pick must not globally sort)") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d)).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val df = graft.ops.Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 4, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "IVF must not funnel the corpus through one partition:\n" + plan)
+    assert(df.count() > 0)
+  }
+
   test("q1-style agg runs partial aggregation (map-side combine)") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Ingest
-import graft.query.{GraphLookup, Researcher, Retriever}
+import graft.query.{Decomposer, GraphLookup, Researcher, Retriever}
 import graft.sources.JsonlSource
 import graft.synth.TranscriptGen
 
@@ -52,6 +52,55 @@ class ResearcherSpec extends SparkSpec {
       enumeration = true, cfg = cfg)
     assert(small.count() <= 15 && big.count() <= 40)
     assert(big.count() >= small.count())
+  }
+
+  test("decomposer: capitalized spans become entity hints, question words dropped (decomposer.py:97-126)") {
+    assert(Decomposer.entityHints("What did Quantum Dynamics Inc acquire from Nova Robotics?") ===
+      Seq("Quantum Dynamics Inc", "Nova Robotics"))
+    // "CEO" is a capitalized non-stop word — the reference fallback keeps it too
+    assert(Decomposer.entityHints("Who is the CEO of Apple?") === Seq("CEO", "Apple"))
+    assert(Decomposer.entityHints("what happened to wages?") === Seq.empty)
+    // leading question word inside a span is stripped, not the whole span
+    assert(Decomposer.entityHints("Did Granite Foods expand?") === Seq("Granite Foods"))
+  }
+
+  test("decomposer: question-type keyword rules in reference order (decomposer.py:128-139)") {
+    assert(Decomposer.questionType("Compare Apple versus Google") === Decomposer.Comparison)
+    assert(Decomposer.questionType("Why did prices rise?") === Decomposer.Causal)
+    assert(Decomposer.questionType("Which companies were acquired?") === Decomposer.Enumeration)
+    assert(Decomposer.questionType("How did hiring change?") === Decomposer.Temporal)
+    assert(Decomposer.questionType("Name the CEO") === Decomposer.Factual)
+  }
+
+  test("decomposer: topic hints from ontology label/synonym substring") {
+    val d = Decomposer.decompose("How do rate hikes affect cloud infrastructure spend?",
+      TranscriptGen.ontology)
+    assert(d.topicHints.toSet === Set("Interest Rates", "Cloud Computing"))
+  }
+
+  test("researchQuestion: end-to-end from a bare question, NO pre-supplied hints") {
+    val (facts, entities, _) = built
+    // a corpus fact's own text as the question → evidence must clear 0.65
+    val q = facts.orderBy($"fact_uuid").select($"fact").first().getString(0)
+    val out = Researcher.researchQuestion(facts, entities, q, TranscriptGen.ontology)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[String]("fact") === q) // self-retrieval on top
+  }
+
+  test("enumeration drilldown expands <=3 extra facts per top incident entity") {
+    val (facts, entities, _) = built
+    val q = facts.orderBy($"fact_uuid").select($"fact").first().getString(0)
+    val evidence = Researcher.research(facts, entities, q)
+    val extra = Researcher.enumerationDrilldown(facts, evidence, maxEntities = 5,
+      factsPerEntity = 3)
+    val rows = extra.collect()
+    // only NEW facts, capped per entity
+    val evSet = evidence.select($"fact_uuid").collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => !evSet.contains(r.getAs[String]("fact_uuid"))))
+    val perEntity = rows.groupBy(_.getAs[String]("entity_uuid")).map(_._2.length)
+    assert(perEntity.forall(_ <= 3))
+    assert(rows.forall(_.getAs[String]("source") === "enumeration"))
   }
 
   test("v7 chunk-centric retrieval: entity chunks, neighbor chunks, global chunk search") {

@@ -55,6 +55,30 @@ class RetrieverSpec extends SparkSpec {
     assert(out === Set("f2"))
   }
 
+  test("BM25 keyword scoring: rare term outranks common term where overlap-count ties (F-BM25)") {
+    // keywords {boston, wages}: df(wages)=1 (rare), df(boston)=8 (common).
+    // Overlap count ties f0..f8 at 1 and the uuid tie-break would put f0
+    // (a boston doc) first; BM25 must rank the wages doc on top instead.
+    val docs = (0 until 8).map(i =>
+      (s"f$i", s"city council met in boston district $i about zoning")) :+
+      ("f9", "report on wages and employment published this quarter")
+    val facts = docs.toDF("fact_uuid", "fact")
+    val out = Retriever.keywordSearch(facts, "What happened to wages in Boston?", topK = 5)
+      .collect()
+    assert(out.head.getString(0) === "f9", out.map(_.getString(0)).mkString(","))
+    assert(out.map(_.getAs[Double]("score")).forall(_ > 0))
+  }
+
+  test("BM25 TF saturation: repeating a term gains sublinearly (k1 bound)") {
+    val docs = Seq(
+      ("a", "wages wages wages wages wages and other filler words here"),
+      ("b", "wages and other filler words here now too")).toDF("fact_uuid", "fact")
+    val out = Retriever.keywordSearch(docs, "wages", topK = 5).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("score")).toMap
+    assert(out("a") > out("b")) // more occurrences still rank higher
+    assert(out("a") < out("b") * (1.2 + 1)) // but bounded by (k1+1)× saturation
+  }
+
   test("RRF fusion: rank 1 in two strategies beats rank 1 in one (A8)") {
     val rows = Seq(
       ("a", 0.9, "vector"), ("b", 0.8, "vector"),
