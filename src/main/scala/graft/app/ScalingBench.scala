@@ -28,6 +28,11 @@ object ScalingBench {
       .appName(s"graft-scaling-$cores")
       // 4 waves per core smooths stragglers; AQE coalesces the small ones
       .config("spark.sql.shuffle.partitions", cores * 4)
+      // the measurement corpus is a few hundred MB: default 128 MB splits
+      // would give the 32-core level single-digit scan tasks and idle cores —
+      // a fixture artifact, not an engine property (a 10^12-turn table has
+      // millions of splits). 8 MB keeps every level's scan saturated.
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -44,7 +49,9 @@ object ScalingBench {
     val numConvs = math.max(((turnsTarget - skew.toLong * base) / base + 1).toInt, 2)
     val cfg = TranscriptGen.Config(numConvs = numConvs, turnsPerConv = base, skew = skew)
     val spark = session(8)
-    TranscriptGen.transcripts(spark, cfg).write.mode("overwrite").parquet(dir)
+    // 64 files so every parallelism level's scan has enough splits
+    TranscriptGen.transcripts(spark, cfg).repartition(64)
+      .write.mode("overwrite").parquet(dir)
     spark.stop()
     cfg.totalTurns
   }
@@ -60,7 +67,10 @@ object ScalingBench {
     def once(): Double = {
       val turns = spark.read.parquet(corpusDir).as[graft.model.Turn]
       val t0 = System.nanoTime()
-      if (mode == "extract") {
+      if (mode == "chunk") {
+        graft.chunk.TurnChunker.chunk(spark, turns)
+          .write.mode("overwrite").format("noop").save()
+      } else if (mode == "extract") {
         val chunks = graft.chunk.TurnChunker.chunk(spark, turns)
         graft.extract.TripleExtractor.extract(spark, chunks)
           .write.mode("overwrite").format("noop").save()
@@ -145,6 +155,12 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--materialize")) {
+      val Array(_, turnsS, dir) = args
+      val n = materializeCorpus(turnsS.toLong, dir)
+      println(s"[materialize] $n $dir")
+      return
+    }
     if (args.headOption.contains("--measure")) {
       // child-JVM entry used by forkMeasure: one level, one mode, one line
       val Array(_, coresS, dir, repsS, mode) = args

@@ -36,11 +36,13 @@ import graft.model.{Chunk, Turn}
   * inherited tool banner, document date, min ts, cross-boundary text context
   * for windowSize > 1) is reconciled through a per-(conv_id, salt) GROUP
   * STATS table — ~totalTurns/saltTurns rows, i.e. 4-5 orders of magnitude
-  * smaller than the turn stream — joined back on (conv_id, salt) so the big
-  * side's exchange is reused (no second big shuffle, no join on the skewed
-  * bare conv_id). windowSize == 1 (the pipeline default) takes a single
-  * join; windowSize > 1 adds one more small-table round-trip because chunk
-  * numbering then depends on cross-boundary bodies.
+  * smaller than the turn stream. For the windowSize == 1 default the stats
+  * come from ONE extra narrow scan + hash aggregate of the input (measured
+  * cheaper than re-sorting the window shuffle a second time; BASELINE.md),
+  * and the join back on (conv_id, salt) broadcasts when the stats table fits
+  * (locally always) or sort-merges on the salted — hence balanced — key
+  * otherwise. windowSize > 1 adds one more small-table round-trip because
+  * chunk numbering then depends on cross-boundary bodies.
   *
   * Boundary-context bound (windowSize > 1 only): the trailing text window
   * reaches at most ONE sub-window back (the previous group's last
@@ -63,16 +65,24 @@ object TurnChunker {
   }
 
   /** First parseable date among the head-6 then tail-6 candidates (reference
-    * scan order: chunks[:6] then chunks[-6:], first parsed wins).
-    * Candidates arrive turn_idx-sorted.
+    * scan order: chunks[:6] then chunks[-6:], first parsed wins). Candidates
+    * arrive turn-order-sorted, long-encoded as turn_idx * 1e8 + yyyymmdd
+    * (dd = 0 for a bare year-month, which parses as day 1 like
+    * Norm.parseDateLenient; impossible dates, e.g. 2024-02-30, reject via
+    * LocalDate validation exactly like the string path).
     */
-  private val pickDateUdf = udf { (strs: Seq[String]) =>
-    if (strs == null) null
+  private val pickDateUdf = udf { (encs: Seq[Long]) =>
+    if (encs == null) null
     else {
-      val head = strs.take(6)
-      val tail = if (strs.length > 6) strs.takeRight(6) else Nil
+      val head = encs.take(6)
+      val tail = if (encs.length > 6) encs.takeRight(6) else Nil
       (head.iterator ++ tail.iterator)
-        .flatMap(s => Norm.parseDateLenient(s))
+        .flatMap { e =>
+          val code = (e % 100000000L).toInt
+          try Some(java.time.LocalDate.of(code / 10000, (code / 100) % 100,
+            math.max(code % 100, 1)))
+          catch { case _: Exception => None }
+        }
         .nextOption()
         .map(d => new java.sql.Timestamp(
           d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
@@ -94,45 +104,72 @@ object TurnChunker {
     val bySaltDesc = Window.partitionBy($"conv_id", $"salt").orderBy($"turn_idx".desc)
 
     val toolOrNull = when($"tool".isNotNull && $"tool" =!= "", $"tool")
-    // local emit proxy: would this turn's own trimmed text clear the filters?
-    // Exact emission for w == 1; head/tail date-candidate eligibility for all w.
-    val soloBody = trim($"text")
-    val soloEmit = length(soloBody) >= cfg.minChars && !soloBody.startsWith("---")
 
+    // emit0 = would this turn's own trimmed text clear the filters (exact
+    // emission for w == 1; date-candidate eligibility for all w). Trimmed
+    // text is NOT projected here: UTF8String.trim is a cheap slice to
+    // recompute, but a projected copy would serialize the text bytes TWICE
+    // through the window shuffle. The date regex runs only on rows containing
+    // a '-' at all (instr pre-gate) — regex per row was measurable at 32 cores.
+    val soloBody = trim($"text")
     val kept0 = turns
       .filter($"text".isNotNull && length(trim($"text")) > 0)
       .withColumn("salt", floor($"turn_idx" / lit(cfg.saltTurns)).cast("int"))
+      .withColumn("emit0",
+        length(soloBody) >= cfg.minChars && !soloBody.startsWith("---"))
+      .withColumn("date_str",
+        when($"emit0" && instr($"text", "-") > 0, regexp_extract($"text", isoDate, 1))
+          .otherwise(""))
 
     var kept = kept0
       // W2: last tool banner seen so far in this sub-window (own turn included)
       .withColumn("local_tool", last(toolOrNull, ignoreNulls = true).over(runningBySalt))
-      .withColumn("date_str", regexp_extract($"text", isoDate, 1))
     if (w > 1) kept = kept
-      .withColumn("ctx", collect_list(trim($"text")).over(trailing))
-      .withColumn("kept_rn", row_number().over(bySalt))
+      .withColumn("ctx", collect_list(soloBody).over(trailing))
       .withColumn("kept_rn_desc", row_number().over(bySaltDesc))
 
     // ---- per-(conv, salt) group stats: the small reconciliation domain ----
-    val candStruct = when($"date_str" =!= "" && soloEmit, struct($"turn_idx", $"date_str"))
-    val statAggs = Seq(
-      min($"ts").as("g_min_ts"),
-      // last tool banner of the whole sub-window (carried into later ones)
-      max(when(toolOrNull.isNotNull, struct($"turn_idx", $"tool"))).getField("tool")
-        .as("g_last_tool"),
-      // head-6 + tail-6 date candidates of this sub-window (bounded arrays)
-      sort_array(collect_list(candStruct)).as("g_cands")) ++
-      (if (w == 1) Seq(sum(soloEmit.cast("long")).as("g_emit_cnt"))
-       else Seq(
-         // previous-group context for cross-boundary trailing windows:
-         // this group's last (w-1) kept texts, turn order
-         transform(
-           sort_array(collect_list(
-             when($"kept_rn_desc" <= w - 1, struct($"turn_idx", trim($"text").as("txt"))))),
-           e => e.getField("txt")).as("g_tail")))
-    val stats = kept.groupBy($"conv_id", $"salt").agg(statAggs.head, statAggs.tail: _*)
+    // For w == 1 stats aggregate the PRE-WINDOW projection (narrow partial
+    // agg + a tiny shuffle): deriving them from the windowed rows would
+    // re-run the big per-group sort a second time — measured 2× on 32-core
+    // extraction. The collect_list keeps the agg an ObjectHashAggregate —
+    // hash-based, NO sort (scalar string min/max "looks" cheaper but plans as
+    // SortAggregate, which re-sorts the whole stats input: measured 3× the
+    // map-stage CPU). Date candidates are LONG-encoded
+    // (turn_idx * 1e8 + yyyymmdd) so the buffer stays primitive.
+    val dateCode = substring($"date_str", 1, 4).cast("long") * 10000L +
+      substring($"date_str", 6, 2).cast("long") * 100L +
+      when(length($"date_str") >= 10, substring($"date_str", 9, 2).cast("long"))
+        .otherwise(0L)
+    val candEnc = when($"date_str" =!= "", $"turn_idx".cast("long") * 100000000L + dateCode)
+    val lastToolAgg = max(when(toolOrNull.isNotNull, struct($"turn_idx", $"tool")))
+      .getField("tool").as("g_last_tool")
+    val stats0 =
+      if (w == 1)
+        kept0.groupBy($"conv_id", $"salt")
+          .agg(
+            min($"ts").as("g_min_ts"),
+            lastToolAgg,
+            sort_array(collect_list(candEnc)).as("g_cands_all"),
+            sum($"emit0".cast("long")).as("g_emit_cnt"))
+      else
+        kept.groupBy($"conv_id", $"salt")
+          .agg(
+            min($"ts").as("g_min_ts"),
+            lastToolAgg,
+            sort_array(collect_list(candEnc)).as("g_cands_all"),
+            // previous-group context for cross-boundary trailing windows:
+            // this group's last (w-1) kept texts, turn order
+            transform(
+              sort_array(collect_list(
+                when($"kept_rn_desc" <= w - 1, struct($"turn_idx", soloBody.as("txt"))))),
+              e => e.getField("txt")).as("g_tail"))
+    // head-6 + tail-6 date candidates of this sub-window (bounded arrays)
+    val stats = stats0
       .withColumn("g_cands",
-        concat(slice($"g_cands", 1, 6),
-          when(size($"g_cands") > 6, slice($"g_cands", -6, 6)).otherwise(array())))
+        concat(slice($"g_cands_all", 1, 6),
+          when(size($"g_cands_all") > 6, slice($"g_cands_all", -6, 6))
+            .otherwise(array())))
 
     // conv-level reconciliation, computed on the stats table (tiny)
     val byConvSalt = Window.partitionBy($"conv_id").orderBy($"salt")
@@ -145,8 +182,7 @@ object TurnChunker {
       .withColumn("all_cands",
         array_sort(flatten(collect_list($"g_cands").over(wholeConv))))
       .withColumn("conv_doc_date",
-        coalesce(pickDateUdf(transform($"all_cands", c => c.getField("date_str"))),
-          $"conv_min_ts"))
+        coalesce(pickDateUdf($"all_cands"), $"conv_min_ts"))
     enrich =
       if (w == 1)
         enrich.withColumn("chunk_offset",
@@ -157,8 +193,12 @@ object TurnChunker {
     val enrichCols = Seq($"conv_id", $"salt", $"carry_tool", $"conv_doc_date") ++
       (if (w == 1) Seq($"chunk_offset") else Seq($"prev_tail"))
 
-    // ---- join stats back on (conv_id, salt): reuses the window exchange ----
-    val joined = kept.join(enrich.select(enrichCols: _*), Seq("conv_id", "salt"))
+    // ---- join stats back on (conv_id, salt) ----
+    // w == 1: emission is decided pre-join, so filter FIRST (smaller join
+    // input) — the enrich side is tiny and broadcasts, preserving the window
+    // sort for the numbering window below.
+    val mainSide = if (w == 1) kept.filter($"emit0") else kept
+    val joined = mainSide.join(enrich.select(enrichCols: _*), Seq("conv_id", "salt"))
       .withColumn("eff_tool", coalesce($"local_tool", $"carry_tool"))
       .withColumn("header_path", concat_ws(" > ", $"role", $"eff_tool"))
 
@@ -173,8 +213,8 @@ object TurnChunker {
             $"ctx"), "\n"))
       }
 
-    val emitted = withBody
-      .filter(length($"body") >= cfg.minChars && !$"body".startsWith("---"))
+    val emitted = (if (w == 1) withBody
+      else withBody.filter(length($"body") >= cfg.minChars && !$"body".startsWith("---")))
       .withColumn("loc_no", row_number().over(bySalt))
 
     // chunk numbering offset: for w == 1 it rode the enrich join; for w > 1

@@ -50,6 +50,12 @@ object Dedup {
   /** Near-duplicate pairs by exact Jaccard over distinct word n-grams:
     * explode → equi-join on shingle → |∩| per pair → |A∪B| from per-doc set
     * sizes. Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ th.
+    *
+    * SCALE NOTE: this is the EXACT path — a shingle appearing in d documents
+    * contributes O(d²) join rows, so a hot shingle (stop-word unigram at
+    * n=1) makes it quadratic. At corpus scale route through
+    * [[minhashLshPairs]] (bucketed candidates + exact verification) and keep
+    * this as the small-N oracle / verifier it is here.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -108,38 +114,51 @@ object Dedup {
     val rows = k / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    val prepUdf = udf { (text: String) =>
+    val sigUdf = udf { (text: String) =>
       val toks = if (text == null) Seq.empty[String]
         else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-      val shingles =
-        if (toks.length < n) Seq.empty[String]
-        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
-      (minhashSig(toks, n, k), shingles)
+      minhashSig(toks, n, k)
     }
-    val sigs = docs.select(col(idCol).as("id"), prepUdf(col(textCol)).as("p"))
-      .select(col("id"), col("p._1").as("sig"), col("p._2").as("shingles"))
+    val shinglesUdf = udf { (text: String) =>
+      val toks = if (text == null) Seq.empty[String]
+        else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      if (toks.length < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    val sigs = docs.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
       .filter(element_at(col("sig"), 1) =!= Int.MaxValue) // too short → no shingles
 
-    val banded = sigs.select(col("id"), col("sig"), col("shingles"),
+    // band rows carry ONLY (id, band, bucket) — 12 bytes/row, not the per-doc
+    // shingle set ×bands. Verification payloads (shingle sets / signatures)
+    // are joined back onto the ~linear candidate set afterwards, keyed by id,
+    // so the corpus's distinct shingles shuffle once per join side instead of
+    // `bands` times through the bucket self-join.
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b))).as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"))
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     if (verifyExact) {
-      cand.withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      val sh = docs.select(col(idCol).as("id"), shinglesUdf(col(textCol)).as("sh"))
+      cand
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
         .withColumn("jaccard",
           col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     } else {
-      cand.withColumn("est_jaccard",
+      cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("est_jaccard",
           aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast("double") / k)

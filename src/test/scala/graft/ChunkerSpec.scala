@@ -124,6 +124,27 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks(0).window_start === 0)
   }
 
+  test("skew balance: a 100x-skewed conversation splits into bounded (conv, salt) groups") {
+    // conv 0 is 100× the others (north-star pathological case). With salting,
+    // no single window task owns the whole conversation: every (conv_id, salt)
+    // group is bounded by saltTurns, and conv 0 spans many groups.
+    val cfg = TranscriptGen.Config(numConvs = 4, turnsPerConv = 20, skew = 100)
+    val turns = TranscriptGen.transcripts(spark, cfg)
+    val saltTurns = 128
+    val chunks = TurnChunker.chunk(spark, turns, TurnChunker.Config(saltTurns = saltTurns))
+    val groups = chunks.groupByKey(c => (c.conv_id, c.window_end / saltTurns))
+      .count().collect()
+    assert(groups.map(_._2).max <= saltTurns,
+      "no (conv, salt) group may exceed the salt bound")
+    val conv0Groups = groups.count(_._1._1 == "conv00000")
+    assert(conv0Groups >= cfg.conv0Turns / saltTurns,
+      s"the hot conversation must fan out across groups (got $conv0Groups)")
+    // and the output is still the correct dense numbering end-to-end
+    val conv0 = chunks.filter(_.conv_id == "conv00000").collect().sortBy(_.window_end)
+    assert(conv0.zipWithIndex.forall { case (c, i) =>
+      c.chunk_id == f"conv00000_chunk_${i + 1}%04d" })
+  }
+
   test("property: every long turn appears in exactly one window-1 chunk; ordering stable") {
     val cfg = TranscriptGen.Config(numConvs = 5, turnsPerConv = 30, skew = 3)
     val turns = TranscriptGen.transcripts(spark, cfg).cache()
