@@ -1,0 +1,60 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Ingest
+
+/** Wall-clock split of the full in-memory pipeline on a materialized corpus
+  * (same shape Bench measures): runs the pipeline once, then each stage
+  * boundary separately, so the Bench number can be attributed. Backs
+  * BASELINE.md. Usage: PipelineStageProbe <cores> <corpusDir>
+  */
+object PipelineStageProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.map(_.toInt).getOrElse(32)
+    val dir = args.lift(1).getOrElse("/tmp/bench-corpus-1m")
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val turns = spark.read.parquet(dir).as[graft.model.Turn]
+    // warmup
+    Ingest.runInMemory(spark,
+      graft.synth.TranscriptGen.transcripts(spark, graft.synth.TranscriptGen.Config(2, 10, 2)))
+      .triples.write.mode("overwrite").format("noop").save()
+    t("full pipeline (noop sink)") {
+      Ingest.runInMemory(spark, turns).triples
+        .write.mode("overwrite").format("noop").save()
+    }
+    spark.catalog.clearCache()
+    import org.apache.spark.storage.StorageLevel
+    val chunks = graft.chunk.TurnChunker.chunk(spark, turns)
+    t("chunk only")(chunks.write.mode("overwrite").format("noop").save())
+    val raw = graft.extract.TripleExtractor.extract(spark, chunks)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    t("chunk+extract (persist raw)")(raw.count())
+    val mentions = graft.extract.TripleExtractor.mentions(spark, raw)
+    t("dedup (pending+edges+CC+canon)") {
+      val (e, r) = graft.canon.EntityDedup.dedup(spark, mentions)
+      r.write.mode("overwrite").format("noop").save()
+    }
+    // sub-steps (re-run; cache warm where dedup caches)
+    val cfg = graft.canon.EntityDedup.Config()
+    val pending = graft.canon.EntityDedup.pendingEntities(spark, mentions, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    t("  pending")(pending.count())
+    val edges = graft.canon.EntityDedup.candidateEdges(spark, pending, cfg)
+    t("  edges")(edges.write.mode("overwrite").format("noop").save())
+    t("  cc")(graft.canon.ConnectedComponents.run(spark, edges)
+      .write.mode("overwrite").format("noop").save())
+    spark.stop()
+  }
+}

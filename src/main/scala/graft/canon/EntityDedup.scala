@@ -135,8 +135,11 @@ object EntityDedup {
       .filter($"entity_uuid" =!= $"hub")
       .select($"hub".as("src"), $"entity_uuid".as("dst"))
 
-    // (2) similarity pairs within capped firstToken blocks
+    // (2) similarity pairs within capped firstToken blocks. blockSizes is
+    // persisted so the hot-block diagnostic count (no silent caps) and the
+    // cap join share one computation of the candidate subtree.
     val blockSizes = base.groupBy($"fkey", $"entity_type").agg(count(lit(1)).as("bsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = blockSizes.filter($"bsz" > cfg.maxBlockSize).count()
     if (hot > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"candidateEdges: $hot firstToken block(s) exceed maxBlockSize=${cfg.maxBlockSize}; " +
@@ -152,7 +155,10 @@ object EntityDedup {
       .filter(cosUdf($"src_emb", $"dst_emb") > lit(cfg.similarityThreshold))
       .select($"src", $"dst")
 
-    aliasEdges.union(simEdges).distinct()
+    // NOTE: may contain duplicate pairs (a pair can satisfy both rules);
+    // ConnectedComponents distincts after symmetrizing anyway, so a distinct
+    // here would only add a shuffle to every dedup run.
+    aliasEdges.union(simEdges)
   }
 
   /** Full dedup: mentions → canonical entity table + uuid remap.

@@ -55,11 +55,12 @@ object Ingest {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val mentions = TripleExtractor.mentions(spark, raw)
     val (entities, remap) = EntityDedup.dedup(spark, mentions, cfg.dedup)
-    val topicNames = raw.select(explode($"topics").as("name"), $"group_id")
-      .union(raw.filter(lower($"subject_type") === "topic")
-        .select($"subject".as("name"), $"group_id"))
-      .union(raw.filter(lower($"object_type") === "topic")
-        .select($"object".as("name"), $"group_id"))
+    // one pass over raw (not a 3-way union = 3 cache scans): topics array ∪
+    // topic-typed subjects ∪ topic-typed objects
+    val topicNames = raw.select(explode(concat($"topics",
+        when(lower($"subject_type") === "topic", array($"subject")).otherwise(array()),
+        when(lower($"object_type") === "topic", array($"object")).otherwise(array())))
+        .as("name"), $"group_id")
       .distinct()
     val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
     val triples = TripleAssembler.assemble(spark, raw, remap, topics, cfg.assembler)
@@ -103,11 +104,10 @@ object Ingest {
       }
 
     val topicsDf = log.computeIfAbsent("topics") {
-      val names = raw.toDF().select(explode($"topics").as("name"), $"group_id")
-        .union(rawDf.filter(lower($"subject_type") === "topic")
-          .select($"subject".as("name"), $"group_id"))
-        .union(rawDf.filter(lower($"object_type") === "topic")
-          .select($"object".as("name"), $"group_id"))
+      val names = rawDf.select(explode(concat($"topics",
+          when(lower($"subject_type") === "topic", array($"subject")).otherwise(array()),
+          when(lower($"object_type") === "topic", array($"object")).otherwise(array())))
+          .as("name"), $"group_id")
         .distinct()
       TopicResolver.resolve(spark, names, cfg.ontology, cfg.topics)
     }
