@@ -152,6 +152,28 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
+    "kg_plural_includes" -> ((s, dir) => {
+      // deterministic fixture (same VALUES inline in the oracle SQL): the
+      // plural-grouping rule is pure surface-form logic, so it is exactly
+      // DuckDB-checkable without the synth corpus
+      import s.implicits._
+      val ents = Seq(
+        ("e01", "Districts", "Organization"),
+        ("e02", "Boston District", "Organization"),
+        ("e03", "New York District", "Organization"),
+        ("e04", "Companies", "Organization"),
+        ("e05", "Quantum Dynamics", "Organization"),
+        ("e06", "Industries", "Organization"),
+        ("e07", "Heavy Industry", "Organization"),
+        ("e08", "Gary District", "Person"),
+        ("e09", "Tech Companies", "Organization"),
+        ("e10", "Acme Company", "Organization"),
+        ("e11", "Swiss", "Organization"))
+        .toDF("entity_uuid", "canonical_name", "entity_type")
+      graft.canon.PluralGrouping.includesEdges(ents)
+        .orderBy(col("plural_uuid"), col("member_uuid"))
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
@@ -474,6 +496,33 @@ object SparkEntry {
          |  FROM transcripts)
          |WHERE rn_a <= 3 OR rn_d <= 3
          |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "kg_plural_includes" ->
+      """WITH e(entity_uuid, canonical_name, entity_type) AS (
+        |  SELECT * FROM (VALUES
+        |    ('e01','Districts','Organization'), ('e02','Boston District','Organization'),
+        |    ('e03','New York District','Organization'), ('e04','Companies','Organization'),
+        |    ('e05','Quantum Dynamics','Organization'), ('e06','Industries','Organization'),
+        |    ('e07','Heavy Industry','Organization'), ('e08','Gary District','Person'),
+        |    ('e09','Tech Companies','Organization'), ('e10','Acme Company','Organization'),
+        |    ('e11','Swiss','Organization'))),
+        |p AS (
+        |  SELECT entity_uuid AS plural_uuid, canonical_name AS plural_name, entity_type,
+        |    CASE WHEN canonical_name NOT LIKE '% %' AND length(canonical_name) > 3 THEN
+        |      CASE WHEN lower(canonical_name) LIKE '%ies'
+        |             THEN substr(lower(canonical_name), 1, length(canonical_name)-3) || 'y'
+        |           WHEN lower(canonical_name) LIKE '%s' AND lower(canonical_name) NOT LIKE '%ss'
+        |             THEN substr(lower(canonical_name), 1, length(canonical_name)-1)
+        |      END END AS skey
+        |  FROM e),
+        |m AS (
+        |  SELECT entity_uuid AS member_uuid, canonical_name AS member_name, entity_type,
+        |    lower(regexp_extract(canonical_name, '(\S+)$', 1)) AS mkey
+        |  FROM e)
+        |SELECT plural_uuid, plural_name, 'INCLUDES' AS predicate, member_uuid, member_name
+        |FROM m JOIN p ON mkey = skey AND m.entity_type = p.entity_type
+        |              AND member_uuid <> plural_uuid
+        |ORDER BY plural_uuid, member_uuid""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (

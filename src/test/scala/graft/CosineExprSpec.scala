@@ -72,6 +72,16 @@ class CosineExprSpec extends SparkSpec {
     assert(math.abs(f - 1.0) < 1e-15)
   }
 
+  test("DotProduct stays inside whole-stage codegen (retrieval scoring hot path)") {
+    val df = spark.range(100)
+      .withColumn("a", array((0 until 8).map(i => rand(i).cast("double")): _*))
+      .withColumn("b", array((0 until 8).map(i => rand(i + 100).cast("double")): _*))
+    val plan = df.select(graft.functions.expr.DotProduct($"a", $"b").as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*(1) Project [dot_product"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
   test("expression stays inside whole-stage codegen (no interpreted lambdas)") {
     // runtime source (range) so the projection isn't constant-folded away
     val df = spark.range(100)

@@ -108,6 +108,32 @@ class DedupSpec extends SparkSpec {
     assert(edges.contains(("x001", "x002")))
   }
 
+  test("plural grouping: INCLUDES edges, homogeneous type, flat (design doc 2026-01-22)") {
+    import graft.canon.PluralGrouping
+    assert(PluralGrouping.singularize("Districts") === "district")
+    assert(PluralGrouping.singularize("Industries") === "industry")
+    assert(PluralGrouping.singularize("Swiss") === null) // -ss is not plural
+    assert(PluralGrouping.singularize("Bus") === null) // too short
+    val ents = Seq(
+      ("p1", "Districts", "Organization"),
+      ("m1", "Boston District", "Organization"),
+      ("m2", "New York District", "Organization"),
+      ("x1", "Gary District", "Person"), // heterogeneous type → excluded
+      ("x2", "Quantum Dynamics", "Organization"))
+      .toDF("entity_uuid", "canonical_name", "entity_type")
+    val edges = PluralGrouping.includesEdges(ents).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    assert(edges === Set(("p1", "INCLUDES", "m1"), ("p1", "INCLUDES", "m2")))
+
+    // query-time expansion reaches member facts through the plural
+    val triples = Seq(
+      ("f1", "m1", "o9", "Boston District reported growth."),
+      ("f2", "x2", "o9", "unrelated")).toDF("fact_uuid", "subject_uuid", "object_uuid", "fact")
+    val inc = PluralGrouping.includesEdges(ents)
+    val facts = PluralGrouping.memberFacts(triples, inc, "p1").collect()
+    assert(facts.map(_.getString(0)).toSeq === Seq("f1"))
+  }
+
   test("dedup idempotency: canonicalizing canonical entities is a no-op") {
     val ms = Seq(
       mention("Quantum Dynamics Inc."),

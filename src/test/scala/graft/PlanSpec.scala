@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "no cartesian in the pipeline plan:\n" + plan)
   }
 
+  test("chunker windows are all salted: no turn-ordered window partitioned by bare conv_id") {
+    val turns = TranscriptGen.transcripts(spark, TranscriptGen.Config(4, 30, 2))
+    val plan = graft.chunk.TurnChunker.chunk(spark, turns)
+      .queryExecution.executedPlan.toString
+    // a turn-ordered window keyed by conv_id alone would put one pathological
+    // conversation in one task — the exact skew-killer the salting removes
+    val unsalted = "windowspecdefinition\\(conv_id#\\d+, turn_idx#\\d+ ASC".r
+    assert(unsalted.findFirstIn(plan).isEmpty,
+      "found a window over bare conv_id ordered by turn_idx:\n" + plan)
+    assert(plan.contains("windowspecdefinition(conv_id"), plan) // sanity: windows exist
+  }
+
   test("IVF plan has no single-partition exchange (centroid pick must not globally sort)") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d)).toSeq))
