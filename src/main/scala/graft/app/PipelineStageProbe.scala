@@ -30,9 +30,25 @@ object PipelineStageProbe {
     Ingest.runInMemory(spark,
       graft.synth.TranscriptGen.transcripts(spark, graft.synth.TranscriptGen.Config(2, 10, 2)))
       .triples.write.mode("overwrite").format("noop").save()
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val site = i.details.linesIterator.find(l => l.contains("graft."))
+          .getOrElse(i.name).take(90)
+        stages += ((i.stageId,
+          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+          i.taskMetrics.executorRunTime, site))
+      }
+    })
     t("full pipeline (noop sink)") {
       Ingest.runInMemory(spark, turns).triples
         .write.mode("overwrite").format("noop").save()
+    }
+    Thread.sleep(500)
+    stages.sortBy(-_._2).take(12).foreach { case (id, wall, run, name) =>
+      println(f"[probe]   stage=$id wall=${wall / 1e3}%.2fs taskRun=${run / 1e3}%.1fs $name%s")
     }
     spark.catalog.clearCache()
     import org.apache.spark.storage.StorageLevel

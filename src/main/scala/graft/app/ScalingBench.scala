@@ -26,8 +26,15 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      // 4 waves per core smooths stragglers; AQE coalesces the small ones
-      .config("spark.sql.shuffle.partitions", cores * 4)
+      // the SAME job at every parallelism level: shuffle partitioning is part
+      // of the job's logical config, so it is held CONSTANT (one wave on the
+      // widest level — the salted chunker balances partitions, so extra
+      // straggler waves only add task overhead; measured: 32 partitions beat
+      // 128 by ~1.6s at 32 cores and ~2× on the barrier-heavy full pipeline).
+      // Letting it track the core count would also hand low-core levels a
+      // lighter job and distort the scaling ratio.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt)
       // the measurement corpus is a few hundred MB: default 128 MB splits
       // would give the 32-core level single-digit scan tasks and idle cores —
       // a fixture artifact, not an engine property (a 10^12-turn table has

@@ -169,7 +169,12 @@ object EntityDedup {
   def dedup(spark: SparkSession, mentions: Dataset[Mention],
       cfg: Config = Config()): (Dataset[Entity], DataFrame) = {
     import spark.implicits._
-    val pending = pendingEntities(spark, mentions, cfg).cache()
+    // pending is tiny (one row per distinct normalized name); an EAGER
+    // lineage truncation beats cache(): every downstream query (hot-block
+    // count, edge gen, CC, canonical pick, remap) becomes independent of the
+    // mention/extraction subtree instead of trusting cache-plan matching
+    // inside broadcast subqueries
+    val pending = pendingEntities(spark, mentions, cfg).localCheckpoint()
     val edges = candidateEdges(spark, pending, cfg)
     val components = ConnectedComponents.run(spark, edges) // (id, component)
 

@@ -37,43 +37,81 @@ object Similarity {
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("score"))
   }
 
+  /** Deterministic k-means (Lloyd) centroid training: seeded with the
+    * nCentroids corpus rows of smallest abs(hash(id)) — a
+    * TakeOrderedAndProject, NOT a global window — then `iters` rounds of
+    * assign (broadcast centroids, narrow) + recompute (posexplode →
+    * per-(cell, dim) mean → rebuild arrays: one shuffle of nCentroids × dim
+    * scalars per round, never the corpus). Fully deterministic: seed order,
+    * mean aggregation, and empty cells keep their previous centroid.
+    *
+    * @return (centroid_id, cvec) rows, collected (bounded: nCentroids).
+    */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    var centroids: Seq[(Int, Seq[Double])] = vecs
+      .orderBy(abs(hash(col("id"))), col("id"))
+      .limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }.toSeq
+    var it = 0
+    while (it < iters) {
+      val assign = nearestCells(centroids, take = 1)
+      val means = vecs
+        .select(element_at(assign(col("v")), 1).as("centroid_id"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Closure-captured argmax-cosine cell assignment — a NARROW per-row UDF
+    * over the broadcast-sized centroid list. The declarative alternative
+    * (crossJoin(centroids) + rank-1 window) shuffles corpus × nCentroids rows
+    * by id — a non-starter at corpus scale. Ties break to the smaller id.
+    * Returns the top-`take` cell ids, nearest first.
+    */
+  private def nearestCells(centroids: Seq[(Int, Seq[Double])], take: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cents = centroids.map { case (cid, v) => (cid, v.toArray) }.toArray
+    udf { (v: Seq[Double]) =>
+      val x = v.toArray
+      cents.map { case (cid, c) => (graft.functions.Embed.cosine(x, c), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(take).map(_._2)
+    }
+  }
+
   /** IVF-style ANN: assign corpus rows to their nearest centroid (one narrow
     * pass), then score queries only against the union of their `nprobe`
     * closest centroids' rows. Returns the same shape as bruteForceTopK.
+    * `kmeansIters` > 0 trains the centroids with that many deterministic
+    * Lloyd rounds (better-balanced cells → better recall per probe); 0 keeps
+    * the hash-seeded sample (the partitioning/shuffle structure is identical).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int = 16,
-      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 4, kmeansIters: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // deterministic centroid pick: the nCentroids corpus rows with the
-    // smallest abs(hash(id)) — a TakeOrderedAndProject (per-partition top-k +
-    // driver merge of nCentroids rows), NOT a global window: a partition-less
-    // Window.orderBy would funnel the whole corpus through one task.
-    // nCentroids is small by contract, so the driver-side materialization is
-    // bounded and the centroid table broadcasts.
-    val picked = corpus
-      .orderBy(abs(hash(col(idCol))), col(idCol))
-      .limit(nCentroids)
-      .select(col(vecCol).cast("array<double>").as("cvec"))
-      .collect()
-    val centroids = picked.zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
-      .toSeq.toDF("centroid_id", "cvec")
+    val centroids = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
 
-    def nearestCentroids(df: DataFrame, keyCol: String, v: String, outCol: String,
-        take: Int): DataFrame = {
-      val w = Window.partitionBy(col(keyCol)).orderBy(col("cscore").desc, col("centroid_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cscore", VectorOps.cosine(col(v), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= take)
-        .drop("cvec", "cscore", "crank")
-        .withColumnRenamed("centroid_id", outCol)
-    }
-
-    val assigned = nearestCentroids(corpus, idCol, vecCol, "cell", take = 1)
-    val probed = nearestCentroids(queries, qidCol, qvecCol, "cell", take = nprobe)
+    // cell assignment is NARROW on both sides (closure-UDF argmax over the
+    // broadcast-sized centroid list); the only shuffle left is the cell join
+    val assign1 = nearestCells(centroids, take = 1)
+    val assignP = nearestCells(centroids, take = nprobe)
+    val assigned = corpus
+      .withColumn("cell", element_at(assign1(col(vecCol).cast("array<double>")), 1))
+    val probed = queries
+      .withColumn("cell", explode(assignP(col(qvecCol).cast("array<double>"))))
 
     val scored = probed.join(assigned, Seq("cell"))
       .withColumn("score", VectorOps.cosine(col(qvecCol), col(vecCol)))

@@ -54,7 +54,7 @@ object Ingest {
     val raw = TripleExtractor.extract(spark, chunks)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val mentions = TripleExtractor.mentions(spark, raw)
-    val (entities, remap) = EntityDedup.dedup(spark, mentions, cfg.dedup)
+    val (entities0, remap0) = EntityDedup.dedup(spark, mentions, cfg.dedup)
     // one pass over raw (not a 3-way union = 3 cache scans): topics array ∪
     // topic-typed subjects ∪ topic-typed objects
     val topicNames = raw.select(explode(concat($"topics",
@@ -62,9 +62,18 @@ object Ingest {
         when(lower($"object_type") === "topic", array($"object")).otherwise(array())))
         .as("name"), $"group_id")
       .distinct()
+    // entities/remap/topics are tiny (≈ distinct names); eagerly truncating
+    // their lineage here (the in-memory analogue of the committed path's
+    // stage tables) stops downstream broadcast subqueries from re-running the
+    // whole chunk+extract subtree — measured as a repeated multi-second
+    // broadcast build in the assembly phase
+    val entities = entities0.toDF().localCheckpoint()
+    val remap = remap0.localCheckpoint()
     val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
-    val triples = TripleAssembler.assemble(spark, raw, remap, topics, cfg.assembler)
-    Result(chunks.toDF(), raw.toDF(), entities.toDF(), triples.toDF())
+      .localCheckpoint()
+    val triples = TripleAssembler.assemble(spark, raw.toDF().as[RawTriple],
+      remap, topics, cfg.assembler)
+    Result(chunks.toDF(), raw.toDF(), entities, triples.toDF())
   }
 
   /** Full run with committed snapshots + lineage + resume.

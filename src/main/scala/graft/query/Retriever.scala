@@ -143,22 +143,53 @@ object Retriever {
     * standing deployment materializes the per-term df table once per corpus
     * snapshot instead of re-aggregating per query.
     */
+  private def factTokens = array_remove(split(lower(col("fact")), "\\W+"), "")
+
+  /** Materializable BM25 corpus statistics — the Lucene-index analogue.
+    * `termDf` is the per-term document-frequency table a standing deployment
+    * persists once per corpus snapshot; `nDocs`/`avgdl` are scalars.
+    */
+  case class Bm25Stats(nDocs: Long, avgdl: Double, termDf: DataFrame)
+
+  /** One pass over the facts for scalars + one for the per-term df table.
+    * Compute once per corpus snapshot, pass to keywordSearch for query-time
+    * scoring with zero extra corpus scans.
+    */
+  def bm25Stats(facts: DataFrame): Bm25Stats = {
+    val s = facts.agg(count(lit(1)).as("n"), avg(size(factTokens)).as("avgdl")).first()
+    val n = s.getLong(0)
+    val avgdl = if (n == 0 || s.isNullAt(1)) 1.0 else math.max(s.getDouble(1), 1.0)
+    val df = facts.select(explode(array_distinct(factTokens)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Bm25Stats(n, avgdl, df)
+  }
+
   def keywordSearch(facts: DataFrame, query: String, topK: Int = 30,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, stats: Option[Bm25Stats] = None): DataFrame = {
     val kws = extractKeywords(query).distinct
     def empty = facts.limit(0).withColumn("score", lit(0.0))
       .withColumn("source", lit("keyword"))
     if (kws.isEmpty) return empty
-    val tokens = array_remove(split(lower(col("fact")), "\\W+"), "")
+    val tokens = factTokens
 
-    val stats = facts.agg(count(lit(1)).as("n"), avg(size(tokens)).as("avgdl")).first()
-    val n = stats.getLong(0)
+    // corpus stats: from the materialized index when supplied, else two
+    // bounded aggregation jobs (one scalar row + ≤|keywords| rows)
+    val (n, avgdl, dfMap) = stats match {
+      case Some(st) =>
+        val m = st.termDf.filter(col("term").isin(kws: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (st.nDocs, st.avgdl, m)
+      case None =>
+        val s = facts.agg(count(lit(1)).as("n"), avg(size(tokens)).as("avgdl")).first()
+        val nd = s.getLong(0)
+        val ad = if (nd == 0 || s.isNullAt(1)) 1.0 else math.max(s.getDouble(1), 1.0)
+        val m = facts
+          .select(explode(array_intersect(tokens, lit(kws.toArray))).as("kw"))
+          .groupBy(col("kw")).agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (nd, ad, m)
+    }
     if (n == 0L) return empty
-    val avgdl = math.max(stats.getDouble(1), 1.0)
-    val dfMap = facts
-      .select(explode(array_intersect(tokens, lit(kws.toArray))).as("kw"))
-      .groupBy(col("kw")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def idf(t: String): Double = {
       val df = dfMap.getOrElse(t, 0L).toDouble
       math.log(1.0 + (n - df + 0.5) / (df + 0.5)) // Lucene BM25 idf

@@ -82,6 +82,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("IVF with trained centroids (Lloyd) matches or beats untrained recall; deterministic") {
+    val queries = vecs.filter($"vec_id" % 8 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(iters: Int): Double = {
+      val ivf = Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 8, nprobe = 2,
+        kmeansIters = iters).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (bf intersect ivf).size.toDouble / bf.size
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 >= r0, s"training must not hurt recall at equal probes ($r0 -> $r2)")
+    assert(r2 >= 0.6, s"trained recall too low: $r2")
+    // deterministic training: identical centroids across runs
+    val c1 = Similarity.kmeansCentroids(vecs, nCentroids = 8, iters = 2)
+    val c2 = Similarity.kmeansCentroids(vecs, nCentroids = 8, iters = 2)
+    assert(c1 === c2)
+  }
+
   test("text analysis: langid, token counts, quality, fingerprint") {
     val annotated = TextAnalysis.annotate(docs).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -69,6 +69,20 @@ class RetrieverSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("score")).forall(_ > 0))
   }
 
+  test("BM25 with a materialized term-df index scores identically to the inline path") {
+    val docs = (0 until 8).map(i =>
+      (s"f$i", s"city council met in boston district $i about zoning")) :+
+      ("f9", "report on wages and employment published this quarter")
+    val facts = docs.toDF("fact_uuid", "fact")
+    val stats = Retriever.bm25Stats(facts)
+    val q = "What happened to wages in Boston?"
+    val inline = Retriever.keywordSearch(facts, q, topK = 5).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("score")))
+    val indexed = Retriever.keywordSearch(facts, q, topK = 5, stats = Some(stats)).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("score")))
+    assert(inline.toSeq === indexed.toSeq)
+  }
+
   test("BM25 TF saturation: repeating a term gains sublinearly (k1 bound)") {
     val docs = Seq(
       ("a", "wages wages wages wages wages and other filler words here"),
