@@ -42,8 +42,9 @@ object Similarity {
     * TakeOrderedAndProject, NOT a global window — then `iters` rounds of
     * assign (broadcast centroids, narrow) + recompute (posexplode →
     * per-(cell, dim) mean → rebuild arrays: one shuffle of nCentroids × dim
-    * scalars per round, never the corpus). Fully deterministic: seed order,
-    * mean aggregation, and empty cells keep their previous centroid.
+    * scalars per round, never the corpus). Deterministic for a fixed
+    * partitioning (floating-point mean accumulation order follows the data
+    * layout; seed order and empty-cell carry-over are layout-independent).
     *
     * @return (centroid_id, cvec) rows, collected (bounded: nCentroids).
     */

@@ -71,8 +71,7 @@ object Ingest {
     val remap = remap0.localCheckpoint()
     val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
       .localCheckpoint()
-    val triples = TripleAssembler.assemble(spark, raw.toDF().as[RawTriple],
-      remap, topics, cfg.assembler)
+    val triples = TripleAssembler.assemble(spark, raw, remap, topics, cfg.assembler)
     Result(chunks.toDF(), raw.toDF(), entities, triples.toDF())
   }
 
