@@ -79,6 +79,18 @@ class PipelineSpec extends SparkSpec {
     assert(lin.agg(sum($"output_rows")).collect().head.getLong(0) === t1.length.toLong)
   }
 
+  test("committed-path parity: Ingest.run stage tables yield the same triples as runInMemory") {
+    val small = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val turns = TranscriptGen.transcripts(spark, small)
+    val inMem = Ingest.runInMemory(spark, turns).triples
+      .orderBy($"fact_uuid").collect()
+    val dir = Files.createTempDirectory("graft-parity").toString
+    val committed = Ingest.run(spark, turns, dir).triples
+      .orderBy($"fact_uuid").collect()
+    assert(inMem.length === committed.length && inMem.nonEmpty)
+    inMem.zip(committed).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("determinism under parallelism + skew: triple set identical across partitionings") {
     // heavily skewed corpus: conv 0 is 12× the others (north-star skew case)
     val skewed = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 12)
