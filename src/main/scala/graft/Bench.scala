@@ -66,9 +66,9 @@ object Bench {
     // 0.47 from 8→32 threads — beyond that the host's shared memory bus, not
     // the engine, is being measured. The 8→32 pair is still reported
     // (efficiency_8_32) for transparency. See BASELINE.md.
-    // Statistic: per level, 3 interleaved forks (each best-of-2 reps inside
-    // its fresh JVM); the level's throughput is the BEST of the three fork
-    // values. Host noise on this VM is one-sided additive interference (the
+    // Statistic: per level, 2 interleaved forks (each best-of-2 reps inside
+    // its fresh JVM); the level's throughput is the BEST of the fork values.
+    // Host noise on this VM is one-sided additive interference (the
     // per-thread BurnProbe rate is the same at 2 and 8 busy threads — no
     // turbo/clock advantage at low core counts), so the minimum time is the
     // unbiased estimate of the engine's own cost. The median and the raw
@@ -82,7 +82,7 @@ object Bench {
       else {
         val scalingDir = Files.createTempDirectory("graft-bench-scaling").toString
         scalingTurns = ScalingBench.materializeCorpus(scalingTurnsTarget, scalingDir)
-        val samples = (levels ++ levels ++ levels).map { cores =>
+        val samples = (levels ++ levels).map { cores =>
           cores -> ScalingBench.forkMeasure(cores, scalingDir, reps = 2, mode = "extract")
         }
         levels.map(c => c -> samples.collect { case (`c`, s) => s }).toMap
@@ -105,7 +105,7 @@ object Bench {
 
     val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
     val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
-    val pipeSecs = ScalingBench.forkMeasure(cpus, corpusDir, reps = 3, mode = "full")
+    val pipeSecs = ScalingBench.forkMeasure(cpus, corpusDir, reps = 2, mode = "full")
     val turnsPerSec = corpusTurns / pipeSecs
 
     val spark = session(cpus)
@@ -123,7 +123,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum + pipeSecs
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$scalingTurns%d,"cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f,"efficiency_median":$efficiencyMedian%.3f,"turns_per_sec_32":${tps(32)}%.1f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"statistic":"best of 3 fresh-JVM forks (each best-of-2); host noise is one-sided additive (no low-core turbo: per-thread BurnProbe rate equal at 2 and 8 threads), so min is the unbiased engine estimate","note":"2->8 is the host's linear regime, 8->32 measures the VM's shared memory bus (pure-JVM BurnProbe caps at 0.47) - see BASELINE.md"}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$scalingTurns%d,"cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f,"efficiency_median":$efficiencyMedian%.3f,"turns_per_sec_32":${tps(32)}%.1f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"statistic":"best of 2 fresh-JVM forks (each best-of-2); host noise is one-sided additive (no low-core turbo: per-thread BurnProbe rate equal at 2 and 8 threads), so min is the unbiased engine estimate","note":"2->8 is the host's linear regime, 8->32 measures the VM's shared memory bus (pure-JVM BurnProbe caps at 0.47) - see BASELINE.md"}}"""
     println(json)
     // belt-and-braces: also land the line in a file the driver (or a human)
     // can pick up if stdout gets decorated by the launcher
