@@ -42,9 +42,7 @@ object ConnectedComponents {
     // lineage truncation per round: reliable checkpoint when the session has
     // a checkpoint dir (survives executor loss on a real cluster);
     // localCheckpoint otherwise (single-JVM local mode)
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def truncate(df: DataFrame): DataFrame = graft.tables.Checkpoints.truncate(df)
 
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
@@ -68,22 +66,39 @@ object ConnectedComponents {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // 1. neighbor min: for each edge (src,dst), dst hears src's label
+      // 1. neighbor min: for each edge (src,dst), dst hears src's label.
+      //    labels rows carry their own label along as `old` (msgs contribute
+      //    null) so the changed-count is OBSERVED inside the same job that
+      //    materializes the checkpoint — one action per round, not two (the
+      //    former separate join+count paid a full extra job per iteration).
       val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), $"component")
-      val merged = labels.select($"id", $"component").union(msgs)
-        .groupBy($"id").agg(min($"component").as("component"))
+        .select(sym("dst").as("id"), $"component", lit(null).cast("string").as("old"))
+      val merged = labels.select($"id", $"component", $"component".as("old")).union(msgs)
+        .groupBy($"id").agg(min($"component").as("component"), max($"old").as("old"))
       // 2. pointer jumping: adopt the label of my label (labels are always
       //    vertex ids, so the self-join is total) → O(log n) convergence on
       //    long chains instead of O(diameter)
       val jump = merged.select($"id".as("jid"), $"component".as("jcomp"))
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val next = truncate(
         merged.join(jump, merged("component") === jump("jid"), "left")
-          .select($"id", least($"component", coalesce($"jcomp", $"component")).as("component")))
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter($"component" =!= $"old")
-        .count()
-      labels = next
+          .select($"id",
+            least($"component", coalesce($"jcomp", $"component")).as("component"),
+            $"old")
+          .observe(obs, sum(when($"component" =!= $"old", 1L).otherwise(0L)).as("changed")))
+      // metric delivery is async on the listener bus; await briefly, fall
+      // back to the explicit join+count if it never lands (correctness
+      // unaffected — only the one-job-per-round optimization is lost)
+      changed = {
+        val row = try Some(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "s")))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+        row.collect { case r if !r.isNullAt(0) => r.getLong(0) }.getOrElse {
+          next.join(labels.withColumnRenamed("component", "old2"), "id")
+            .filter($"component" =!= $"old2").count()
+        }
+      }
+      labels = next.drop("old")
       iter += 1
     }
     sym.unpersist()

@@ -135,17 +135,34 @@ object EntityDedup {
       .filter($"entity_uuid" =!= $"hub")
       .select($"hub".as("src"), $"entity_uuid".as("dst"))
 
-    // (2) similarity pairs within capped firstToken blocks. blockSizes is
-    // persisted so the hot-block diagnostic count (no silent caps) and the
-    // cap join share one computation of the candidate subtree.
-    val blockSizes = base.groupBy($"fkey", $"entity_type").agg(count(lit(1)).as("bsz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = blockSizes.filter($"bsz" > cfg.maxBlockSize).count()
-    if (hot > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"candidateEdges: $hot firstToken block(s) exceed maxBlockSize=${cfg.maxBlockSize}; " +
-        "similarity pairs skipped for them (alias-rule merges still apply)")
-    val capped = base.join(blockSizes.filter($"bsz" <= cfg.maxBlockSize).select($"fkey", $"entity_type"),
-      Seq("fkey", "entity_type"))
+    // (2) similarity pairs within capped firstToken blocks. Hot blocks are
+    // FEW by construction (a handful of stop-word-ish name tokens), so one
+    // bounded collect fetches exactly the over-cap keys — no persist (round-2
+    // leaked the cached blockSizes across runs), no join against the full
+    // block-size table, and the log can name the hot tokens. `pending` is
+    // checkpointed by dedup(), so this action scans a tiny materialized table.
+    val hotKeys = base.groupBy($"fkey", $"entity_type").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > cfg.maxBlockSize)
+      .collect()
+    if (hotKeys.nonEmpty) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"candidateEdges: ${hotKeys.length} firstToken block(s) exceed " +
+        s"maxBlockSize=${cfg.maxBlockSize}; similarity pairs skipped for them " +
+        s"(alias-rule merges still apply): " +
+        hotKeys.take(10).map(r => s"${r.getString(0)}/${r.getString(1)}=${r.getLong(2)}")
+          .mkString(", "))
+    val capped =
+      if (hotKeys.isEmpty) base
+      else {
+        val hotDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(hotKeys.toSeq.map(r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getString(1))), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("fkey",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("entity_type",
+              org.apache.spark.sql.types.StringType))))
+        base.join(broadcast(hotDf), Seq("fkey", "entity_type"), "left_anti")
+      }
     val a = capped.select($"fkey", $"entity_type", $"entity_uuid".as("src"),
       $"embedding".as("src_emb"))
     val b = capped.select($"fkey", $"entity_type", $"entity_uuid".as("dst"),
@@ -173,8 +190,9 @@ object EntityDedup {
     // lineage truncation beats cache(): every downstream query (hot-block
     // count, edge gen, CC, canonical pick, remap) becomes independent of the
     // mention/extraction subtree instead of trusting cache-plan matching
-    // inside broadcast subqueries
-    val pending = pendingEntities(spark, mentions, cfg).localCheckpoint()
+    // inside broadcast subqueries. Reliable checkpoint when configured
+    // (cluster failure model), localCheckpoint otherwise.
+    val pending = graft.tables.Checkpoints.truncate(pendingEntities(spark, mentions, cfg))
     val edges = candidateEdges(spark, pending, cfg)
     val components = ConnectedComponents.run(spark, edges) // (id, component)
 

@@ -25,9 +25,11 @@ import graft.model.{Chunk, Turn}
   *  - document_date: the reference scans the first/last few chunks for a
   *    parseable date and falls back when none parses (pipeline.py:1342-1355,
   *    temporal_extractor.py:104-123). Here: first ISO-like date string
-  *    (YYYY-MM-DD / YYYY-MM) found in the head-6 then tail-6 long turns of
-  *    the conversation, parsed leniently (Norm.parseDateLenient), falling
-  *    back to min(ts) over the conversation.
+  *    (YYYY-MM-DD / YYYY-MM) found WITHIN the conversation's first-6 then
+  *    last-6 emitted chunks (by emitted position, matching the reference's
+  *    chunks[:6]/chunks[-6:] scan — a date appearing only mid-conversation is
+  *    ignored), parsed leniently (Norm.parseDateLenient), falling back to
+  *    min(ts) over the conversation.
   *
   * Spark shape — built for the north star's long-conversation skew: rows are
   * windowed over (conv_id, salt) where salt = turn_idx / saltTurns, so one
@@ -64,21 +66,27 @@ object TurnChunker {
     Norm.prependHeaderIfMissing(text, headerPath)
   }
 
-  /** First parseable date among the head-6 then tail-6 candidates (reference
-    * scan order: chunks[:6] then chunks[-6:], first parsed wins). Candidates
-    * arrive turn-order-sorted, long-encoded as turn_idx * 1e8 + yyyymmdd
-    * (dd = 0 for a bare year-month, which parses as day 1 like
-    * Norm.parseDateLenient; impossible dates, e.g. 2024-02-30, reject via
-    * LocalDate validation exactly like the string path).
+  /** First parseable date among candidates that sit in the conversation's
+    * first-6 or last-6 EMITTED positions — the reference scans chunks[:6]
+    * then chunks[-6:] only (pipeline.py:1342-1355); a date that appears only
+    * mid-conversation must NOT be picked (min(ts) fallback applies instead).
+    * `head`/`tail` are the turn_idxs of those positions; candidates are
+    * long-encoded as turn_idx * 1e8 + yyyymmdd (dd = 0 for a bare
+    * year-month, which parses as day 1 like Norm.parseDateLenient;
+    * impossible dates, e.g. 2024-02-30, reject via LocalDate validation
+    * exactly like the string path). Scan order: head positions ascending,
+    * then tail positions ascending, first parsed wins.
     */
-  private val pickDateUdf = udf { (encs: Seq[Long]) =>
+  private val pickDateUdf = udf { (encs: Seq[Long], head: Seq[Long], tail: Seq[Long]) =>
     if (encs == null) null
     else {
-      val head = encs.take(6)
-      val tail = if (encs.length > 6) encs.takeRight(6) else Nil
-      (head.iterator ++ tail.iterator)
-        .flatMap { e =>
-          val code = (e % 100000000L).toInt
+      val codeByTurn = encs.iterator.map(e => (e / 100000000L) -> (e % 100000000L).toInt)
+        .toMap
+      val positions = Option(head).getOrElse(Nil).iterator ++
+        Option(tail).getOrElse(Nil).iterator
+      positions
+        .flatMap(t => codeByTurn.get(t))
+        .flatMap { code =>
           try Some(java.time.LocalDate.of(code / 10000, (code / 100) % 100,
             math.max(code % 100, 1)))
           catch { case _: Exception => None }
@@ -144,6 +152,16 @@ object TurnChunker {
     val candEnc = when($"date_str" =!= "", $"turn_idx".cast("long") * 100000000L + dateCode)
     val lastToolAgg = max(when(toolOrNull.isNotNull, struct($"turn_idx", $"tool")))
       .getField("tool").as("g_last_tool")
+    // per-group first/last ≤6 emitted turn_idxs: the conversation-level
+    // head-6/tail-6 emitted POSITIONS (which gate date candidates, reference
+    // chunks[:6]/chunks[-6:]) are derivable from these bounded arrays — the
+    // conv's first 6 emitted rows lie in its earliest groups and are among
+    // each group's first ≤6 emitted rows (pigeonhole), symmetrically for the
+    // tail. For w > 1 emission is approximated by emit0 (a body that
+    // concatenates w texts may still emit when its own text is short) —
+    // candidates carry the same emit0 gate, so the approximation is
+    // self-consistent; exact for the default w == 1.
+    val emitIdx = when($"emit0", $"turn_idx".cast("long"))
     val stats0 =
       if (w == 1)
         kept0.groupBy($"conv_id", $"salt")
@@ -151,6 +169,8 @@ object TurnChunker {
             min($"ts").as("g_min_ts"),
             lastToolAgg,
             sort_array(collect_list(candEnc)).as("g_cands_all"),
+            slice(sort_array(collect_list(emitIdx)), 1, 6).as("g_emit_head"),
+            slice(sort_array(collect_list(emitIdx), asc = false), 1, 6).as("g_emit_tail"),
             sum($"emit0".cast("long")).as("g_emit_cnt"))
       else
         kept.groupBy($"conv_id", $"salt")
@@ -158,6 +178,8 @@ object TurnChunker {
             min($"ts").as("g_min_ts"),
             lastToolAgg,
             sort_array(collect_list(candEnc)).as("g_cands_all"),
+            slice(sort_array(collect_list(emitIdx)), 1, 6).as("g_emit_head"),
+            slice(sort_array(collect_list(emitIdx), asc = false), 1, 6).as("g_emit_tail"),
             // previous-group context for cross-boundary trailing windows:
             // this group's last (w-1) kept texts, turn order
             transform(
@@ -181,8 +203,15 @@ object TurnChunker {
       .withColumn("conv_min_ts", min($"g_min_ts").over(wholeConv))
       .withColumn("all_cands",
         array_sort(flatten(collect_list($"g_cands").over(wholeConv))))
+      // conversation-level head-6 / tail-6 emitted positions (turn_idxs)
+      .withColumn("conv_head6",
+        slice(array_sort(flatten(collect_list($"g_emit_head").over(wholeConv))), 1, 6))
+      .withColumn("conv_tail6",
+        array_sort(slice(
+          sort_array(flatten(collect_list($"g_emit_tail").over(wholeConv)), asc = false),
+          1, 6)))
       .withColumn("conv_doc_date",
-        coalesce(pickDateUdf($"all_cands"), $"conv_min_ts"))
+        coalesce(pickDateUdf($"all_cands", $"conv_head6", $"conv_tail6"), $"conv_min_ts"))
     enrich =
       if (w == 1)
         enrich.withColumn("chunk_offset",

@@ -79,6 +79,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // when neither array can hold null elements, `nullable` is false and
+    // nullSafeCodeGen binds ev.isNull to FalseLiteral — emitting an
+    // assignment to it would generate `false = true;` (Janino error, forcing
+    // interpreted fallback). Emit the element-null branch only when needed.
+    val checkElems = elemNullable(left) || elemNullable(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
@@ -88,34 +93,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val bad = ctx.freshName("hasNullElem")
-      s"""
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $a.numElements() && !$bad; $i++) {
-         |  if ($a.isNullAt($i)) $bad = true;
-         |}
-         |for (int $i = 0; $i < $b.numElements() && !$bad; $i++) {
-         |  if ($b.isNullAt($i)) $bad = true;
-         |}
-         |if ($bad) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = $a.getDouble($i);
-         |    double $yi = $b.getDouble($i);
-         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |  }
-         |  for (int $i = $n; $i < $a.numElements(); $i++) {
-         |    double $xi = $a.getDouble($i); $na += $xi * $xi;
-         |  }
-         |  for (int $i = $n; $i < $b.numElements(); $i++) {
-         |    double $yi = $b.getDouble($i); $nb += $yi * $yi;
-         |  }
-         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
-         |    $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |}
-       """.stripMargin
+      val body =
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = $a.getDouble($i);
+           |  double $yi = $b.getDouble($i);
+           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |}
+           |for (int $i = $n; $i < $a.numElements(); $i++) {
+           |  double $xi = $a.getDouble($i); $na += $xi * $xi;
+           |}
+           |for (int $i = $n; $i < $b.numElements(); $i++) {
+           |  double $yi = $b.getDouble($i); $nb += $yi * $yi;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+           |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      if (checkElems)
+        s"""
+           |boolean $bad = false;
+           |for (int $i = 0; $i < $a.numElements() && !$bad; $i++) {
+           |  if ($a.isNullAt($i)) $bad = true;
+           |}
+           |for (int $i = 0; $i < $b.numElements() && !$bad; $i++) {
+           |  if ($b.isNullAt($i)) $bad = true;
+           |}
+           |if ($bad) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |$body
+           |}
+         """.stripMargin
+      else body
     })
   }
 

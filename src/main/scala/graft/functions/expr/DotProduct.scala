@@ -57,27 +57,42 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // when neither array can hold null elements, `nullable` is false and
+    // nullSafeCodeGen binds ev.isNull to FalseLiteral — emitting an
+    // assignment to it would generate `false = true;` (Janino error, forcing
+    // interpreted fallback). Emit the element-null branch only when needed.
+    val checkElems = elemNullable(left) || elemNullable(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       val bad = ctx.freshName("hasNullElem")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $n && !$bad; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) $bad = true;
-         |}
-         |if ($bad) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $a.getDouble($i) * $b.getDouble($i);
-         |  }
-         |  ${ev.value} = $dot;
-         |}
-       """.stripMargin
+      val plainLoop =
+        s"""
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      if (checkElems)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |boolean $bad = false;
+           |for (int $i = 0; $i < $n && !$bad; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) $bad = true;
+           |}
+           |if ($bad) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |$plainLoop
+           |}
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |$plainLoop
+         """.stripMargin
     })
   }
 

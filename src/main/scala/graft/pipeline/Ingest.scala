@@ -66,11 +66,12 @@ object Ingest {
     // their lineage here (the in-memory analogue of the committed path's
     // stage tables) stops downstream broadcast subqueries from re-running the
     // whole chunk+extract subtree — measured as a repeated multi-second
-    // broadcast build in the assembly phase
-    val entities = entities0.toDF().localCheckpoint()
-    val remap = remap0.localCheckpoint()
-    val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
-      .localCheckpoint()
+    // broadcast build in the assembly phase. Checkpoints.truncate prefers a
+    // reliable checkpoint when a dir is configured (cluster failure model).
+    val entities = graft.tables.Checkpoints.truncate(entities0.toDF())
+    val remap = graft.tables.Checkpoints.truncate(remap0)
+    val topics = graft.tables.Checkpoints.truncate(
+      TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics))
     val triples = TripleAssembler.assemble(spark, raw, remap, topics, cfg.assembler)
     Result(chunks.toDF(), raw.toDF(), entities, triples.toDF())
   }

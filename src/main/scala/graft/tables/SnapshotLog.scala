@@ -6,7 +6,9 @@ import java.sql.Timestamp
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iceberg-*style* table layer: partitioned Parquet + an atomic JSON snapshot
@@ -20,77 +22,217 @@ import org.apache.spark.sql.functions._
   *    every stage that already committed (reference checkpoint.py:116-157
   *    resume-from-last-phase semantics);
   *  - per-partition lineage: each commit writes one row per task partition
-  *    (partition id, row count, xor-of-hash checksum) into `_lineage`.
+  *    (partition id, row count, xor-of-hash checksum) into a lineage dir —
+  *    computed IN the write pass (see commit), never by re-reading the
+  *    snapshot;
+  *  - O(delta) appends: a manifest entry is either a `full` snapshot or a
+  *    `delta` segment; the live table is the last full snapshot plus every
+  *    delta after it. `mergeAppend`/`mergeUpsert` write ONLY the new/changed
+  *    rows as a delta segment (reference MERGE batches, pipeline.py:416-547)
+  *    — round 2 rewrote existing ∪ fresh on every append, an O(table) write
+  *    per increment that a standing 100 TB triples table cannot afford.
+  *    `commit` remains the compaction path (writes a new full snapshot).
+  *  - merge-on-read updates: an upsert delta marks its key columns in the
+  *    manifest; `read` then resolves last-writer-wins per key (Iceberg MOR
+  *    semantics). Append-only tables skip that window entirely.
   *
-  * The driver never holds data rows — lineage aggregation happens in Spark.
+  * The driver never holds data rows — lineage aggregation happens in Spark
+  * (the driver only collects one (partition, count, checksum) tuple per task
+  * partition).
   */
 class SnapshotLog(spark: SparkSession, baseDir: String) {
   import spark.implicits._
 
+  private case class Entry(id: Long, kind: String, upsert: Boolean, keys: Seq[String])
+
   private def tableDir(name: String): Path = Paths.get(baseDir, name)
   private def manifest(name: String): Path = tableDir(name).resolve("_snapshots.json")
 
-  /** Committed snapshot ids for a table, ascending. */
-  def snapshots(name: String): Seq[Long] = {
+  private val idRe = """"snapshot_id":\s*(\d+)""".r
+  private val kindRe = """"kind":\s*"(\w+)"""".r
+  private val upsertRe = """"upsert":\s*(true|false)""".r
+  private val keysRe = """"keys":\s*\[([^\]]*)\]""".r
+
+  /** Parsed manifest entries, ascending by snapshot id. Legacy lines without
+    * a `kind` field are full snapshots.
+    */
+  private def entries(name: String): Seq[Entry] = {
     val m = manifest(name)
     if (!Files.exists(m)) Seq.empty
-    else Files.readAllLines(m, UTF_8).asScala.toSeq
-      .filter(_.nonEmpty)
-      .map(line => """"snapshot_id":\s*(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong))
-      .collect { case Some(id) => id }
-      .sorted
+    else Files.readAllLines(m, UTF_8).asScala.toSeq.filter(_.nonEmpty).flatMap { line =>
+      idRe.findFirstMatchIn(line).map { idm =>
+        val kind = kindRe.findFirstMatchIn(line).map(_.group(1)).getOrElse("full")
+        val upsert = upsertRe.findFirstMatchIn(line).exists(_.group(1) == "true")
+        val keys = keysRe.findFirstMatchIn(line).map(_.group(1)).toSeq
+          .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty))
+        Entry(idm.group(1).toLong, kind, upsert, keys)
+      }
+    }.sortBy(_.id)
   }
+
+  /** Committed snapshot/segment ids for a table, ascending. */
+  def snapshots(name: String): Seq[Long] = entries(name).map(_.id)
 
   def latestSnapshot(name: String): Option[Long] = snapshots(name).lastOption
 
   def snapshotPath(name: String, id: Long): String =
     tableDir(name).resolve(s"snapshot-$id").toString
 
-  /** Read the latest committed snapshot of a table. */
-  def read(name: String): Option[DataFrame] =
-    latestSnapshot(name).map(id => spark.read.parquet(snapshotPath(name, id)))
+  /** The live segment set: last full snapshot + every delta after it. */
+  private def liveEntries(name: String): Seq[Entry] = {
+    val all = entries(name)
+    val lastFull = all.lastIndexWhere(_.kind == "full")
+    if (lastFull < 0) all else all.drop(lastFull)
+  }
 
-  /** Write a new snapshot: parquet first, manifest append last (atomic rename).
-    * Returns the new snapshot id. Optionally partition by columns.
+  /** Read the current committed state of a table: union of live segments,
+    * with last-writer-wins key resolution when any live segment is an upsert
+    * delta (merge-on-read). Append-only tables pay no dedup.
     */
-  def commit(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+  def read(name: String): Option[DataFrame] = {
+    val live = liveEntries(name)
+    if (live.isEmpty) None
+    else if (live.size == 1) Some(spark.read.parquet(snapshotPath(name, live.head.id)))
+    else {
+      val anyUpsert = live.exists(_.upsert)
+      if (!anyUpsert)
+        Some(live.map(e => spark.read.parquet(snapshotPath(name, e.id)))
+          .reduce(_ unionByName _))
+      else {
+        val keys = live.filter(_.upsert).last.keys
+        val tagged = live.map(e =>
+          spark.read.parquet(snapshotPath(name, e.id)).withColumn("_seg", lit(e.id)))
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_seg").desc)
+        Some(tagged.reduce(_ unionByName _)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn", "_seg"))
+      }
+    }
+  }
+
+  /** Write a new FULL snapshot (also the compaction path for delta-fragmented
+    * tables): parquet first, manifest append last (atomic rename). Returns
+    * the new snapshot id.
+    */
+  def commit(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    writeSegment(name, df, partitionBy, kind = "full", upsert = false, keys = Nil)
+
+  /** One write pass that streams rows to parquet while folding per-partition
+    * lineage (row count + xor-of-row-hash checksum) into a collection
+    * accumulator — one (Int, Long, Long) tuple per task partition reaches the
+    * driver, never data rows. Round 2 re-read the whole written snapshot to
+    * compute lineage; at 100 TB that second pass costs as much as the stage
+    * itself. The row hash is xxhash64 of the JSON of the row's columns in
+    * lexicographic column order, so `verifyLineage` can recompute it from the
+    * committed files regardless of the partition-column reordering that
+    * `partitionBy` writes produce on read-back.
+    *
+    * Accumulator caveat (documented): updates come from the write job's
+    * tasks; Spark drops updates from failed attempts, and the df feeds
+    * exactly one action here, so counts are exact unless speculative
+    * execution races two attempts of one partition — `lineageFor` dedupes by
+    * partition id, which also covers that case.
+    */
+  private def writeSegment(name: String, df: DataFrame, partitionBy: Seq[String],
+      kind: String, upsert: Boolean, keys: Seq[String]): Long = {
     val id = latestSnapshot(name).getOrElse(0L) + 1L
     val dataPath = snapshotPath(name, id)
-    val writer = df.write.mode("overwrite")
+
+    val acc = spark.sparkContext
+      .collectionAccumulator[(Int, Long, Long)](s"graft-lineage-$name-$id")
+    val enriched = df.withColumn("__graft_row_hash", rowHashCol(df.columns))
+    val schema = enriched.schema
+    val hashIdx = schema.fieldIndex("__graft_row_hash")
+    val counted = enriched.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      new Iterator[Row] {
+        private var cnt = 0L
+        private var xor = 0L
+        private var reported = false
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !reported) { acc.add((pid, cnt, xor)); reported = true }
+          h
+        }
+        override def next(): Row = {
+          val r = it.next()
+          cnt += 1
+          if (!r.isNullAt(hashIdx)) xor ^= r.getLong(hashIdx)
+          r
+        }
+      }
+    }(Encoders.row(schema))
+
+    val writer = counted.drop("__graft_row_hash").write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataPath)
 
-    // per-partition lineage over the *written* files (committed bytes)
-    val written = spark.read.parquet(dataPath)
-    val lineage = written
-      .withColumn("partition_id", spark_partition_id())
-      .withColumn("row_hash", xxhash64(to_json(struct(written.columns.map(col): _*))))
-      .groupBy($"partition_id")
-      .agg(count(lit(1)).as("output_rows"),
-        // xor-fold: order-independent, never overflows (ANSI-safe)
-        coalesce(bit_xor($"row_hash"), lit(0L)).as("checksum"))
+    // lineage rows from the accumulated per-partition tuples (dedup by pid:
+    // a speculative duplicate attempt must not double-count)
+    val tuples = acc.value.asScala.toSeq
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    val now = new Timestamp(System.currentTimeMillis())
+    val lineage = tuples.toDF("partition_id", "output_rows", "checksum")
       .select(
         lit(name).as("stage"),
-        $"partition_id".cast("int").as("partition_id"),
+        $"partition_id",
         lit(0L).as("input_rows"),
         $"output_rows",
         $"checksum",
         lit(id).as("snapshot_id"),
-        lit(new Timestamp(System.currentTimeMillis())).as("committed_at"))
+        lit(now).as("committed_at"))
     val lineageDir = tableDir(name).resolve(s"snapshot-$id-lineage").toString
     lineage.write.mode("overwrite").parquet(lineageDir)
 
-    // atomic manifest append: write tmp with full content, rename over
+    appendManifest(name, id, kind, upsert, keys)
+    id
+  }
+
+  /** Row-content hash used for lineage checksums: JSON over columns in
+    * lexicographic name order (stable across the column reordering of
+    * partitioned read-back).
+    */
+  private def rowHashCol(columns: Seq[String]) =
+    xxhash64(to_json(struct(columns.sorted.map(col): _*)))
+
+  /** Recompute (total rows, global xor checksum) from the COMMITTED files of
+    * a segment and compare against the lineage written at commit time.
+    * Partition boundaries differ on read-back, so the comparison is at the
+    * order-independent aggregate level — which is exactly the resume
+    * integrity question ("are the committed bytes the rows the job saw?").
+    */
+  def verifyLineage(name: String, id: Long): Boolean = {
+    val committed = spark.read.parquet(snapshotPath(name, id))
+    val actual = committed
+      .agg(count(lit(1)).as("rows"),
+        coalesce(bit_xor(rowHashCol(committed.columns)), lit(0L)).as("checksum"))
+      .first()
+    val recorded = lineage(name) match {
+      case None => return false
+      case Some(lin) =>
+        lin.filter($"snapshot_id" === id)
+          .agg(coalesce(sum($"output_rows"), lit(0L)).as("rows"),
+            coalesce(bit_xor(when($"output_rows" > 0, $"checksum")), lit(0L)).as("checksum"))
+          .first()
+    }
+    actual.getLong(0) == recorded.getLong(0) && actual.getLong(1) == recorded.getLong(1)
+  }
+
+  private def appendManifest(name: String, id: Long, kind: String, upsert: Boolean,
+      keys: Seq[String]): Unit = {
     Files.createDirectories(tableDir(name))
     val m = manifest(name)
     val existing =
       if (Files.exists(m)) Files.readAllLines(m, UTF_8).asScala.toSeq else Seq.empty
+    val keysJson = keys.map(k => "\"" + k + "\"").mkString("[", ", ", "]")
     val entry =
-      s"""{"snapshot_id": $id, "table": "$name", "committed_at_ms": ${System.currentTimeMillis()}}"""
+      s"""{"snapshot_id": $id, "table": "$name", "kind": "$kind", "upsert": $upsert, """ +
+        s""""keys": $keysJson, "committed_at_ms": ${System.currentTimeMillis()}}"""
     val tmp = tableDir(name).resolve(s"_snapshots.json.tmp-$id")
     Files.write(tmp, (existing :+ entry).mkString("\n").getBytes(UTF_8))
     Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    id
   }
 
   /** All lineage rows for a table across snapshots. */
@@ -102,10 +244,10 @@ class SnapshotLog(spark: SparkSession, baseDir: String) {
 
   /** MERGE-style append (S6 semantics, reference pipeline.py:416-547
     * UNWIND-upsert + dedup-before-write :791-801): rows whose key already
-    * exists in the latest snapshot are dropped (left_anti), the remainder is
-    * appended as a new snapshot of existing ∪ new. Idempotent: re-running the
-    * same append is a no-op on content. Returns the new snapshot id (or the
-    * current one when nothing new arrived).
+    * exists in the live table are dropped (left_anti); the remainder is
+    * written as a DELTA SEGMENT — O(new rows), not O(table). Idempotent:
+    * re-running the same append writes nothing. Returns the new segment id
+    * (or the current one when nothing new arrived).
     */
   def mergeAppend(name: String, df: DataFrame, keys: Seq[String],
       partitionBy: Seq[String] = Nil): Long = {
@@ -115,7 +257,25 @@ class SnapshotLog(spark: SparkSession, baseDir: String) {
         val fresh = df.dropDuplicates(keys)
           .join(existing.select(keys.map(col): _*), keys, "left_anti")
         if (fresh.isEmpty) latestSnapshot(name).get
-        else commit(name, existing.unionByName(fresh), partitionBy)
+        else writeSegment(name, fresh, partitionBy, kind = "delta", upsert = false, keys)
+    }
+  }
+
+  /** MERGE with UPDATE semantics (entity-link summary/alias merges): rows
+    * whose key is new OR whose content differs from the live row are written
+    * as an upsert delta; `read` resolves last-writer-wins per key
+    * (merge-on-read). O(changed + new) write. EXCEPT does the change
+    * detection null-safely. Idempotent on content.
+    */
+  def mergeUpsert(name: String, df: DataFrame, keys: Seq[String],
+      partitionBy: Seq[String] = Nil): Long = {
+    read(name) match {
+      case None => commit(name, df.dropDuplicates(keys), partitionBy)
+      case Some(existing) =>
+        val in = df.dropDuplicates(keys)
+        val delta = in.except(existing.select(in.columns.map(col): _*))
+        if (delta.isEmpty) latestSnapshot(name).get
+        else writeSegment(name, delta, partitionBy, kind = "delta", upsert = true, keys)
     }
   }
 

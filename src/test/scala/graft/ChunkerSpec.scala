@@ -82,6 +82,34 @@ class ChunkerSpec extends SparkSpec {
       Seq(new java.sql.Timestamp(1704067200000L)))
   }
 
+  test("W3: a date only mid-conversation is NOT picked (chunks[:6]/chunks[-6:] scan)") {
+    // 15 emitted chunks; the only date sits at emitted position 8 — outside
+    // both the head-6 and the tail-6 → reference falls back (min ts here)
+    val mid = (0 until 15).map { i =>
+      val text =
+        if (i == 7) "the memo dated 2023-05-04 was only mentioned here mid-thread, nowhere else."
+        else s"turn number $i $longA"
+      turn("c1", i, text)
+    }.toDS()
+    assert(TurnChunker.chunk(spark, mid).collect().map(_.document_date).distinct.toSeq ===
+      Seq(new Timestamp(1704067200000L)))
+    // the same date within the LAST 6 emitted chunks IS picked — also under
+    // salting (cross-group head/tail reconciliation)
+    val tail = (0 until 15).map { i =>
+      val text =
+        if (i == 12) "the memo dated 2023-05-04 was circulated near the end of the thread."
+        else s"turn number $i $longA"
+      turn("c1", i, text)
+    }.toDS()
+    val expected = new Timestamp(java.time.LocalDate.of(2023, 5, 4)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    for (salt <- Seq(1000000, 4)) {
+      val got = TurnChunker.chunk(spark, tail, TurnChunker.Config(saltTurns = salt))
+        .collect().map(_.document_date).distinct.toSeq
+      assert(got === Seq(expected), s"saltTurns=$salt")
+    }
+  }
+
   test("salted sub-windows produce byte-identical output to unsalted (skew path)") {
     // 90 turns incl. short/null gaps and tool turns; windowSize 3 exercises
     // the cross-boundary prev-tail prefix, saltTurns 7 forces many boundaries
