@@ -351,9 +351,30 @@ object SparkEntry {
     "kg_retrieval_rrf" -> ((s, dir) => {
       val turns = TranscriptGen.transcripts(s, smallSynth)
       val facts = Retriever.withFactEmbeddings(Ingest.runInMemory(s, turns).triples)
-      Retriever.search(facts, "acquisitions and partnerships", Seq.empty, topK = 10)
+      // widened floors/top-k so the driver row carries a meaningful result
+      // set (≥20 fused rows) instead of round 2's 2-row fixture
+      Retriever.search(facts, "acquisitions and partnerships", Seq.empty, topK = 30,
+          Retriever.Config(globalFloor = 0.1, globalTopK = 60))
         .select(col("fact_uuid"), col("rrf_score"),
           array_join(array_sort(col("found_by")), "|").as("found_by"))
+    }),
+
+    // flagship EXACT check: symmetric difference between the full pipeline's
+    // (conv, subj, pred, obj, date) set and the independently-derived golden
+    // fixture — EMPTY on the smallSynth corpus, and the oracle is the empty
+    // relation, so the driver hash-checks pipeline==golden end-to-end without
+    // needing uuid5 in SQL.
+    "kg_pipeline_golden_diff" -> ((s, dir) => {
+      val r = Ingest.runInMemory(s, TranscriptGen.transcripts(s, smallSynth))
+      def key(df: DataFrame): DataFrame = df.select(col("conv_id"),
+        lower(col("subject")).as("s"), col("predicate").as("p"),
+        lower(col("object")).as("o"),
+        coalesce(col("date_context"), lit("")).as("d")).distinct()
+      val got = key(r.triples)
+      val exp = key(TranscriptGen.goldenTriples(s, smallSynth).toDF())
+      got.except(exp).withColumn("side", lit("pipeline_only"))
+        .unionByName(exp.except(got).withColumn("side", lit("golden_only")))
+        .orderBy(col("conv_id"), col("s"), col("p"), col("o"), col("d"))
     }),
 
     // question → decompose → hint-resolve → dual-path retrieve → boost → cap,
@@ -711,6 +732,13 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) AS month,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
-        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // the flagship golden-diff is the EMPTY relation: the Spark side emits
+    // pipeline⊖golden (expected empty), the oracle emits zero rows with the
+    // same schema — any pipeline/golden divergence breaks the hash match
+    "kg_pipeline_golden_diff" ->
+      """SELECT '' AS conv_id, '' AS s, '' AS p, '' AS o, '' AS d, '' AS side
+        |WHERE 1 = 0""".stripMargin
   )
 }

@@ -62,6 +62,34 @@ object EntityDedup {
   private[graft] def firstTokenKey(name: String): String =
     name.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").headOption.getOrElse("")
 
+  /** Bounded first-k-distinct accumulator: keeps the k lexicographically
+    * smallest distinct strings — the same result as
+    * `slice(sort_array(collect_set(x)), 1, k)` but with O(k) state per group
+    * instead of the full set. A hot entity at corpus scale has millions of
+    * mention chunks; collect_set would accumulate them all before the slice.
+    * Buffer stays a ≤k sorted Vector; the common hot-group case (full buffer,
+    * value ≥ last) is O(1).
+    */
+  private[graft] class BoundedSortedSet(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Seq[String], Seq[String]] {
+    override def zero: Seq[String] = Vector.empty
+    override def reduce(b: Seq[String], a: String): Seq[String] =
+      if (a == null || (b.length == k && b.last <= a) || b.contains(a)) b
+      else {
+        val merged = (b :+ a).sorted
+        if (merged.length > k) merged.take(k) else merged
+      }
+    override def merge(x: Seq[String], y: Seq[String]): Seq[String] = {
+      val m = (x ++ y).distinct.sorted
+      if (m.length > k) m.take(k) else m
+    }
+    override def finish(r: Seq[String]): Seq[String] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   case class Config(
       similarityThreshold: Double = 0.85, // entity_dedup.py:536 default
       // first-token blocks larger than this skip pair generation (the alias
@@ -91,8 +119,10 @@ object EntityDedup {
           .as("first"),
         // bounded provenance sample: a hot entity at corpus scale has millions
         // of chunks — full per-chunk provenance lives on the triples table,
-        // the entity row carries a deterministic sample
-        slice(sort_array(collect_set($"chunk_uuid")), 1, 20).as("source_chunks"))
+        // the entity row carries a deterministic sample. BoundedSortedSet
+        // keeps O(k) state per group (collect_set would buffer the full
+        // distinct set before slicing).
+        udaf(new BoundedSortedSet(20)).apply($"chunk_uuid").as("source_chunks"))
       .select(
         uuidUdf($"group_id", $"name").as("entity_uuid"),
         $"name",

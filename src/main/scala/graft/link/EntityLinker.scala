@@ -1,17 +1,20 @@
 package graft.link
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.EntityDedup
-import graft.functions.Embed
+import graft.functions.{Embed, Norm}
 
 /** Entity linking against an existing entity graph (SURVEY.md §2.3 J4).
   *
   * Reference: /root/reference/src/agents/entity_registry.py:134-218 — each new
   * canonical entity runs a vector kNN (top 25, group_id-scoped) against
-  * existing EntityNodes, then an LLM picks the match or declares it new.
+  * existing EntityNodes, then an LLM picks the match or declares it new. On a
+  * match, the registry MERGES the summaries (containment short-circuit at
+  * :330-333) and APPENDS the new surface form to the existing node's aliases
+  * (:252-333) — reproduced here deterministically via Norm.mergeSummaries.
   *
   * Spark shape (the north star's "broadcast-joined entity-link scorer"):
   * candidates come from an equi-join on blocking key against the existing
@@ -23,7 +26,9 @@ import graft.functions.Embed
   * rules of EntityDedup (alias table, suffix strip, type guardrail).
   *
   * @return input `newEntities` columns + (resolved_uuid, resolved_name,
-  *         is_new) — matched rows adopt the existing uuid/name.
+  *         resolved_summary, resolved_aliases, resolved_embedding, is_new) —
+  *         matched rows adopt the existing uuid/name/embedding, merge
+  *         summaries, and append their surface form to the alias set.
   */
 object EntityLinker {
 
@@ -31,6 +36,15 @@ object EntityLinker {
       scoreThreshold: Double = 0.85,
       broadcastExisting: Boolean = true,
       groupId: String = "default")
+
+  /** Column if present, else a typed null/default — keeps link() usable on
+    * minimal entity schemas (tests, external tables without summaries).
+    */
+  private def colOr(df: DataFrame, name: String, default: Column): Column =
+    if (df.columns.contains(name)) col(name) else default
+
+  private val nullStr = lit(null).cast("string")
+  private val emptyStrArr = lit(Array.empty[String])
 
   def link(spark: SparkSession, newEntities: DataFrame, existing: DataFrame,
       cfg: Config = Config()): DataFrame = {
@@ -42,11 +56,18 @@ object EntityLinker {
       Seq(EntityDedup.aliasKey(n), EntityDedup.firstTokenKey(n)).distinct)
     val aliasKeyUdf = udf((n: String) => EntityDedup.aliasKey(n))
     val cosUdf = udf((a: Seq[Double], b: Seq[Double]) => Embed.cosine(a.toArray, b.toArray))
+    val mergeSummariesUdf = udf((old: String, nw: String) => Norm.mergeSummaries(old, nw))
+
+    val newSummary = colOr(newEntities, "summary", nullStr)
+    val newAliases = colOr(newEntities, "aliases", emptyStrArr)
 
     if (existing.isEmpty) {
       return newEntities
         .withColumn("resolved_uuid", $"entity_uuid")
         .withColumn("resolved_name", $"name")
+        .withColumn("resolved_summary", newSummary)
+        .withColumn("resolved_aliases", newAliases)
+        .withColumn("resolved_embedding", $"embedding")
         .withColumn("is_new", lit(true))
     }
 
@@ -57,6 +78,8 @@ object EntityLinker {
       $"name".as("ex_name"),
       $"entity_type".as("ex_type"),
       $"embedding".as("ex_emb"),
+      colOr(existing, "summary", nullStr).as("ex_summary"),
+      colOr(existing, "aliases", emptyStrArr).as("ex_aliases"),
       $"group_id")
     val exKeyed = if (cfg.broadcastExisting) broadcast(exKeyed0) else exKeyed0
 
@@ -84,8 +107,20 @@ object EntityLinker {
       .withColumn("matched", $"alias_match" || $"cos" >= lit(cfg.scoreThreshold))
       .withColumn("resolved_uuid", when($"matched", $"ex_uuid").otherwise($"entity_uuid"))
       .withColumn("resolved_name", when($"matched", $"ex_name").otherwise($"name"))
+      // reference merge-on-match (entity_registry.py:252-333): keep the
+      // existing node but fold in the new summary and surface form
+      .withColumn("resolved_summary",
+        when($"matched", mergeSummariesUdf($"ex_summary", newSummary))
+          .otherwise(newSummary))
+      .withColumn("resolved_aliases",
+        when($"matched", array_distinct(concat(
+            coalesce($"ex_aliases", emptyStrArr),
+            coalesce(newAliases, emptyStrArr),
+            array($"name"))))
+          .otherwise(coalesce(newAliases, emptyStrArr)))
+      .withColumn("resolved_embedding", when($"matched", $"ex_emb").otherwise($"embedding"))
       .withColumn("is_new", !$"matched")
-      .drop("rn", "ex_uuid", "ex_name", "ex_type", "ex_emb", "ex_akey", "score",
-        "cos", "alias_match", "type_ok", "matched", "block_key", "akey")
+      .drop("rn", "ex_uuid", "ex_name", "ex_type", "ex_emb", "ex_summary", "ex_aliases",
+        "ex_akey", "score", "cos", "alias_match", "type_ok", "matched", "block_key", "akey")
   }
 }

@@ -161,13 +161,35 @@ object Ingest {
     val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
     val triples = TripleAssembler.assemble(spark, raw, finalRemap, topics, cfg.assembler)
 
-    val entityRows = linked
+    // matched rows REPLACE the committed entity (same uuid/name/embedding,
+    // merged summary, appended aliases — entity_registry.py:252-333); new
+    // rows append. Several new entities can link to ONE existing uuid, so
+    // fold per uuid deterministically before the upsert: summaries merge
+    // pairwise in name order, alias/chunk sets union.
+    val mergeAllUdf = udf((ss: Seq[String]) =>
+      ss.sorted.foldLeft("")((acc, s) => graft.functions.Norm.mergeSummaries(acc, s)))
+    val entityRows0 = linked
       .withColumn("entity_uuid", $"resolved_uuid")
       .withColumn("canonical_name", $"resolved_name")
       .withColumn("name", $"resolved_name")
-      .drop("resolved_uuid", "resolved_name", "is_new")
+      .withColumn("summary", $"resolved_summary")
+      .withColumn("aliases", $"resolved_aliases")
+      .withColumn("embedding", $"resolved_embedding")
+      .drop("resolved_uuid", "resolved_name", "resolved_summary", "resolved_aliases",
+        "resolved_embedding", "is_new")
       .select(existing.columns.map(col): _*)
-    log.mergeAppend("entities", entityRows, Seq("entity_uuid"), Seq("group_id"))
+    val scalarCols = existing.columns.filterNot(c =>
+      Set("entity_uuid", "summary", "aliases", "source_chunks").contains(c))
+    val entityRows = entityRows0.groupBy($"entity_uuid")
+      .agg(
+        max_by(struct(scalarCols.map(col): _*), struct($"name", $"summary")).as("c"),
+        mergeAllUdf(collect_set($"summary")).as("summary"),
+        array_distinct(flatten(collect_list($"aliases"))).as("aliases"),
+        slice(array_distinct(flatten(collect_list($"source_chunks"))), 1, 20)
+          .as("source_chunks"))
+      .select(existing.columns.map(c =>
+        if (scalarCols.contains(c)) col(s"c.$c").as(c) else col(c)): _*)
+    log.mergeUpsert("entities", entityRows, Seq("entity_uuid"), Seq("group_id"))
     log.mergeAppend("triples", triples.toDF(), Seq("fact_uuid"), Seq("group_id"))
     log.mergeAppend("chunks", chunks.toDF(), Seq("chunk_uuid"), Seq("group_id"))
 

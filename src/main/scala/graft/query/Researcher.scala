@@ -33,7 +33,8 @@ object Researcher {
       expansionMergePenalty: Double = 0.8, // researcher.py:640
       thinEvidence: Int = 5, // researcher.py:445
       topKEvidence: Int = 15, // v6/schemas.py:40
-      topKEvidenceEnumeration: Int = 40)
+      topKEvidenceEnumeration: Int = 40,
+      refinementTopK: Int = 20) // refinement_search_top_k, researcher.py:703-860
 
   /** Step 1: resolve entity name hints → entity uuids (exact alias-key match
     * first, else embedding cosine ≥ floor, top-1 per hint).
@@ -66,8 +67,10 @@ object Researcher {
   def research(facts: DataFrame, entities: DataFrame, question: String,
       entityHints: Seq[String] = Nil, topicHints: Seq[String] = Nil,
       enumeration: Boolean = false, cfg: Config = Config()): DataFrame = {
-    val resolved = resolveHints(entities, entityHints, cfg)
-      .select(col("entity_uuid")).collect().map(_.getString(0)).toSeq
+    val resolvedRows = resolveHints(entities, entityHints, cfg)
+      .select(col("entity_uuid"), col("hint")).collect()
+    val resolved = resolvedRows.map(_.getString(0)).toSeq.distinct
+    val resolvedHints = resolvedRows.map(_.getString(1)).toSet
 
     // step 2: dual path — scoped per entity ∪ topic-scoped ∪ global (always)
     val parts = Seq.newBuilder[DataFrame]
@@ -112,10 +115,40 @@ object Researcher {
           .unionByName(extra.select(col("fact_uuid"), col("fact"),
             col("vector_score"), col("sources"), col("final_score")))
       }
+    val expandedNorm = expanded.select(col("fact_uuid"), col("fact"),
+      col("vector_score"), col("sources"), col("final_score"))
+
+    // step 4b (v6 step 7 analogue): deterministic REFINEMENT. The reference
+    // detects a vague answer (confidence < 0.85) and re-searches with
+    // targeted queries at refinement_search_top_k=20, merging with the 0.8
+    // penalty, one pass (researcher.py:703-860). The confidence gate is LLM;
+    // the deterministic trigger here is the same thin-evidence floor the gap
+    // expansion uses (reusing the bounded `top` collect — no extra job) plus
+    // at least one UNRESOLVED entity hint to target: each such hint runs one
+    // targeted global search (the hint text as the query), and the recovered
+    // facts merge under the penalty before the final re-rank.
+    val unresolved = entityHints.filterNot(resolvedHints)
+    val refined =
+      if (top.length >= cfg.thinEvidence || unresolved.isEmpty) expandedNorm
+      else {
+        val targeted = unresolved.map { h =>
+          Retriever.globalSearch(facts, h,
+              cfg.retriever.copy(globalTopK = cfg.refinementTopK))
+            .select(col("fact_uuid"), col("fact"), col("score"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("fact_uuid"))
+          .agg(max(col("score")).as("score"), first(col("fact")).as("fact"))
+          .join(expandedNorm.select(col("fact_uuid")), Seq("fact_uuid"), "left_anti")
+          .select(col("fact_uuid"), col("fact"),
+            (col("score") * cfg.expansionMergePenalty).as("vector_score"),
+            array(lit("refinement")).as("sources"))
+          .withColumn("final_score", col("vector_score"))
+        expandedNorm.unionByName(targeted)
+      }
 
     // step 5: evidence cap by question type
     val k = if (enumeration) cfg.topKEvidenceEnumeration else cfg.topKEvidence
-    expanded
+    refined
       .select(col("fact_uuid"), col("fact"), col("final_score"),
         array_sort(col("sources")).as("sources"))
       .orderBy(col("final_score").desc, col("fact_uuid"))

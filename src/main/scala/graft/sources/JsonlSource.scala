@@ -40,6 +40,15 @@ object JsonlSource {
     limit.fold(df)(df.limit).as[Turn]
   }
 
+  /** JSONL sink (S3 write side, reference chunks_to_jsonl
+    * markdown_chunker.py:163-178): one JSON object per line, splittable on
+    * read-back by `readTranscripts`/`spark.read.json`. Timestamps serialize
+    * ISO-8601, so a write→read round-trip is lossless for the Turn schema.
+    */
+  def writeJsonl(df: org.apache.spark.sql.DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
   /** Count of malformed lines (the reference logs skipped lines). Spark
     * disallows queries touching only the corrupt-record column on a raw
     * json scan; caching first is the documented workaround.

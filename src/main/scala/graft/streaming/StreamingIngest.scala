@@ -26,19 +26,48 @@ object StreamingIngest {
   /** Append-stream extraction: each micro-batch is chunked + extracted, raw
     * triples MERGE-append on (chunk_uuid, fact, subject, object) — replays
     * and overlapping batches are no-ops (exactly-once on content).
+    *
+    * Chunk numbering is BATCH-RUN PARITY (reference numbers chunks per
+    * document globally, markdown_chunker.py:70-79): each micro-batch offsets
+    * its per-conversation chunk_no by the max already committed for that
+    * conversation, so a 3-batch stream lands the same chunk_ids a single
+    * batch run over the same turns produces (in-order append stream assumed;
+    * replayed rows are dropped by chunk_uuid before numbering, so replays
+    * cannot shift the sequence).
     */
   def start(spark: SparkSession, turns: Dataset[Turn], warehouseDir: String,
       cfg: Ingest.Config = Ingest.Config()): StreamingQuery = {
+    import spark.implicits._
     turns.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
         val log = new SnapshotLog(spark, warehouseDir)
         val chunks = TurnChunker.chunk(spark, batch, cfg.chunker)
         val raw = TripleExtractor.extract(spark, chunks)
+        val renumbered = log.read("chunks") match {
+          case None => chunks.toDF()
+          case Some(committed) =>
+            // committed per-conv numbering high-water mark; only the batch's
+            // conversations matter, so the offset table stays micro-batch-sized
+            val chunkNo = (c: org.apache.spark.sql.Column) =>
+              substring_index(c, "_chunk_", -1).cast("int")
+            val convs = chunks.select($"conv_id").distinct()
+            val offsets = committed.join(convs, Seq("conv_id"), "left_semi")
+              .groupBy($"conv_id").agg(max(chunkNo($"chunk_id")).as("chunk_off"))
+            val fresh = chunks.toDF()
+              .join(committed.select($"chunk_uuid"), Seq("chunk_uuid"), "left_anti")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy($"conv_id").orderBy($"window_end")
+            fresh.join(offsets, Seq("conv_id"), "left")
+              .withColumn("chunk_id", format_string("%s_chunk_%04d", $"conv_id",
+                row_number().over(w) + coalesce($"chunk_off", lit(0))))
+              .drop("chunk_off")
+              .select(chunks.columns.map(col): _*)
+        }
         log.mergeAppend("raw_triples", raw.toDF(),
           Seq("chunk_uuid", "fact", "subject", "relationship", "object"),
           Seq("group_id"))
-        log.mergeAppend("chunks", chunks.toDF(), Seq("chunk_uuid"), Seq("group_id"))
+        log.mergeAppend("chunks", renumbered, Seq("chunk_uuid"), Seq("group_id"))
         ()
       }
       .start()

@@ -169,6 +169,21 @@ class SnapshotLog(spark: SparkSession, baseDir: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataPath)
 
+    // a partitionBy write of an EMPTY stage creates no parquet files (dynamic
+    // partitioning has nothing to lay out), which would fail read-back schema
+    // inference — land one zero-row schema-bearing file so empty stages
+    // commit and resume like any other (e.g. a micro-batch with no facts)
+    val hasParquet = {
+      val s = Files.walk(Paths.get(dataPath))
+      try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (!hasParquet) {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "__graft_row_hash"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+        .coalesce(1).write.mode("append").parquet(dataPath)
+    }
+
     // lineage rows from the accumulated per-partition tuples (dedup by pid:
     // a speculative duplicate attempt must not double-count)
     val tuples = acc.value.asScala.toSeq

@@ -4,6 +4,29 @@ import graft.canon.{ConnectedComponents, EntityDedup}
 import graft.model.Mention
 
 class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.functions.{udaf => mkUdaf}
+
+  test("bounded first-occurrence sample == slice(sort_array(collect_set)) incl. a hot group") {
+    import spark.implicits._
+    // 200k mentions, one pathological hot name owning 10% of them — the
+    // bounded Aggregator must match the unbounded formulation exactly while
+    // keeping O(k) state per group
+    val rows = spark.range(0, 200000).select(
+        when($"id" % 10 === 0, lit("Hot Entity"))
+          .otherwise(concat(lit("e"), ($"id" % 500))).as("name"),
+        concat(lit("chunk-"),
+          format_string("%08d", pmod($"id" * 2654435761L, lit(1000000L)))).as("chunk_uuid"))
+      .cache()
+    val fast = rows.groupBy($"name")
+      .agg(mkUdaf(new graft.canon.EntityDedup.BoundedSortedSet(20)).apply($"chunk_uuid").as("s"))
+    val ref = rows.groupBy($"name")
+      .agg(slice(sort_array(collect_set($"chunk_uuid")), 1, 20).as("s"))
+    val joined = fast.join(ref.withColumnRenamed("s", "s_ref"), Seq("name"))
+    assert(joined.count() === 451L)
+    assert(joined.filter(not($"s" <=> $"s_ref")).count() === 0L)
+    rows.unpersist()
+  }
   import spark.implicits._
 
   test("connected components: transitivity over chained edges") {

@@ -108,6 +108,46 @@ class IncrementalSpec extends SparkSpec {
     assert(incr.select($"entity_uuid").distinct().count() === incr.count())
   }
 
+  test("incremental link merges summaries + appends aliases (entity_registry.py:252-333)") {
+    import java.sql.Timestamp
+    def t(conv: String, idx: Int, text: String) =
+      graft.model.Turn(conv, idx, "user", text, "", new Timestamp(1704067200000L + idx * 60000L))
+    val filler = " extra filler text so the chunk clears the minimum length filter."
+    val dir = Files.createTempDirectory("graft-linkmerge").toString
+    // corpus A: full name → entity "Apex Systems Inc"
+    Ingest.run(spark, Seq(
+      t("a1", 0, "Apex Systems Inc acquired Nova Robotics Ltd in 2019." + filler)).toDS(), dir)
+    val log = new SnapshotLog(spark, dir)
+    val before = log.read("entities").get
+      .filter(lower($"canonical_name").contains("apex")).collect().head
+    val apexUuid = before.getAs[String]("entity_uuid")
+
+    // corpus B: suffix-stripped alias "Apex Systems" in a NEW fact
+    Ingest.runIncremental(spark, Seq(
+      t("b1", 0, "Apex Systems partnered with Granite Foods LLC." + filler)).toDS(), dir)
+
+    val after = log.read("entities").get
+      .filter(lower($"canonical_name").contains("apex")).collect()
+    assert(after.length === 1, "still exactly one Apex entity row")
+    val row = after.head
+    assert(row.getAs[String]("entity_uuid") === apexUuid, "uuid/name kept from A")
+    assert(row.getAs[String]("canonical_name") === "Apex Systems Inc")
+    assert(row.getAs[scala.collection.Seq[String]]("aliases").contains("Apex Systems"),
+      s"B's surface form must be appended to aliases: ${row.getAs[scala.collection.Seq[String]]("aliases")}")
+    val summary = row.getAs[String]("summary")
+    assert(summary.contains("Apex Systems Inc is an entity") &&
+      summary.contains("Apex Systems is an entity"),
+      s"summaries must merge (got: $summary)")
+    // the linked fact resolved to A's uuid
+    val fact = log.read("triples").get.filter($"predicate" === "PARTNERED_WITH").collect()
+    assert(fact.nonEmpty && fact.head.getAs[String]("subject_uuid") === apexUuid)
+    // idempotent: rerunning B changes nothing (containment short-circuit)
+    val segsBefore = log.snapshots("entities")
+    Ingest.runIncremental(spark, Seq(
+      t("b1", 0, "Apex Systems partnered with Granite Foods LLC." + filler)).toDS(), dir)
+    assert(log.snapshots("entities") === segsBefore, "no-op rerun must write no segment")
+  }
+
   test("dedup stats (A5)") {
     val ms = Seq(
       graft.model.Mention("Quantum Dynamics Inc", "Organization", "Quantum Dynamics Inc is an entity observed in transcripts.", "c1", "conv1", 0, "default"),

@@ -88,6 +88,35 @@ class ResearcherSpec extends SparkSpec {
     assert(rows.head.getAs[String]("fact") === q) // self-retrieval on top
   }
 
+  test("refinement: unresolved hint recovers a fact the first pass missed (researcher.py:703-860)") {
+    import graft.functions.Embed
+    val facts = Retriever.withFactEmbeddings(Seq(
+      ("f1", "Zeta Prime Holdings acquired Kappa Metals in 2020.", "eZ", "eK"),
+      ("f2", "Granite Foods partnered with Vertex Capital.", "eG", "eV"))
+      .toDF("fact_uuid", "fact", "subject_uuid", "object_uuid"))
+    val entities = Seq(("eG", "Granite Foods", "Organization",
+        Embed.embed("Granite Foods").toSeq, Seq("Granite Foods"), "default"))
+      .toDF("entity_uuid", "canonical_name", "entity_type", "embedding", "aliases", "group_id")
+
+    // the question is dissimilar to every fact → first pass finds nothing
+    val q = "ownership restructuring outcomes"
+    val bare = Researcher.research(facts, entities, q)
+    assert(bare.count() === 0, "fixture assumption: first pass must come up empty")
+
+    // hint "Zeta Prime Holdings" does NOT resolve (no matching entity) → the
+    // refinement pass targets it with a global search and recovers f1
+    val out = Researcher.research(facts, entities, q,
+      entityHints = Seq("Zeta Prime Holdings")).collect()
+    assert(out.map(_.getAs[String]("fact_uuid")).contains("f1"),
+      s"refinement must recover the targeted fact (got ${out.mkString(";")})")
+    val f1 = out.find(_.getAs[String]("fact_uuid") === "f1").get
+    assert(f1.getAs[scala.collection.Seq[String]]("sources").toSeq === Seq("refinement"))
+    // penalty applied: final = 0.8 × the hint→fact similarity
+    val sim = Embed.cosine(Embed.embed("Zeta Prime Holdings"),
+      Embed.embed("Zeta Prime Holdings acquired Kappa Metals in 2020."))
+    assert(math.abs(f1.getAs[Double]("final_score") - 0.8 * sim) < 1e-12)
+  }
+
   test("enumeration drilldown expands <=3 extra facts per top incident entity") {
     val (facts, entities, _) = built
     val q = facts.orderBy($"fact_uuid").select($"fact").first().getString(0)
@@ -131,5 +160,17 @@ class ResearcherSpec extends SparkSpec {
       "Apex Systems Inc acquired Nova Robotics Ltd in 2019. filler to pass the minimum length."))
     val triples = Ingest.runInMemory(spark, turnsWithText).triples
     assert(triples.count() > 0)
+  }
+
+  test("JSONL sink: write → read round-trip is lossless (S3 write side)") {
+    val dir = Files.createTempDirectory("graft-jsonl-sink").resolve("turns").toString
+    val turns = graft.synth.TranscriptGen.transcripts(spark,
+      graft.synth.TranscriptGen.Config(numConvs = 3, turnsPerConv = 12, skew = 2))
+    JsonlSource.writeJsonl(turns.toDF(), dir)
+    val back = JsonlSource.readTranscripts(spark, dir)
+      .orderBy($"conv_id", $"turn_idx").collect()
+    val orig = turns.orderBy($"conv_id", $"turn_idx").collect()
+    assert(back.length === orig.length && back.nonEmpty)
+    back.zip(orig).foreach { case (a, b) => assert(a === b) }
   }
 }

@@ -40,6 +40,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk numbering matches a single batch run (3 batches vs 1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-num").toString
+    val allTurns = (0 until 9).flatMap { i =>
+      Seq(turn("c1", i, s"turn number $i with enough filler text to pass the length filter."),
+        turn("c2", i, if (i % 3 == 1) "short" // gaps: numbering skips dropped turns
+          else s"conversation two turn $i with enough filler text to pass the filter."))
+    }
+    val mem = MemoryStream[Turn]
+    val q = StreamingIngest.start(spark, mem.toDS(), dir)
+    try {
+      // in-order batches, plus a REPLAY of batch 2 inside batch 3
+      val sorted = allTurns.sortBy(t => (t.conv_id, t.turn_idx))
+      val (b1, rest) = sorted.splitAt(6)
+      val (b2, b3) = rest.splitAt(6)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b2 ++ b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val log = new SnapshotLog(spark, dir)
+    val streamed = log.read("chunks").get.select($"chunk_uuid", $"chunk_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val batch = graft.chunk.TurnChunker.chunk(spark, allTurns.toDS()).collect()
+      .map(c => (c.chunk_uuid, c.chunk_id)).toMap
+    assert(streamed === batch,
+      s"diff=${(streamed.toSet diff batch.toSet) ++ (batch.toSet diff streamed.toSet)}")
+  }
+
   test("flatMapGroupsWithState session tracker accumulates per-conv state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[graft.model.Turn]
