@@ -112,21 +112,19 @@ object ScalingBench {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Run one (cores, mode) measurement in a FRESH child JVM and return its
-    * best-of-reps seconds. Fresh-JVM isolation is load-bearing: a long-lived
-    * bench JVM measures the same job 2-3× slower after a few sessions
-    * (BASELINE.md §JVM churn). The child prints one `[measure] <secs>` line.
+  /** Run a main class in a FRESH child JVM (same classpath + JDK17 opens)
+    * and return (exit code, stdout). Fresh-JVM isolation is load-bearing for
+    * every measurement: a long-lived bench JVM measures the same job 2-3×
+    * slower after a few sessions (BASELINE.md §JVM churn).
     */
-  def forkMeasure(cores: Int, corpusDir: String, reps: Int, mode: String): Double = {
+  def forkLines(mainClass: String, args: Seq[String]): (Int, String) = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
       s"-Xmx$mem", "-XX:+UseParallelGC",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.app.ScalingBench", "--measure", cores.toString, corpusDir,
-      reps.toString, mode)
+      "-cp", System.getProperty("java.class.path"), mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
@@ -141,6 +139,15 @@ object ScalingBench {
     val out = new String(proc.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     val rc = proc.waitFor()
+    (rc, out)
+  }
+
+  /** One (cores, mode) measurement in a fresh child JVM → best-of-reps
+    * seconds. The child prints one `[measure] <secs>` line.
+    */
+  def forkMeasure(cores: Int, corpusDir: String, reps: Int, mode: String): Double = {
+    val (rc, out) = forkLines("graft.app.ScalingBench",
+      Seq("--measure", cores.toString, corpusDir, reps.toString, mode))
     val secs = out.linesIterator.collectFirst {
       case l if l.startsWith("[measure] ") => l.stripPrefix("[measure] ").trim.toDouble
     }

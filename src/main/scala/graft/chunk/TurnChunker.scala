@@ -71,7 +71,7 @@ object TurnChunker {
     * then chunks[-6:] only (pipeline.py:1342-1355); a date that appears only
     * mid-conversation must NOT be picked (min(ts) fallback applies instead).
     * `head`/`tail` are the turn_idxs of those positions; candidates are
-    * long-encoded as turn_idx * 1e8 + yyyymmdd (dd = 0 for a bare
+    * long-encoded as turn_idx << DateBits | yyyymmdd (dd = 0 for a bare
     * year-month, which parses as day 1 like Norm.parseDateLenient;
     * impossible dates, e.g. 2024-02-30, reject via LocalDate validation
     * exactly like the string path). Scan order: head positions ascending,
@@ -80,7 +80,7 @@ object TurnChunker {
   private val pickDateUdf = udf { (encs: Seq[Long], head: Seq[Long], tail: Seq[Long]) =>
     if (encs == null) null
     else {
-      val codeByTurn = encs.iterator.map(e => (e / 100000000L) -> (e % 100000000L).toInt)
+      val codeByTurn = encs.iterator.map(e => (e >> DateBits) -> (e & DateMask).toInt)
         .toMap
       val positions = Option(head).getOrElse(Nil).iterator ++
         Option(tail).getOrElse(Nil).iterator
@@ -99,6 +99,15 @@ object TurnChunker {
   }
 
   private val isoDate = "(\\d{4}-\\d{2}(?:-\\d{2})?)"
+
+  /** Shift width of the combined per-emitted-row encoding
+    * `turn_idx << DateBits | yyyymmdd` — yyyymmdd ≤ 99991231 < 2^27, and
+    * turn_idx < 2^31 keeps the product within a long. Bit ops (not ×1e8 +
+    * integer div) so decoding stays exact in Column arithmetic (SQL `/` is
+    * double division, lossy above 2^53).
+    */
+  private val DateBits = 27
+  private val DateMask = (1L << DateBits) - 1L
 
   def chunk(spark: SparkSession, turns: Dataset[Turn], cfg: Config = Config()): Dataset[Chunk] = {
     import spark.implicits._
@@ -149,49 +158,57 @@ object TurnChunker {
       substring($"date_str", 6, 2).cast("long") * 100L +
       when(length($"date_str") >= 10, substring($"date_str", 9, 2).cast("long"))
         .otherwise(0L)
-    val candEnc = when($"date_str" =!= "", $"turn_idx".cast("long") * 100000000L + dateCode)
     val lastToolAgg = max(when(toolOrNull.isNotNull, struct($"turn_idx", $"tool")))
       .getField("tool").as("g_last_tool")
-    // per-group first/last ≤6 emitted turn_idxs: the conversation-level
-    // head-6/tail-6 emitted POSITIONS (which gate date candidates, reference
-    // chunks[:6]/chunks[-6:]) are derivable from these bounded arrays — the
-    // conv's first 6 emitted rows lie in its earliest groups and are among
-    // each group's first ≤6 emitted rows (pigeonhole), symmetrically for the
-    // tail. For w > 1 emission is approximated by emit0 (a body that
-    // concatenates w texts may still emit when its own text is short) —
-    // candidates carry the same emit0 gate, so the approximation is
-    // self-consistent; exact for the default w == 1.
-    val emitIdx = when($"emit0", $"turn_idx".cast("long"))
+    // ONE combined list per group feeds everything positional: each EMITTED
+    // row contributes `turn_idx << DateBits | yyyymmdd` (0 when no date), so
+    // date candidates, the first/last-6 emitted positions (which gate date
+    // candidates, reference chunks[:6]/chunks[-6:] — derivable per group by
+    // pigeonhole: the conv's first 6 emitted rows are among each early
+    // group's first 6), and the emitted count all come from a single
+    // collect_list buffer — the r2 shape had one list + one sum; separate
+    // lists per concern measurably inflated the stats map side
+    // (ChunkStageProbe). Per-group length is bounded by saltTurns (the
+    // salting bound is what makes list aggregation admissible here at all).
+    // For w > 1 emission is approximated by emit0 (a body concatenating w
+    // texts may still emit when its own text is short) — candidates carry
+    // the same emit0 gate, so the approximation is self-consistent; exact
+    // for the default w == 1.
+    val combEnc = when($"emit0",
+      shiftleft($"turn_idx".cast("long"), DateBits)
+        .bitwiseOR(when($"date_str" =!= "", dateCode).otherwise(lit(0L))))
     val stats0 =
       if (w == 1)
         kept0.groupBy($"conv_id", $"salt")
           .agg(
             min($"ts").as("g_min_ts"),
             lastToolAgg,
-            sort_array(collect_list(candEnc)).as("g_cands_all"),
-            slice(sort_array(collect_list(emitIdx)), 1, 6).as("g_emit_head"),
-            slice(sort_array(collect_list(emitIdx), asc = false), 1, 6).as("g_emit_tail"),
-            sum($"emit0".cast("long")).as("g_emit_cnt"))
+            sort_array(collect_list(combEnc)).as("g_all"))
       else
         kept.groupBy($"conv_id", $"salt")
           .agg(
             min($"ts").as("g_min_ts"),
             lastToolAgg,
-            sort_array(collect_list(candEnc)).as("g_cands_all"),
-            slice(sort_array(collect_list(emitIdx)), 1, 6).as("g_emit_head"),
-            slice(sort_array(collect_list(emitIdx), asc = false), 1, 6).as("g_emit_tail"),
+            sort_array(collect_list(combEnc)).as("g_all"),
             // previous-group context for cross-boundary trailing windows:
             // this group's last (w-1) kept texts, turn order
             transform(
               sort_array(collect_list(
                 when($"kept_rn_desc" <= w - 1, struct($"turn_idx", soloBody.as("txt"))))),
               e => e.getField("txt")).as("g_tail"))
-    // head-6 + tail-6 date candidates of this sub-window (bounded arrays)
+    // bounded per-group projections of the combined list
+    val emitPos = (e: org.apache.spark.sql.Column) => shiftright(e, DateBits)
     val stats = stats0
+      .withColumn("g_cands_all",
+        filter($"g_all", e => e.bitwiseAND(lit(DateMask)) =!= 0L))
       .withColumn("g_cands",
         concat(slice($"g_cands_all", 1, 6),
           when(size($"g_cands_all") > 6, slice($"g_cands_all", -6, 6))
             .otherwise(array())))
+      .withColumn("g_emit_head", transform(slice($"g_all", 1, 6), emitPos))
+      .withColumn("g_emit_tail", transform(
+        when(size($"g_all") > 6, slice($"g_all", -6, 6)).otherwise($"g_all"), emitPos))
+      .withColumn("g_emit_cnt", size($"g_all").cast("long"))
 
     // conv-level reconciliation, computed on the stats table (tiny)
     val byConvSalt = Window.partitionBy($"conv_id").orderBy($"salt")
