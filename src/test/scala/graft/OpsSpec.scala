@@ -82,6 +82,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("IVF multiAssign: full probe + full assign equals brute force exactly (dedupe holds)") {
+    val queries = vecs.filter($"vec_id" % 8 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // every row in every cell, every cell probed: candidates = all pairs, so
+    // only correct duplicate-dropping can reproduce brute force rank-exactly
+    val full = Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 4, nprobe = 4,
+      multiAssign = 4).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === bf)
+    // and r=2 at half the probes recalls at least as much as r=1
+    def recall(r: Int): Double = {
+      val ivf = Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 8, nprobe = 2,
+        multiAssign = r).collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+      (bf.map(t => (t._1, t._3)) intersect ivf).size.toDouble / bf.size
+    }
+    assert(recall(2) >= recall(1))
+  }
+
   test("IVF with trained centroids (Lloyd) matches or beats untrained recall; deterministic") {
     val queries = vecs.filter($"vec_id" % 8 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
