@@ -90,6 +90,30 @@ object SparkEntry {
             .otherwise(concat(col("role"), lit("\n"), col("text"))).as("text_ctx"))
         .orderBy(col("conv_id"), col("turn_idx"))),
 
+    "kg_header_stack" -> ((s, dir) => {
+      // S2/W2 full #-level header stack, driven through the ENGINE
+      // (TurnChunker markdownHeaders=true, saltTurns=7 so the stack must
+      // carry across salt boundaries): every 4th turn gets a deterministic
+      // markdown header at level 1+(turn_idx%3); the oracle replays the
+      // reference's pop-then-push (markdown_chunker.py:41-49) with per-level
+      // last_value IGNORE NULLS windows
+      import s.implicits._
+      val aug = transcriptsFromEvents(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        col("role"), lit(null).cast("string").as("tool"), col("ts"),
+        when(col("turn_idx") % 4 === 0,
+          concat(expr("repeat('#', 1 + turn_idx % 3)"), lit(" sec_"),
+            col("conv_id"), lit("_"), col("turn_idx"), lit("\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts")).as[graft.model.Turn]
+      graft.chunk.TurnChunker.chunk(s, aug,
+        graft.chunk.TurnChunker.Config(minChars = 9, saltTurns = 7,
+          markdownHeaders = true))
+        .select(col("conv_id"), col("window_end").as("turn_idx"), col("header_path"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     "kg_rel_normalize" -> ((s, dir) => {
       val up = upper(col("p_type"))
       val joined = array_join(slice(split(up, "\\s+"), 1, 8), "_")
@@ -453,6 +477,33 @@ object SparkEntry {
          |  CASE WHEN strpos(lower(text), lower(role)) > 0 THEN text
          |       ELSE role || chr(10) || text END AS text_ctx
          |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "kg_header_stack" ->
+      s"""$transcriptsCte,
+         |aug AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    CASE WHEN turn_idx % 4 = 0
+         |      THEN repeat('#', 1 + (turn_idx % 3)) || ' sec_' || conv_id || '_' || turn_idx || chr(10) || text
+         |      ELSE text END AS text,
+         |    CASE WHEN turn_idx % 4 = 0 THEN 1 + (turn_idx % 3) END AS hlvl,
+         |    CASE WHEN turn_idx % 4 = 0 THEN 'sec_' || conv_id || '_' || turn_idx END AS htext
+         |  FROM transcripts),
+         |stk AS (
+         |  SELECT conv_id, turn_idx, role, text,
+         |    last_value(CASE WHEN hlvl <= 1 THEN hlvl || '|' || htext END IGNORE NULLS) OVER w AS s1,
+         |    last_value(CASE WHEN hlvl <= 2 THEN hlvl || '|' || htext END IGNORE NULLS) OVER w AS s2,
+         |    last_value(CASE WHEN hlvl <= 3 THEN hlvl || '|' || htext END IGNORE NULLS) OVER w AS s3
+         |  FROM aug
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT conv_id, turn_idx,
+         |  concat_ws(' > ', role,
+         |    CASE WHEN s1 LIKE '1|%' THEN substr(s1, 3) END,
+         |    CASE WHEN s2 LIKE '2|%' THEN substr(s2, 3) END,
+         |    CASE WHEN s3 LIKE '3|%' THEN substr(s3, 3) END) AS header_path
+         |FROM stk
+         |WHERE length(trim(text)) >= 9 AND trim(text) NOT LIKE '---%'
+         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "kg_rel_normalize" ->
       """WITH r AS (

@@ -87,10 +87,12 @@ object ScalingBench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // warmup on a tiny corpus: codegen + planner init
-    Ingest.runInMemory(spark,
-      TranscriptGen.transcripts(spark, TranscriptGen.Config(2, 10, 2)))
-      .triples.write.mode("overwrite").format("noop").save()
+    // warmup: ONE uncounted pass of the real job. A tiny-corpus warmup
+    // compiles the plans (codegen) but not the JVM itself — C2 JIT of the
+    // hot row loops is volume-triggered, and a fresh fork that skips it
+    // records compilation as engine time (measured: rep 1 at 16 cores runs
+    // ~2.2× the converged time; reps 2+ agree with a long-warm JVM).
+    once()
     val best = (1 to reps).map { _ =>
       spark.catalog.clearCache() // drop the previous rep's persisted stages
       once()

@@ -57,7 +57,50 @@ object TurnChunker {
       windowSize: Int = 1, // turns per chunk (sliding, trailing)
       minChars: Int = 50,
       groupId: String = "default",
-      saltTurns: Int = 65536) // sub-window length (long-conversation salting)
+      saltTurns: Int = 65536, // sub-window length (long-conversation salting)
+      markdownHeaders: Boolean = false) // full #-level header stack (S2/W2)
+
+  /** Levels tracked by the markdown header stack (reference supports the full
+    * `#`..`######` range, markdown_chunker.py:41-49).
+    */
+  private val HeaderLevels = 6
+
+  /** Per-turn header-stack summary: element k-1 describes the turn's effect
+    * on stack level k — null (turn has no header of level ≤ k: level k is
+    * untouched), "" (turn's last header of level ≤ k is SHALLOWER than k:
+    * level k was popped), or the header text (turn's last header of level ≤ k
+    * is exactly k: level k was pushed). Encoding per-turn effects this way
+    * makes the cross-turn combine a per-level last-non-null — the same
+    * associative shape as the sticky tool banner, so it rides the existing
+    * running window + group-stats carry. Matches the reference's pop-then-push
+    * (markdown_chunker.py:41-49): a level-k header invalidates all deeper
+    * levels.
+    */
+  private val headerSlotsUdf = udf { (text: String) =>
+    var events = List.empty[(Int, String)] // reverse order: latest first
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val eol0 = text.indexOf('\n', i)
+      val eol = if (eol0 < 0) n else eol0
+      if (i < n && text.charAt(i) == '#') {
+        var lvl = 0
+        while (i + lvl < eol && text.charAt(i + lvl) == '#') lvl += 1
+        if (lvl <= HeaderLevels && i + lvl < eol && text.charAt(i + lvl) == ' ') {
+          val h = text.substring(i + lvl + 1, eol).trim
+          if (h.nonEmpty) events = (lvl, h) :: events
+        }
+      }
+      i = eol + 1
+    }
+    if (events.isEmpty) null
+    else (1 to HeaderLevels).map { k =>
+      events.find(_._1 <= k) match {
+        case Some((lvl, h)) => if (lvl == k) h else ""
+        case None => null
+      }
+    }
+  }
 
   private val chunkUuidUdf = udf { (groupId: String, convId: String, turnIdx: Int) =>
     Ids.stableUuid(groupId, convId, s"idx:$turnIdx")
@@ -138,9 +181,24 @@ object TurnChunker {
         when($"emit0" && instr($"text", "-") > 0, regexp_extract($"text", isoDate, 1))
           .otherwise(""))
 
-    var kept = kept0
+    val hdrLevels = if (cfg.markdownHeaders) 1 to HeaderLevels else Range(0, 0)
+    val kept1 =
+      if (cfg.markdownHeaders) kept0.withColumn("hslots", headerSlotsUdf($"text"))
+      else kept0
+    // ts and date_str exist only to feed the stats aggregate (computed from
+    // kept0/kept1 directly below) — dropping them before the big per-group
+    // window keeps their bytes out of the main shuffle (w == 1 path; the
+    // w > 1 path aggregates stats from the post-window rows and keeps them)
+    var kept = (if (w == 1) kept1.drop("ts", "date_str") else kept1)
       // W2: last tool banner seen so far in this sub-window (own turn included)
       .withColumn("local_tool", last(toolOrNull, ignoreNulls = true).over(runningBySalt))
+    // full #-level header stack (markdown_chunker.py:41-49): per level, the
+    // running last per-turn slot — same associative combine as the banner
+    hdrLevels.foreach { k =>
+      kept = kept.withColumn(s"local_h$k",
+        last(element_at($"hslots", k), ignoreNulls = true).over(runningBySalt))
+    }
+    if (cfg.markdownHeaders) kept = kept.drop("hslots") // consumed by the windows above
     if (w > 1) kept = kept
       .withColumn("ctx", collect_list(soloBody).over(trailing))
       .withColumn("kept_rn_desc", row_number().over(bySaltDesc))
@@ -177,25 +235,33 @@ object TurnChunker {
     val combEnc = when($"emit0",
       shiftleft($"turn_idx".cast("long"), DateBits)
         .bitwiseOR(when($"date_str" =!= "", dateCode).otherwise(lit(0L))))
+    // per-group last header slot per level (same max-struct shape as the
+    // tool banner; "" pop sentinels are values and carry like any other)
+    val lastHdrAggs = hdrLevels.map { k =>
+      max(when(element_at($"hslots", k).isNotNull,
+        struct($"turn_idx", element_at($"hslots", k).as("h"))))
+        .getField("h").as(s"g_last_h$k")
+    }
     val stats0 =
       if (w == 1)
-        kept0.groupBy($"conv_id", $"salt")
+        kept1.groupBy($"conv_id", $"salt")
           .agg(
             min($"ts").as("g_min_ts"),
-            lastToolAgg,
-            sort_array(collect_list(combEnc)).as("g_all"))
+            (Seq(lastToolAgg,
+              sort_array(collect_list(combEnc)).as("g_all")) ++ lastHdrAggs): _*)
       else
         kept.groupBy($"conv_id", $"salt")
           .agg(
             min($"ts").as("g_min_ts"),
-            lastToolAgg,
-            sort_array(collect_list(combEnc)).as("g_all"),
-            // previous-group context for cross-boundary trailing windows:
-            // this group's last (w-1) kept texts, turn order
-            transform(
-              sort_array(collect_list(
-                when($"kept_rn_desc" <= w - 1, struct($"turn_idx", soloBody.as("txt"))))),
-              e => e.getField("txt")).as("g_tail"))
+            (Seq(
+              lastToolAgg,
+              sort_array(collect_list(combEnc)).as("g_all"),
+              // previous-group context for cross-boundary trailing windows:
+              // this group's last (w-1) kept texts, turn order
+              transform(
+                sort_array(collect_list(
+                  when($"kept_rn_desc" <= w - 1, struct($"turn_idx", soloBody.as("txt"))))),
+                e => e.getField("txt")).as("g_tail")) ++ lastHdrAggs): _*)
     // bounded per-group projections of the combined list
     val emitPos = (e: org.apache.spark.sql.Column) => shiftright(e, DateBits)
     val stats = stats0
@@ -217,6 +283,11 @@ object TurnChunker {
       .orderBy($"salt").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     var enrich = stats
       .withColumn("carry_tool", last($"g_last_tool", ignoreNulls = true).over(beforeThis))
+    hdrLevels.foreach { k =>
+      enrich = enrich.withColumn(s"carry_h$k",
+        last(col(s"g_last_h$k"), ignoreNulls = true).over(beforeThis))
+    }
+    enrich = enrich
       .withColumn("conv_min_ts", min($"g_min_ts").over(wholeConv))
       .withColumn("all_cands",
         array_sort(flatten(collect_list($"g_cands").over(wholeConv))))
@@ -237,6 +308,7 @@ object TurnChunker {
         enrich.withColumn("prev_tail",
           coalesce(lag($"g_tail", 1).over(byConvSalt), array()))
     val enrichCols = Seq($"conv_id", $"salt", $"carry_tool", $"conv_doc_date") ++
+      hdrLevels.map(k => col(s"carry_h$k")) ++
       (if (w == 1) Seq($"chunk_offset") else Seq($"prev_tail"))
 
     // ---- join stats back on (conv_id, salt) ----
@@ -244,9 +316,16 @@ object TurnChunker {
     // input) — the enrich side is tiny and broadcasts, preserving the window
     // sort for the numbering window below.
     val mainSide = if (w == 1) kept.filter($"emit0") else kept
+    // breadcrumb = role > tool banner > valid stack levels ascending; a level
+    // whose effective slot is the "" pop sentinel (or never seen) is absent —
+    // nullif drops it and concat_ws skips nulls
+    val hdrCrumbs = hdrLevels.map { k =>
+      nullif(coalesce(col(s"local_h$k"), col(s"carry_h$k")), lit(""))
+    }
     val joined = mainSide.join(enrich.select(enrichCols: _*), Seq("conv_id", "salt"))
       .withColumn("eff_tool", coalesce($"local_tool", $"carry_tool"))
-      .withColumn("header_path", concat_ws(" > ", $"role", $"eff_tool"))
+      .withColumn("header_path",
+        concat_ws(" > ", ($"role" +: $"eff_tool" +: hdrCrumbs): _*))
 
     val withBody =
       if (w == 1) joined.withColumn("body", soloBody)

@@ -58,6 +58,54 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks(4).header_path === "assistant > calc") // inherited again
   }
 
+  test("markdown header stack: push/pop across levels (markdown_chunker.py:41-49)") {
+    val cfg = TurnChunker.Config(markdownHeaders = true)
+    val turns = Seq(
+      turn("c1", 0, "# Title\n" + longA),
+      turn("c1", 1, "## Methods\n" + longB),
+      turn("c1", 2, "### Detail\n" + longA),
+      turn("c1", 3, "## Results\n" + longB), // pops Methods AND Detail
+      turn("c1", 4, longA), // no header → inherits
+      turn("c1", 5, "# Part Two\n" + longB)).toDS() // pops everything
+    val chunks = TurnChunker.chunk(spark, turns, cfg).collect().sortBy(_.window_end)
+    assert(chunks(0).header_path === "user > Title")
+    assert(chunks(1).header_path === "user > Title > Methods")
+    assert(chunks(2).header_path === "user > Title > Methods > Detail")
+    assert(chunks(3).header_path === "user > Title > Results")
+    assert(chunks(4).header_path === "user > Title > Results")
+    assert(chunks(5).header_path === "user > Part Two")
+  }
+
+  test("markdown header stack: multiple headers inside one turn, last-per-level wins") {
+    val cfg = TurnChunker.Config(markdownHeaders = true)
+    val turns = Seq(
+      turn("c1", 0, "# A\n## B\n" + longA + "\n## C\n" + longB),
+      turn("c1", 1, longA)).toDS()
+    val chunks = TurnChunker.chunk(spark, turns, cfg).collect().sortBy(_.window_end)
+    assert(chunks(0).header_path === "user > A > C")
+    assert(chunks(1).header_path === "user > A > C")
+  }
+
+  test("markdown header stack inherits across salt boundaries; parity with unsalted") {
+    val mk = (i: Int) => i match {
+      case 0 => "# Root\n" + longA
+      case 3 => "## Sec\n" + longB
+      case 7 => "# Next\n" + longA
+      case n => s"turn $n body long enough to clear the fifty character floor easily."
+    }
+    val turns = (0 until 12).map(i => turn("c1", i, mk(i))).toDS()
+    val salted = TurnChunker.chunk(spark, turns,
+      TurnChunker.Config(markdownHeaders = true, saltTurns = 3)).collect()
+      .sortBy(c => (c.conv_id, c.window_end))
+    val plain = TurnChunker.chunk(spark, turns,
+      TurnChunker.Config(markdownHeaders = true)).collect()
+      .sortBy(c => (c.conv_id, c.window_end))
+    assert(salted.map(_.header_path).toSeq === plain.map(_.header_path).toSeq)
+    assert(salted.map(_.text).toSeq === plain.map(_.text).toSeq)
+    assert(plain(4).header_path === "user > Root > Sec") // mid-stream inherit
+    assert(plain(8).header_path === "user > Next") // level-1 pop crosses salts
+  }
+
   test("W2 inheritance crosses salt sub-window boundaries") {
     val turns = (Seq(turn("c1", 0, longA, role = "tool", tool = "search")) ++
       (1 to 12).map(i => turn("c1", i, s"turn $i $longA"))).toDS()
