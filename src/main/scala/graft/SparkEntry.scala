@@ -415,6 +415,24 @@ object SparkEntry {
         .orderBy(col("fact_uuid"))
     }),
 
+    "kg_research_batch" -> ((s, dir) => {
+      // batched multi-question research: the partition-by-query_id
+      // formulation of the whole v6 flow (per-question parity with the
+      // single path is spec-asserted; rows-only here — embeddings are not
+      // ANSI-expressible)
+      import s.implicits._
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      val r = Ingest.runInMemory(s, turns)
+      val facts = Retriever.withFactEmbeddings(r.triples)
+      val qs = facts.orderBy(col("fact_uuid")).select(col("fact")).limit(3)
+        .collect().map(_.getString(0)).zipWithIndex
+        .map { case (q, i) => (i.toLong, q, Seq.empty[String], Seq.empty[String], i % 2 == 1) }
+        .toSeq.toDF("query_id", "question", "entity_hints", "topic_hints", "enumeration")
+      graft.query.Researcher.researchBatch(facts, r.entities, qs)
+        .withColumn("sources", array_join(col("sources"), "|"))
+        .orderBy(col("query_id"), col("fact_uuid"))
+    }),
+
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(read(s, dir, "documents").filter(col("doc_id") < 200),
           n = 1, k = 32, bands = 8, threshold = 0.7)

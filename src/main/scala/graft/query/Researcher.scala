@@ -167,6 +167,186 @@ object Researcher {
       enumeration = d.questionType == Decomposer.Enumeration, cfg)
   }
 
+  /** Batched multi-question research — the whole v6 flow (steps 1-5 plus gap
+    * expansion and refinement) for a TABLE of questions in one declarative
+    * job, partitioned by query_id throughout: the deployment shape for
+    * scoring thousands of questions against a 100 TB fact table, where the
+    * single-question `research` path's per-hint driver loop and bounded
+    * collects would serialize. Exact per-question parity with `research` is
+    * asserted by ResearcherSpec.
+    *
+    * `questions`: (query_id, question, entity_hints array<string>,
+    * topic_hints array<string>, enumeration boolean) — a SMALL table (it is
+    * broadcast against facts). Returns (query_id, fact_uuid, fact,
+    * final_score, sources).
+    *
+    * Shapes: hint resolution is one crossJoin of entities × broadcast
+    * exploded hints + a (query_id, hint) rank window; every retrieval path
+    * is an equi-join of facts against a broadcast query-side table (the
+    * scoped OR-predicate becomes subject-side ∪ object-side equi-joins;
+    * topic scoping explodes the fact's own topics array — narrow — for an
+    * equi-join on the label); per-question top-k caps are rank windows over
+    * (query_id[, entity]) after the floor filters, so the only wide
+    * shuffles are keyed by query_id × bounded candidate sets, never the
+    * fact table. The thin-evidence trigger for expansion/refinement is a
+    * per-query count — plain aggregation, no driver action at all.
+    */
+  def researchBatch(facts: DataFrame, entities: DataFrame, questions: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val spark = facts.sparkSession
+    val embedUdf = udf((s: String) => Embed.embed(s))
+    val W = org.apache.spark.sql.expressions.Window
+    val rcfg = cfg.retriever
+
+    val qs = questions.select(col("query_id"), col("question"),
+        col("entity_hints"), col("topic_hints"), col("enumeration"))
+      .withColumn("q_emb", embedUdf(col("question")))
+
+    // ---- step 1: batched hint resolution (exact alias key, else cosine) ----
+    val hintRows = qs.select(col("query_id"), explode(col("entity_hints")).as("hint"))
+      .withColumn("hint_key", lower(trim(col("hint"))))
+      .withColumn("hint_emb", embedUdf(col("hint")))
+    val resolvedTop = W.partitionBy(col("query_id"), col("hint"))
+      .orderBy(col("r_score").desc, col("entity_uuid"))
+    val resolved = entities.crossJoin(broadcast(hintRows))
+      .withColumn("exact",
+        lower(col("canonical_name")) === col("hint_key") ||
+          exists(col("aliases"), a => lower(a) === col("hint_key")))
+      .withColumn("sim",
+        graft.functions.expr.CosineSimilarity(col("embedding"), col("hint_emb")))
+      .withColumn("r_score", when(col("exact"), lit(2.0)).otherwise(col("sim")))
+      .filter(col("exact") || col("sim") >= cfg.resolveFloor)
+      .withColumn("rn", row_number().over(resolvedTop)).filter(col("rn") === 1)
+      .select(col("query_id"), col("hint"), col("entity_uuid"))
+
+    // ---- step 2: dual-path retrieval, all paths per question ----
+    val factCols = Seq(col("query_id"), col("fact_uuid"), col("fact"),
+      col("score"), col("source"))
+
+    // scoped: per (question, resolved entity) — OR-incidence as two
+    // equi-joins, deduped per (query, entity, fact)
+    val scopedKeys = resolved.join(qs.select(col("query_id"), col("q_emb")), Seq("query_id"))
+      .select(col("query_id"), col("entity_uuid").as("e_uuid"), col("q_emb"))
+      .distinct()
+    def scopedSide(side: String) =
+      facts.join(broadcast(scopedKeys), col(side) === col("e_uuid"))
+    val scopedRank = W.partitionBy(col("query_id"), col("e_uuid"))
+      .orderBy(col("score").desc, col("fact_uuid"))
+    val scoped = scopedSide("subject_uuid").unionByName(scopedSide("object_uuid"))
+      .dropDuplicates("query_id", "e_uuid", "fact_uuid")
+      .withColumn("score", graft.functions.expr.DotProduct(col("q_emb"), col("embedding")))
+      .filter(col("score") >= rcfg.scopedFloor)
+      .withColumn("rn", row_number().over(scopedRank))
+      .filter(col("rn") <= rcfg.scopedTopK)
+      .withColumn("source", lit("scoped"))
+      .select(factCols: _*)
+
+    // topic-scoped: explode the fact's topics (narrow) for an equi-join
+    val topicKeys = qs.select(col("query_id"), col("q_emb"),
+        explode(col("topic_hints")).as("topic")).distinct()
+    val topicScoped = facts.select(col("fact_uuid"), col("fact"), col("embedding"),
+        explode(col("topics")).as("topic"))
+      .join(broadcast(topicKeys), Seq("topic"))
+      .withColumn("score", graft.functions.expr.DotProduct(col("q_emb"), col("embedding")))
+      .filter(col("score") >= rcfg.scopedFloor)
+      .withColumn("source", lit("topic"))
+      .select(factCols: _*)
+
+    // global: floor-filter then per-question rank (the floor is what keeps
+    // the rank window's per-query partitions bounded)
+    val globalRank = W.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("fact_uuid"))
+    val global = facts.crossJoin(broadcast(qs.select(col("query_id"), col("q_emb"))))
+      .withColumn("score", graft.functions.expr.DotProduct(col("q_emb"), col("embedding")))
+      .filter(col("score") > rcfg.globalFloor)
+      .withColumn("rn", row_number().over(globalRank))
+      .filter(col("rn") <= rcfg.globalTopK)
+      .withColumn("source", lit("global"))
+      .select(factCols: _*)
+
+    // ---- step 3: merge + threshold + boost + cap, per question ----
+    val capRank = W.partitionBy(col("query_id"))
+      .orderBy(col("final_score").desc, col("fact_uuid"))
+    val scored = scoped.unionByName(topicScoped).unionByName(global)
+      .groupBy(col("query_id"), col("fact_uuid"))
+      .agg(max(col("score")).as("vector_score"),
+        collect_set(col("source")).as("sources"),
+        first(col("fact")).as("fact"))
+      .withColumn("final_score",
+        col("vector_score") + lit(rcfg.crossSourceBoost) * (size(col("sources")) - 1))
+      .filter(col("vector_score") >= rcfg.relevanceThreshold)
+      .withColumn("rn", row_number().over(capRank))
+      .filter(col("rn") <= rcfg.maxFactsToScore)
+      .drop("rn")
+
+    // ---- step 4: gap expansion for thin questions (count < thinEvidence) —
+    // the trigger is a per-query aggregate, not a driver action
+    val evCount = scored.groupBy(col("query_id")).agg(count(lit(1)).as("n_ev"))
+    // refinement triggers on ANY thin question (count < floor, including 0);
+    // anchor-based expansion additionally needs at least one fact to anchor
+    // on — exactly the single-question path's `top.isEmpty` guard
+    val thinAll = qs.select(col("query_id"))
+      .join(evCount, Seq("query_id"), "left")
+      .withColumn("n_ev", coalesce(col("n_ev"), lit(0L)))
+      .filter(col("n_ev") < cfg.thinEvidence)
+    val thin = thinAll.filter(col("n_ev") > 0L).select(col("query_id"))
+    val anchors = scored.join(broadcast(thin), Seq("query_id"))
+      .withColumn("rn", row_number().over(capRank)).filter(col("rn") <= 3)
+      .join(facts.select(col("fact_uuid"), col("subject_uuid")), Seq("fact_uuid"), "left")
+      .filter(col("subject_uuid").isNotNull)
+      .select(col("query_id"), col("subject_uuid").as("a_uuid")).distinct()
+    def expandSide(side: String) =
+      facts.join(broadcast(anchors), col(side) === col("a_uuid"))
+    val expandRank = W.partitionBy(col("query_id")).orderBy(col("fact_uuid"))
+    val extra = expandSide("subject_uuid").unionByName(expandSide("object_uuid"))
+      .dropDuplicates("query_id", "fact_uuid")
+      .withColumn("rn", row_number().over(expandRank))
+      .filter(col("rn") <= rcfg.scopedTopK)
+      .join(scored.select(col("query_id"), col("fact_uuid")),
+        Seq("query_id", "fact_uuid"), "left_anti")
+      .select(col("query_id"), col("fact_uuid"), col("fact"),
+        lit(rcfg.expansionScore * cfg.expansionMergePenalty).as("vector_score"),
+        array(lit("graph")).as("sources"))
+      .withColumn("final_score", col("vector_score"))
+    val expanded = scored
+      .select(col("query_id"), col("fact_uuid"), col("fact"),
+        col("vector_score"), col("sources"), col("final_score"))
+      .unionByName(extra)
+
+    // ---- step 4b: refinement — thin questions with unresolved hints run one
+    // targeted global search per hint at refinementTopK, merged with penalty
+    val unresolvedHints = hintRows
+      .join(resolved.select(col("query_id"), col("hint")), Seq("query_id", "hint"), "left_anti")
+      .join(broadcast(thinAll.select(col("query_id"))), Seq("query_id"))
+      .select(col("query_id"), col("hint"), col("hint_emb"))
+    val refineRank = W.partitionBy(col("query_id"), col("hint"))
+      .orderBy(col("score").desc, col("fact_uuid"))
+    val targeted = facts.crossJoin(broadcast(unresolvedHints))
+      .withColumn("score", graft.functions.expr.DotProduct(col("hint_emb"), col("embedding")))
+      .filter(col("score") > rcfg.globalFloor)
+      .withColumn("rn", row_number().over(refineRank))
+      .filter(col("rn") <= cfg.refinementTopK)
+      .groupBy(col("query_id"), col("fact_uuid"))
+      .agg(max(col("score")).as("score"), first(col("fact")).as("fact"))
+      .join(expanded.select(col("query_id"), col("fact_uuid")),
+        Seq("query_id", "fact_uuid"), "left_anti")
+      .select(col("query_id"), col("fact_uuid"), col("fact"),
+        (col("score") * cfg.expansionMergePenalty).as("vector_score"),
+        array(lit("refinement")).as("sources"))
+      .withColumn("final_score", col("vector_score"))
+    val refined = expanded.unionByName(targeted)
+
+    // ---- step 5: per-question evidence cap by question type ----
+    val kCol = when(col("enumeration"), cfg.topKEvidenceEnumeration)
+      .otherwise(cfg.topKEvidence)
+    refined
+      .join(broadcast(qs.select(col("query_id"), col("enumeration"))), Seq("query_id"))
+      .withColumn("rn", row_number().over(capRank))
+      .filter(col("rn") <= kCol)
+      .select(col("query_id"), col("fact_uuid"), col("fact"), col("final_score"),
+        array_sort(col("sources")).as("sources"))
+  }
+
   /** ENUMERATION drilldown — deterministic analogue of the reference's step 5
     * entity expansion (v6/researcher.py:502-615: the LLM selects ≤10 entities
     * and expands 3 facts each; here selection = top entities by incident-fact

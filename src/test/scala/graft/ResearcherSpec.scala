@@ -54,6 +54,32 @@ class ResearcherSpec extends SparkSpec {
     assert(big.count() >= small.count())
   }
 
+  test("researchBatch: per-question parity with the single-question path") {
+    val (facts, entities, _) = built
+    val f0 = facts.select($"fact", $"subject").first()
+    val topic = TranscriptGen.ontology.head.label
+    // three deliberately different shapes: rich evidence with a resolvable
+    // hint; topic-hinted enumeration; thin evidence with an UNRESOLVABLE hint
+    // (drives the refinement path)
+    val cases = Seq(
+      (0L, f0.getString(0), Seq(f0.getString(1)), Seq.empty[String], false),
+      (1L, "partnerships and acquisitions", Seq.empty[String], Seq(topic), true),
+      (2L, "zzqx qzk unknowable thing", Seq("Zzqx Qzk"), Seq.empty[String], false))
+    val questions = cases
+      .toDF("query_id", "question", "entity_hints", "topic_hints", "enumeration")
+    val batch = Researcher.researchBatch(facts, entities, questions).collect()
+      .groupBy(_.getLong(0))
+    cases.foreach { case (qid, q, eh, th, enum0) =>
+      val single = Researcher.research(facts, entities, q, eh, th, enum0).collect()
+        .map(r => (r.getString(0), math.round(r.getDouble(2) * 1e9),
+          r.getSeq[String](3).toList)).toSet
+      val got = batch.getOrElse(qid, Array.empty)
+        .map(r => (r.getString(1), math.round(r.getDouble(3) * 1e9),
+          r.getSeq[String](4).toList)).toSet
+      assert(got === single, s"mismatch for query $qid ($q)")
+    }
+  }
+
   test("decomposer: capitalized spans become entity hints, question words dropped (decomposer.py:97-126)") {
     assert(Decomposer.entityHints("What did Quantum Dynamics Inc acquire from Nova Robotics?") ===
       Seq("Quantum Dynamics Inc", "Nova Robotics"))
