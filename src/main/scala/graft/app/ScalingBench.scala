@@ -49,16 +49,25 @@ object ScalingBench {
     s
   }
 
-  /** Generate the corpus once → parquet. Returns (path, totalTurns). */
-  def materializeCorpus(turnsTarget: Long, dir: String): Long = {
+  /** Generate the corpus once → parquet. Returns totalTurns. `sorted` writes
+    * the storage-ordered layout a standing transcript store maintains (each
+    * conversation hash-routed to one file, files sorted by (conv_id,
+    * turn_idx)) — the precondition for the chunker's sortedInput fast path.
+    */
+  def materializeCorpus(turnsTarget: Long, dir: String, sorted: Boolean = false): Long = {
     val base = 400
     val skew = 8
     val numConvs = math.max(((turnsTarget - skew.toLong * base) / base + 1).toInt, 2)
     val cfg = TranscriptGen.Config(numConvs = numConvs, turnsPerConv = base, skew = skew)
     val spark = session(8)
     // 64 files so every parallelism level's scan has enough splits
-    TranscriptGen.transcripts(spark, cfg).repartition(64)
-      .write.mode("overwrite").parquet(dir)
+    val t = TranscriptGen.transcripts(spark, cfg)
+    val laid =
+      if (sorted)
+        t.repartition(64, org.apache.spark.sql.functions.col("conv_id"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+      else t.repartition(64)
+    laid.write.mode("overwrite").parquet(dir)
     spark.stop()
     cfg.totalTurns
   }
@@ -66,7 +75,9 @@ object ScalingBench {
   /** Best-of-reps pipeline wall time at one parallelism level.
     * mode "full" = chunk→…→assembled triples; mode "extract" = chunk→extract
     * only (the north-rule throughput metric), a straight-line scan+window+
-    * mapPartitions job with no persists.
+    * mapPartitions job with no persists; mode "extract_sorted" = the same
+    * over a storage-ordered corpus via the chunker's shuffle-free
+    * sortedInput fast path.
     */
   def measure(cores: Int, corpusDir: String, reps: Int, mode: String = "full"): Double = {
     val spark = session(cores)
@@ -77,8 +88,10 @@ object ScalingBench {
       if (mode == "chunk") {
         graft.chunk.TurnChunker.chunk(spark, turns)
           .write.mode("overwrite").format("noop").save()
-      } else if (mode == "extract") {
-        val chunks = graft.chunk.TurnChunker.chunk(spark, turns)
+      } else if (mode == "extract" || mode == "extract_sorted") {
+        val ccfg = graft.chunk.TurnChunker.Config(
+          sortedInput = mode == "extract_sorted")
+        val chunks = graft.chunk.TurnChunker.chunk(spark, turns, ccfg)
         graft.extract.TripleExtractor.extract(spark, chunks)
           .write.mode("overwrite").format("noop").save()
       } else {
@@ -160,7 +173,7 @@ object ScalingBench {
   def run(turnsTarget: Long, cores: Seq[Int], reps: Int = 2,
       mode: String = "full"): Map[Int, Double] = {
     val dir = Files.createTempDirectory("graft-scaling-corpus").toString
-    val total = materializeCorpus(turnsTarget, dir)
+    val total = materializeCorpus(turnsTarget, dir, sorted = mode == "extract_sorted")
     val out = cores.map { n =>
       val secs = measure(n, dir, reps, mode)
       println(f"[scaling] mode=$mode cores=$n turns=$total secs=$secs%.2f " +

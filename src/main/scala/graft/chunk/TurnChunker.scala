@@ -1,6 +1,6 @@
 package graft.chunk
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,7 +58,8 @@ object TurnChunker {
       minChars: Int = 50,
       groupId: String = "default",
       saltTurns: Int = 65536, // sub-window length (long-conversation salting)
-      markdownHeaders: Boolean = false) // full #-level header stack (S2/W2)
+      markdownHeaders: Boolean = false, // full #-level header stack (S2/W2)
+      sortedInput: Boolean = false) // storage-ordered fast path (no shuffle)
 
   /** Levels tracked by the markdown header stack (reference supports the full
     * `#`..`######` range, markdown_chunker.py:41-49).
@@ -76,7 +77,7 @@ object TurnChunker {
     * (markdown_chunker.py:41-49): a level-k header invalidates all deeper
     * levels.
     */
-  private val headerSlotsUdf = udf { (text: String) =>
+  private def headerSlots(text: String): Seq[String] = {
     var events = List.empty[(Int, String)] // reverse order: latest first
     var i = 0
     val n = text.length
@@ -101,6 +102,8 @@ object TurnChunker {
       }
     }
   }
+
+  private val headerSlotsUdf = udf { (text: String) => headerSlots(text) }
 
   private val chunkUuidUdf = udf { (groupId: String, convId: String, turnIdx: Int) =>
     Ids.stableUuid(groupId, convId, s"idx:$turnIdx")
@@ -152,7 +155,12 @@ object TurnChunker {
   private val DateBits = 27
   private val DateMask = (1L << DateBits) - 1L
 
-  def chunk(spark: SparkSession, turns: Dataset[Turn], cfg: Config = Config()): Dataset[Chunk] = {
+  def chunk(spark: SparkSession, turns: Dataset[Turn], cfg: Config = Config()): Dataset[Chunk] =
+    if (cfg.sortedInput) chunkSorted(spark, turns, cfg)
+    else chunkWindowed(spark, turns, cfg)
+
+  /** General path: arbitrary input order, salted window shuffle. */
+  private def chunkWindowed(spark: SparkSession, turns: Dataset[Turn], cfg: Config): Dataset[Chunk] = {
     import spark.implicits._
     val w = cfg.windowSize
     require(cfg.saltTurns >= 1, "saltTurns must be positive")
@@ -247,13 +255,14 @@ object TurnChunker {
         kept1.groupBy($"conv_id", $"salt")
           .agg(
             min($"ts").as("g_min_ts"),
-            (Seq(lastToolAgg,
+            (Seq(min($"turn_idx").as("g_min_turn"), lastToolAgg,
               sort_array(collect_list(combEnc)).as("g_all")) ++ lastHdrAggs): _*)
       else
         kept.groupBy($"conv_id", $"salt")
           .agg(
             min($"ts").as("g_min_ts"),
             (Seq(
+              min($"turn_idx").as("g_min_turn"),
               lastToolAgg,
               sort_array(collect_list(combEnc)).as("g_all"),
               // previous-group context for cross-boundary trailing windows:
@@ -276,37 +285,7 @@ object TurnChunker {
         when(size($"g_all") > 6, slice($"g_all", -6, 6)).otherwise($"g_all"), emitPos))
       .withColumn("g_emit_cnt", size($"g_all").cast("long"))
 
-    // conv-level reconciliation, computed on the stats table (tiny)
-    val byConvSalt = Window.partitionBy($"conv_id").orderBy($"salt")
-    val beforeThis = byConvSalt.rowsBetween(Window.unboundedPreceding, -1)
-    val wholeConv = Window.partitionBy($"conv_id")
-      .orderBy($"salt").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    var enrich = stats
-      .withColumn("carry_tool", last($"g_last_tool", ignoreNulls = true).over(beforeThis))
-    hdrLevels.foreach { k =>
-      enrich = enrich.withColumn(s"carry_h$k",
-        last(col(s"g_last_h$k"), ignoreNulls = true).over(beforeThis))
-    }
-    enrich = enrich
-      .withColumn("conv_min_ts", min($"g_min_ts").over(wholeConv))
-      .withColumn("all_cands",
-        array_sort(flatten(collect_list($"g_cands").over(wholeConv))))
-      // conversation-level head-6 / tail-6 emitted positions (turn_idxs)
-      .withColumn("conv_head6",
-        slice(array_sort(flatten(collect_list($"g_emit_head").over(wholeConv))), 1, 6))
-      .withColumn("conv_tail6",
-        array_sort(slice(
-          sort_array(flatten(collect_list($"g_emit_tail").over(wholeConv)), asc = false),
-          1, 6)))
-      .withColumn("conv_doc_date",
-        coalesce(pickDateUdf($"all_cands", $"conv_head6", $"conv_tail6"), $"conv_min_ts"))
-    enrich =
-      if (w == 1)
-        enrich.withColumn("chunk_offset",
-          coalesce(sum($"g_emit_cnt").over(beforeThis), lit(0L)))
-      else
-        enrich.withColumn("prev_tail",
-          coalesce(lag($"g_tail", 1).over(byConvSalt), array()))
+    val enrich = convEnrich(stats, hdrLevels, w)
     val enrichCols = Seq($"conv_id", $"salt", $"carry_tool", $"conv_doc_date") ++
       hdrLevels.map(k => col(s"carry_h$k")) ++
       (if (w == 1) Seq($"chunk_offset") else Seq($"prev_tail"))
@@ -348,9 +327,11 @@ object TurnChunker {
     val numbered =
       if (w == 1) emitted.withColumn("chunk_no", ($"chunk_offset" + $"loc_no").cast("int"))
       else {
+        val beforeBySalt = Window.partitionBy($"conv_id").orderBy($"salt")
+          .rowsBetween(Window.unboundedPreceding, -1)
         val counts = emitted.groupBy($"conv_id", $"salt").agg(count(lit(1)).as("g_emit_cnt"))
           .withColumn("chunk_offset",
-            coalesce(sum($"g_emit_cnt").over(beforeThis), lit(0L)))
+            coalesce(sum($"g_emit_cnt").over(beforeBySalt), lit(0L)))
           .select($"conv_id", $"salt", $"chunk_offset")
         emitted.join(counts, Seq("conv_id", "salt"))
           .withColumn("chunk_no", ($"chunk_offset" + $"loc_no").cast("int"))
@@ -366,5 +347,266 @@ object TurnChunker {
       $"header_path",
       lit(cfg.groupId).as("group_id"),
       $"conv_doc_date".as("document_date")).as[Chunk]
+  }
+
+  /** Conversation-level reconciliation over the (conv_id, salt) stats table
+    * (tiny — both paths): carried tool banner and header slots, document
+    * date from the conversation's head-6/tail-6 emitted positions, and the
+    * chunk-numbering offset. Groups are ordered by `g_min_turn` (the group's
+    * first kept turn), NOT by salt id — the salt is just a co-location key,
+    * so the sorted path's partition-id salts stay correct even when the
+    * scan's split packing visits a file's splits out of order.
+    */
+  private def convEnrich(stats: DataFrame, hdrLevels: Range, w: Int): DataFrame = {
+    import stats.sparkSession.implicits._
+    val byConvSalt = Window.partitionBy($"conv_id").orderBy($"g_min_turn")
+    val beforeThis = byConvSalt.rowsBetween(Window.unboundedPreceding, -1)
+    val wholeConv = Window.partitionBy($"conv_id")
+      .orderBy($"g_min_turn")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var enrich = stats
+      .withColumn("carry_tool", last($"g_last_tool", ignoreNulls = true).over(beforeThis))
+    hdrLevels.foreach { k =>
+      enrich = enrich.withColumn(s"carry_h$k",
+        last(col(s"g_last_h$k"), ignoreNulls = true).over(beforeThis))
+    }
+    enrich = enrich
+      .withColumn("conv_min_ts", min($"g_min_ts").over(wholeConv))
+      .withColumn("all_cands",
+        array_sort(flatten(collect_list($"g_cands").over(wholeConv))))
+      // conversation-level head-6 / tail-6 emitted positions (turn_idxs)
+      .withColumn("conv_head6",
+        slice(array_sort(flatten(collect_list($"g_emit_head").over(wholeConv))), 1, 6))
+      .withColumn("conv_tail6",
+        array_sort(slice(
+          sort_array(flatten(collect_list($"g_emit_tail").over(wholeConv)), asc = false),
+          1, 6)))
+      .withColumn("conv_doc_date",
+        coalesce(pickDateUdf($"all_cands", $"conv_head6", $"conv_tail6"), $"conv_min_ts"))
+    if (w == 1)
+      enrich.withColumn("chunk_offset",
+        coalesce(sum($"g_emit_cnt").over(beforeThis), lit(0L)))
+    else
+      enrich.withColumn("prev_tail",
+        coalesce(lag($"g_tail", 1).over(byConvSalt), array()))
+  }
+
+  // ======================= storage-ordered fast path =======================
+
+  /** Per-(scan-partition, conversation) stats row — the sorted path's
+    * reconciliation unit (salt := scan partition id). All fields are the
+    * BOUNDED summaries the window path derives from its `g_all` list; here
+    * the ordered partition scan computes them directly.
+    */
+  private[chunk] case class PStat(
+      conv_id: String, salt: Int, g_min_turn: Int,
+      g_min_ts: java.sql.Timestamp, g_last_tool: String,
+      g_cands: Seq[Long], g_emit_head: Seq[Long], g_emit_tail: Seq[Long],
+      g_emit_cnt: Long, g_last_h: Seq[String])
+
+  private val isoPattern = java.util.regex.Pattern.compile(isoDate)
+
+  /** Running per-conversation state for one ordered partition scan — the
+    * imperative twin of the window path's running aggregates.
+    */
+  private final class ConvScan(convId: String, salt: Int, md: Boolean) {
+    var minTurn: Int = Int.MaxValue
+    var minTs: java.sql.Timestamp = _
+    var lastTool: String = _
+    var emitCnt: Long = 0L
+    val candHead = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val candTail = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val emitHead = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val emitTail = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val slots: Array[String] = if (md) new Array[String](HeaderLevels) else null
+
+    private def push(head: scala.collection.mutable.ArrayBuffer[Long],
+        tail: scala.collection.mutable.ArrayBuffer[Long], v: Long): Unit = {
+      if (head.length < 6) head += v
+      tail += v
+      if (tail.length > 6) tail.remove(0)
+    }
+
+    /** Update with one kept (non-blank) turn; returns the trimmed body if the
+      * turn emits a chunk, else null.
+      */
+    def update(t: Turn, minChars: Int): String = {
+      if (t.turn_idx < minTurn) minTurn = t.turn_idx
+      if (minTs == null || t.ts.compareTo(minTs) < 0) minTs = t.ts
+      if (t.tool != null && t.tool.nonEmpty) lastTool = t.tool
+      if (md) {
+        val hs = headerSlots(t.text)
+        if (hs != null) {
+          var k = 0
+          while (k < HeaderLevels) {
+            if (hs(k) != null) slots(k) = hs(k)
+            k += 1
+          }
+        }
+      }
+      val body = t.text.trim
+      val emits = body.length >= minChars && !body.startsWith("---")
+      if (emits) {
+        emitCnt += 1
+        var code = 0L
+        if (t.text.indexOf('-') >= 0) {
+          val m = isoPattern.matcher(t.text)
+          if (m.find()) {
+            val d = m.group(1)
+            code = d.substring(0, 4).toLong * 10000L + d.substring(5, 7).toLong * 100L +
+              (if (d.length >= 10) d.substring(8, 10).toLong else 0L)
+          }
+        }
+        val enc = (t.turn_idx.toLong << DateBits) | code
+        push(emitHead, emitTail, t.turn_idx.toLong)
+        if (code != 0L) push(candHead, candTail, enc)
+        body
+      } else null
+    }
+
+    def stat: PStat = PStat(convId, salt, minTurn, minTs, lastTool,
+      (candHead ++ candTail.filterNot(candHead.contains)).toSeq.sorted,
+      emitHead.toSeq, emitTail.toSeq, emitCnt,
+      if (md) slots.toSeq else null)
+  }
+
+  /** Lazily iterate one partition's kept turns in storage order, tracking
+    * per-conv state (the yielded ConvScan is the LIVE state, updated through
+    * the yielded row — a consumer snapshots a conversation's final state
+    * when the state object changes identity or the iterator ends).
+    * Enforces the layout contract: within a partition each conversation's
+    * rows are CONTIGUOUS with ascending turn_idx (true for splits of files
+    * sorted by (conv_id, turn_idx); violated layouts fail fast — fall back
+    * to the windowed path). `body` is null when the turn does not emit.
+    */
+  private def scanRows(it: Iterator[Turn], salt: Int, minChars: Int,
+      md: Boolean): Iterator[(Turn, ConvScan, String)] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var cur: ConvScan = null
+    var curConv: String = null
+    var prevIdx = Int.MinValue
+    it.flatMap { t =>
+      if (t.text == null || t.text.trim.isEmpty) Iterator.empty
+      else {
+        if (t.conv_id != curConv) {
+          require(seen.add(t.conv_id),
+            s"sortedInput layout violation: conversation ${t.conv_id} is not " +
+              "contiguous within its scan partition — use the windowed path")
+          cur = new ConvScan(t.conv_id, salt, md)
+          curConv = t.conv_id
+          prevIdx = Int.MinValue
+        }
+        require(t.turn_idx > prevIdx,
+          s"sortedInput layout violation: turn_idx not ascending in ${t.conv_id} " +
+            s"(${t.turn_idx} after $prevIdx) — use the windowed path")
+        prevIdx = t.turn_idx
+        Iterator.single((t, cur, cur.update(t, minChars)))
+      }
+    }
+  }
+
+  /** Storage-ordered fast path (windowSize == 1): when the input table is
+    * sorted by (conv_id, turn_idx) within each scan partition — the layout a
+    * standing 10^12-turn transcript store maintains (Iceberg-style
+    * sorted-by-key files; each conversation within one file, or spanning
+    * only that file's own splits) — chunking needs NO shuffle and NO sort of
+    * the turn stream at all:
+    *
+    *   1. one ordered partition scan emits per-(partition, conv) BOUNDED
+    *      stats (the same summaries the windowed path aggregates), with
+    *      salt := scan partition id;
+    *   2. the same tiny conv-keyed reconciliation (`convEnrich`) runs over
+    *      them — numbering offsets, carried banners/headers, document dates;
+    *   3. the enrich rows are routed back BY PARTITION ID (an identity
+    *      partitioner over the tiny table — never a shuffle or broadcast of
+    *      the turn stream, and unlike a broadcast it stays correct when the
+    *      corpus has billions of conversations) and zipped against a second
+    *      ordered scan that emits the final chunks.
+    *
+    * The two text scans replace the windowed path's scan + full shuffle +
+    * per-group sort; on a shared-bus host the shuffle is the scaling
+    * bottleneck (BASELINE.md), and at 100 TB it is the difference between
+    * reading the corpus twice and WRITING it once more.
+    */
+  private[chunk] def chunkSorted(spark: SparkSession, turns: Dataset[Turn],
+      cfg: Config): Dataset[Chunk] = {
+    import spark.implicits._
+    require(cfg.windowSize == 1, "sortedInput fast path requires windowSize == 1")
+    val minChars = cfg.minChars
+    val md = cfg.markdownHeaders
+    val groupId = cfg.groupId
+    val hdrLevels = if (md) 1 to HeaderLevels else Range(0, 0)
+
+    // pass 1: bounded per-(partition, conv) stats
+    val statsDs: Dataset[PStat] = turns.mapPartitions { it =>
+      val salt = org.apache.spark.TaskContext.getPartitionId()
+      val out = scala.collection.mutable.ArrayBuffer.empty[PStat]
+      var live: ConvScan = null
+      scanRows(it, salt, minChars, md).foreach { case (_, st, _) =>
+        if (st ne live) {
+          if (live != null) out += live.stat
+          live = st
+        }
+      }
+      if (live != null) out += live.stat
+      out.iterator
+    }
+    var stats = statsDs.toDF()
+    hdrLevels.foreach { k =>
+      stats = stats.withColumn(s"g_last_h$k", element_at($"g_last_h", k))
+    }
+    val enrich = convEnrich(stats.drop("g_last_h"), hdrLevels, w = 1)
+      .select((Seq($"conv_id", $"salt", $"carry_tool", $"conv_doc_date",
+        $"chunk_offset") ++ hdrLevels.map(k => col(s"carry_h$k"))): _*)
+
+    // route enrich rows to their owning scan partition: an identity
+    // partitioner over the TINY reconciliation table (rows ∝ conversations
+    // touched per partition), zipped against the second ordered scan
+    val numParts = turns.rdd.getNumPartitions
+    val nHdr = hdrLevels.size
+    val enrichRdd = enrich.rdd
+      .map(r => (r.getInt(1), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+
+    val chunkRdd = turns.rdd.zipPartitions(enrichRdd, preservesPartitioning = false) {
+      (turnIt, eIt) =>
+        val salt = org.apache.spark.TaskContext.getPartitionId()
+        // (conv -> enrich row) for THIS partition only
+        val byConv = eIt.map(r => r.getString(0) -> r).toMap
+        scanRows(turnIt, salt, minChars, md).collect {
+          case (t, st, body) if body != null =>
+            val e = byConv.getOrElse(t.conv_id, throw new IllegalStateException(
+              s"missing reconciliation row for ${t.conv_id} in partition $salt"))
+            val carryTool = if (e.isNullAt(2)) null else e.getString(2)
+            val docDate = e.getTimestamp(3)
+            val offset = e.getLong(4)
+            val effTool = if (st.lastTool != null) st.lastTool else carryTool
+            val crumbs = (0 until nHdr).flatMap { i =>
+              val local = st.slots(i)
+              val eff = if (local != null) local
+                else if (e.isNullAt(5 + i)) null
+                else e.getString(5 + i)
+              if (eff == null || eff.isEmpty) None else Some(eff)
+            }
+            val headerPath = ((Seq(t.role) ++ Option(effTool) ++ crumbs)
+              .filter(_ != null)).mkString(" > ")
+            val chunkNo = offset + st.emitCnt // emitCnt already counts this row
+            Chunk(
+              chunk_id = "%s_chunk_%04d".format(t.conv_id, chunkNo),
+              chunk_uuid = Ids.stableUuid(groupId, t.conv_id, s"idx:${t.turn_idx}"),
+              conv_id = t.conv_id,
+              window_start = t.turn_idx,
+              window_end = t.turn_idx,
+              text = Norm.prependHeaderIfMissing(body, headerPath),
+              header_path = headerPath,
+              group_id = groupId,
+              document_date = docDate)
+        }
+    }
+    spark.createDataset(chunkRdd)
   }
 }

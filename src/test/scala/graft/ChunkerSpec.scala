@@ -106,6 +106,54 @@ class ChunkerSpec extends SparkSpec {
     assert(plain(8).header_path === "user > Next") // level-1 pop crosses salts
   }
 
+  test("sortedInput fast path: full-row parity with the windowed path (convs span scan partitions)") {
+    // every feature at once: tool banners, markdown headers, date strings,
+    // short turns, '---' rules, blank turns — over 3 manual slices with
+    // conversations spanning slice boundaries (split-of-a-sorted-file shape)
+    val mk = (c: String, i: Int) => {
+      val base = i match {
+        case 0 => s"# Top $c\nconversation opener long enough to clear the fifty char floor."
+        case 2 => "short"
+        case 3 => "--- " + longA
+        case 4 => null
+        case 5 => s"## Sec $c\nmeeting scheduled on 2024-03-1$i " + longB
+        case 9 => longA + " wrapping up on 2024-12-01."
+        case n => s"turn $n of $c body long enough to clear the fifty character floor ok."
+      }
+      turn(c, i, base, role = if (i % 3 == 0) "user" else "assistant",
+        tool = if (i % 4 == 1) s"tool$i" else "")
+    }
+    val rows = for (c <- Seq("ca", "cb", "cc"); i <- 0 until 10) yield mk(c, i)
+    // 3 slices of 10 → cb spans slices 1-2, cc spans 2-3
+    val ds = spark.createDataset(spark.sparkContext.parallelize(rows, 3))
+    for (md <- Seq(false, true)) {
+      val cfg = TurnChunker.Config(markdownHeaders = md)
+      val sorted = TurnChunker.chunk(spark, ds, cfg.copy(sortedInput = true))
+        .collect().sortBy(c => (c.conv_id, c.window_end)).toSeq
+      val windowed = TurnChunker.chunk(spark, ds, cfg)
+        .collect().sortBy(c => (c.conv_id, c.window_end)).toSeq
+      assert(sorted === windowed, s"markdownHeaders=$md")
+      assert(sorted.nonEmpty)
+    }
+  }
+
+  test("sortedInput layout violations fail fast (descending idx; split conversation)") {
+    val bad1 = spark.createDataset(spark.sparkContext.parallelize(
+      Seq(turn("c1", 1, longA), turn("c1", 0, longB)), 1))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      TurnChunker.chunk(spark, bad1, TurnChunker.Config(sortedInput = true)).collect()
+    }
+    assert(e1.getMessage.contains("layout violation") ||
+      e1.getCause.getMessage.contains("layout violation"))
+    val bad2 = spark.createDataset(spark.sparkContext.parallelize(
+      Seq(turn("c1", 0, longA), turn("c2", 0, longB), turn("c1", 1, longA)), 1))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TurnChunker.chunk(spark, bad2, TurnChunker.Config(sortedInput = true)).collect()
+    }
+    assert(e2.getMessage.contains("layout violation") ||
+      e2.getCause.getMessage.contains("layout violation"))
+  }
+
   test("W2 inheritance crosses salt sub-window boundaries") {
     val turns = (Seq(turn("c1", 0, longA, role = "tool", tool = "search")) ++
       (1 to 12).map(i => turn("c1", i, s"turn $i $longA"))).toDS()
