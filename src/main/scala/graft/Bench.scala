@@ -127,7 +127,24 @@ object Bench {
     // transparency — its 2→8 sits lower because the shuffle leans on this
     // VM's shared memory bus and a ~2 s fixed driver-round cost
     // (BASELINE.md quantifies both).
+    // PAIRED measurement design: the host's noise has a minutes-scale drift
+    // component on top of the one-sided task interference (measured: 2-core
+    // fork times spread 13.0-15.7 s across a 10-minute bench while adjacent
+    // forks agree) — a ratio of independently-minimized levels therefore
+    // mixes samples from different drift regimes. Each N→4N ratio is instead
+    // computed WITHIN one back-to-back (t_N, t_4N) fork pair, where the
+    // drift is shared and cancels; the recorded efficiency is the MEDIAN of
+    // the pair ratios (robust to a pair that straddles a drift step). Raw
+    // samples and the min-based ratio are emitted alongside.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     var windowedSamples: Map[Int, Seq[Double]] = Map()
+    var pairRatios: Seq[Double] = Nil
+    var wPairRatios: Seq[Double] = Nil
     val samplesByLevel: Map[Int, Seq[Double]] =
       if (skipScaling) levels.map(_ -> Seq(1.0)).toMap
       else {
@@ -136,62 +153,64 @@ object Bench {
           sorted = true)
         val windowedDir = Files.createTempDirectory("graft-bench-scaling").toString
         ScalingBench.materializeCorpus(scalingTurnsTarget, windowedDir)
-        val fork3 = Seq(headlinePair._1, headlinePair._2)
-        val schedule = levels ++ levels.reverse ++ fork3
-        // reps=1: the uncounted warmup pass inside each fork converges the
-        // JIT, so one measured rep per fork buys MORE independent JVM draws
-        // per wall-second — the right trade for a min statistic under
-        // one-sided noise
-        val samples = schedule.map { cores =>
+        // each fork = one uncounted real-job warmup pass (C2 JIT is
+        // volume-triggered; without it a fresh fork records compiler time
+        // as engine time) + 1 measured rep
+        def pairOnce(dir: String, mode: String): (Double, Double) = {
+          val tN = ScalingBench.forkMeasure(headlinePair._1, dir, reps = 1, mode)
+          val t4N = ScalingBench.forkMeasure(headlinePair._2, dir, reps = 1, mode)
+          (tN, t4N)
+        }
+        val sortedPairs = (1 to 4).map(_ => pairOnce(sortedDir, "extract_sorted"))
+        pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
+        val ladder = Seq(16, 32, 32, 16).map { cores =>
           cores -> ScalingBench.forkMeasure(cores, sortedDir, reps = 1,
             mode = "extract_sorted")
         }
-        val wSchedule = Seq(2, 8, 8, 2)
-        val wSamples = wSchedule.map { cores =>
-          cores -> ScalingBench.forkMeasure(cores, windowedDir, reps = 1,
-            mode = "extract")
-        }
-        windowedSamples = Seq(2, 8).map(c =>
-          c -> wSamples.collect { case (`c`, s) => s }).toMap
-        levels.map(c => c -> samples.collect { case (`c`, s) => s }).toMap
+        val wPairs = (1 to 2).map(_ => pairOnce(windowedDir, "extract"))
+        wPairRatios = wPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
+        windowedSamples = Map(
+          headlinePair._1 -> wPairs.map(_._1),
+          headlinePair._2 -> wPairs.map(_._2))
+        Map(
+          headlinePair._1 -> sortedPairs.map(_._1),
+          headlinePair._2 -> sortedPairs.map(_._2)) ++
+          Seq(16, 32).map(c => c -> ladder.collect { case (`c`, s) => s }).toMap
       }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val tps: Map[Int, Double] =
       if (skipScaling) levels.map(_ -> 0.0).toMap
       else levels.map(c => c -> scalingTurns / samplesByLevel(c).min).toMap
-    val tpsMedian: Map[Int, Double] =
-      if (skipScaling) levels.map(_ -> 0.0).toMap
-      else levels.map(c => c -> scalingTurns / median(samplesByLevel(c))).toMap
     val (tpsN, tps4N) = (tps(headlinePair._1), tps(headlinePair._2))
-    val efficiency = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
-    val efficiencyMedian =
-      if (tpsMedian(headlinePair._1) > 0)
-        (tpsMedian(headlinePair._2) / tpsMedian(headlinePair._1)) / 4.0 else 0.0
+    val efficiency = if (skipScaling) 0.0 else median(pairRatios)
+    val efficiencyMinBased = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
     val efficiency816 = if (tps(8) > 0) (tps(16) / tps(8)) / 2.0 else 0.0
     val efficiency832 = if (tps(8) > 0) (tps(32) / tps(8)) / 4.0 else 0.0
-    val (effWindowed, wTps2, wTps8) =
-      if (skipScaling || windowedSamples.isEmpty) (0.0, 0.0, 0.0)
-      else {
-        val w2 = scalingTurns / windowedSamples(2).min
-        val w8 = scalingTurns / windowedSamples(8).min
-        ((w8 / w2) / 4.0, w2, w8)
-      }
+    val effWindowed = if (skipScaling) 0.0 else median(wPairRatios)
+    val (wTps2, wTps8) =
+      if (skipScaling || windowedSamples.isEmpty) (0.0, 0.0)
+      else (scalingTurns / windowedSamples(headlinePair._1).min,
+        scalingTurns / windowedSamples(headlinePair._2).min)
     val windowedJson = windowedSamples.toSeq.sortBy(_._1).map { case (c, xs) =>
       "\"" + c + "\":[" + xs.map(s => f"$s%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val pairJson = pairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
     val samplesJson = levels.map { c =>
       "\"" + c + "\":[" + samplesByLevel(c).map(s => f"$s%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
 
+    // full pipeline on the sorted (deployment-layout) corpus; TWO interleaved
+    // forks, min — a single fork in a bad host-drift window inflated the
+    // pipeline number 2× in one observed run
     val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
-    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir)
-    val pipeSecs = ScalingBench.forkMeasure(cpus, corpusDir, reps = 2, mode = "full")
+    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir, sorted = true)
+    val pipeSecs = (1 to 2).map(_ =>
+      ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted")).min
     val turnsPerSec = corpusTurns / pipeSecs
 
-    // headline queries: ONE fresh forked JVM, best-of-2 per query (see
+    // headline queries: ONE fresh forked JVM, best-of-3 per query (see
     // runQueriesChild — round 2's in-churned-JVM numbers were inflated 1.3-2.8×)
     val (qrc, qout) = ScalingBench.forkLines("graft.Bench",
-      Seq("--queries", cpus.toString, sfDir, "2"))
+      Seq("--queries", cpus.toString, sfDir, "3"))
     val queryTimes: Seq[(String, Double)] = headline.map { name =>
       name -> qout.linesIterator.collectFirst {
         case l if l.startsWith(s"[query] $name ") => l.split("\\s+").last.toDouble
@@ -204,7 +223,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum + pipeSecs
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f,"efficiency_median":$efficiencyMedian%.3f,"turns_per_sec_16":${tps(16)}%.1f,"turns_per_sec_32":${tps(32)}%.1f,"efficiency_8_16":$efficiency816%.3f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"windowed_turns_per_sec_2":$wTps2%.1f,"windowed_turns_per_sec_8":$wTps8%.1f,"efficiency_windowed_2_8":$effWindowed%.3f,"windowed_secs_samples":$windowedJson%s,"statistic":"best across interleaved fresh-JVM forks (3 for levels 2/8, 2 for 16/32, 2 per windowed level), each fork = one uncounted real-job warmup pass (C2 JIT is volume-triggered) + 1 measured rep; host noise is one-sided additive (no low-core turbo: per-thread BurnProbe rate equal at low thread counts), so min is the unbiased engine estimate","note":"headline ladder runs the sortedInput fast path (storage-ordered transcript files -> chunker needs NO shuffle/sort of the turn stream; the deployment shape at 10^12 turns), N->4N pair = 2->8; the windowed (arbitrary-order, salted-shuffle) path is reported at 2/8 alongside - its ratio sits lower from this VM's shared memory bus under shuffle (pure-JVM BurnProbe scales 0.47 from 8->32; ChunkStageProbe shows 1.7x task-CPU inflation at 8+ threads) plus a ~2s O(1) driver-round cost, both quantified in BASELINE.md"}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"pipeline_mode":"full_sorted (deployment layout; min of 2 forks)","extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f,"efficiency_minbased":$efficiencyMinBased%.3f,"pair_ratios":$pairJson%s,"turns_per_sec_16":${tps(16)}%.1f,"turns_per_sec_32":${tps(32)}%.1f,"efficiency_8_16":$efficiency816%.3f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"windowed_turns_per_sec_2":$wTps2%.1f,"windowed_turns_per_sec_8":$wTps8%.1f,"efficiency_windowed_2_8":$effWindowed%.3f,"windowed_secs_samples":$windowedJson%s,"statistic":"PAIRED design: each N->4N ratio is computed within one back-to-back fresh-JVM fork pair (host drift is minutes-scale and shared within a pair, so it cancels); efficiency = median of 4 pair ratios (2 for the windowed pair); each fork = one uncounted real-job warmup pass (C2 JIT is volume-triggered) + 1 measured rep; per-level turns/sec are best-of (one-sided task noise: no low-core turbo per BurnProbe); raw samples + the min-based ratio emitted for transparency","note":"headline ladder runs the sortedInput fast path (storage-ordered transcript files -> chunker needs NO shuffle/sort of the turn stream; the deployment shape at 10^12 turns), N->4N pair = 2->8; the windowed (arbitrary-order, salted-shuffle) path is reported at 2/8 alongside - its ratio sits lower from this VM's shared memory bus under shuffle (pure-JVM BurnProbe scales 0.47 from 8->32; ChunkStageProbe shows 1.7x task-CPU inflation at 8+ threads) plus a ~2s O(1) driver-round cost, both quantified in BASELINE.md"}}"""
     println(json)
     // belt-and-braces: also land the line in a file the driver (or a human)
     // can pick up if stdout gets decorated by the launcher

@@ -12,23 +12,29 @@ import graft.synth.TranscriptGen
   * Usage:
   *   IngestApp <warehouseDir> [--input <parquet-of-transcripts>]
   *             [--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]
+  *             [--sorted true]
   *
   * With --input, reads an (conv_id, turn_idx, role, text, tool, ts) parquet
   * table (the input_hint shape); otherwise synthesizes transcripts.
+  * `--sorted true` declares the input storage-ordered by (conv_id, turn_idx)
+  * within files (each conversation confined to one file or its splits) and
+  * routes chunking through the shuffle-free sortedInput fast path — the
+  * right call on a standing sorted transcript store; layout violations fail
+  * fast with a pointer back to the default windowed path.
   */
 object IngestApp {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
         "usage: IngestApp <warehouseDir> [--input <parquet>] " +
-          "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]")
+          "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] [--sorted true]")
       sys.exit(2)
     }
     val warehouse = args(0)
     val opts = args.drop(1).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
-    val unknown = opts.keys.filterNot(Set("--input", "--synth", "--master"))
+    val unknown = opts.keys.filterNot(Set("--input", "--synth", "--master", "--sorted"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}")
       sys.exit(2)
@@ -63,7 +69,9 @@ object IngestApp {
     }
 
     val t0 = System.nanoTime()
-    val result = Ingest.run(spark, turns, warehouse)
+    val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
+      sortedInput = opts.get("--sorted").exists(_.toBoolean)))
+    val result = Ingest.run(spark, turns, warehouse, icfg)
     val nTriples = result.triples.count()
     val nEntities = result.entities.count()
     val nChunks = result.chunks.count()

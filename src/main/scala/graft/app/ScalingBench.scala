@@ -95,7 +95,9 @@ object ScalingBench {
         graft.extract.TripleExtractor.extract(spark, chunks)
           .write.mode("overwrite").format("noop").save()
       } else {
-        Ingest.runInMemory(spark, turns).triples
+        val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
+          sortedInput = mode == "full_sorted"))
+        Ingest.runInMemory(spark, turns, icfg).triples
           .write.mode("overwrite").format("noop").save()
       }
       (System.nanoTime() - t0) / 1e9
@@ -173,7 +175,7 @@ object ScalingBench {
   def run(turnsTarget: Long, cores: Seq[Int], reps: Int = 2,
       mode: String = "full"): Map[Int, Double] = {
     val dir = Files.createTempDirectory("graft-scaling-corpus").toString
-    val total = materializeCorpus(turnsTarget, dir, sorted = mode == "extract_sorted")
+    val total = materializeCorpus(turnsTarget, dir, sorted = mode.endsWith("_sorted"))
     val out = cores.map { n =>
       val secs = measure(n, dir, reps, mode)
       println(f"[scaling] mode=$mode cores=$n turns=$total secs=$secs%.2f " +

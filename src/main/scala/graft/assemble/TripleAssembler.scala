@@ -27,7 +27,14 @@ import graft.model.{RawTriple, Triple}
   */
 object TripleAssembler {
 
-  case class Config(broadcastResolutions: Boolean = true, groupId: String = "default")
+  /** `maxBroadcastTopics` caps the driver-collected resolved-topic map for
+    * the broadcast fast path; sized so the map stays well under the session's
+    * autoBroadcastJoinThreshold (~50 B/entry vs the 10 MB default — the same
+    * budget Catalyst itself would apply to a broadcast join of that table).
+    * Overflow falls back to the explode+regroup shuffle path.
+    */
+  case class Config(broadcastResolutions: Boolean = true, groupId: String = "default",
+      maxBroadcastTopics: Int = 200000)
 
   private val relTypeUdf = udf((s: String) => Norm.normalizeRelType(s))
   private val factUuidUdf = udf {
@@ -75,7 +82,7 @@ object TripleAssembler {
     // the distinct surface forms that matched the ontology — broadcast it and
     // rewrite the array in place (no explode, no fact-stream regroup shuffle).
     // Falls back to explode + regroup when the map is unexpectedly large.
-    val maxBroadcastTopics = 200000
+    val maxBroadcastTopics = cfg.maxBroadcastTopics
     // single job: fetch up to the cap + 1; overflow → fallback path
     val capped = topic0.select($"key", $"r_name").limit(maxBroadcastTopics + 1).collect()
     val resolved =

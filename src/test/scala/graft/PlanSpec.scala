@@ -57,6 +57,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(conv_id"), plan) // sanity: windows exist
   }
 
+  test("sortedInput chunker never exchanges the turn stream (only the tiny stats reconcile)") {
+    val turns = TranscriptGen.transcripts(spark, TranscriptGen.Config(4, 30, 2))
+    val chunks = graft.chunk.TurnChunker.chunk(spark, turns,
+      graft.chunk.TurnChunker.Config(sortedInput = true))
+    // the sorted path surfaces as a plain RDD scan (scan -> mapPartitions ->
+    // zip); the only shuffles live in the TINY stats/enrich lineage — assert
+    // the SQL plan carries none, and the RDD lineage shuffles are bounded to
+    // the reconciliation (stats agg + conv window + partition routing)
+    val exchanges = chunks.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"sorted path must not shuffle the turn stream")
+    val shuffles = chunks.rdd.toDebugString.linesIterator.count(_.contains("ShuffledRDD"))
+    assert(shuffles <= 3, s"only the tiny reconciliation may shuffle (saw $shuffles)")
+    assert(chunks.count() > 0)
+  }
+
   test("IVF plan has no single-partition exchange (centroid pick must not globally sort)") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d)).toSeq))
