@@ -90,6 +90,25 @@ object SparkEntry {
             .otherwise(concat(col("role"), lit("\n"), col("text"))).as("text_ctx"))
         .orderBy(col("conv_id"), col("turn_idx"))),
 
+    "kg_chunk_sorted" -> ((s, dir) => {
+      // the storage-ordered fast path (S2, no turn-stream shuffle) driven
+      // through the ENGINE over the derived transcripts re-laid the way a
+      // standing store keeps them (hash-routed by conv, sorted within
+      // partitions); oracle = plain emitted-row numbering per conversation
+      import s.implicits._
+      val aug = transcriptsFromEvents(s, dir)
+        .withColumn("tool", lit(null).cast("string"))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts")).as[graft.model.Turn]
+        .repartition(col("conv_id"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+      graft.chunk.TurnChunker.chunk(s, aug,
+        graft.chunk.TurnChunker.Config(minChars = 9, sortedInput = true))
+        .select(col("conv_id"), col("window_end").as("turn_idx"), col("chunk_id"),
+          col("header_path"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     "kg_header_stack" -> ((s, dir) => {
       // S2/W2 full #-level header stack, driven through the ENGINE
       // (TurnChunker markdownHeaders=true, saltTurns=7 so the stack must
@@ -495,6 +514,18 @@ object SparkEntry {
          |  CASE WHEN strpos(lower(text), lower(role)) > 0 THEN text
          |       ELSE role || chr(10) || text END AS text_ctx
          |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "kg_chunk_sorted" ->
+      s"""$transcriptsCte,
+         |emitted AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS chunk_no
+         |  FROM transcripts
+         |  WHERE length(trim(text)) >= 9 AND trim(text) NOT LIKE '---%')
+         |SELECT conv_id, turn_idx,
+         |  printf('%s_chunk_%04d', conv_id, chunk_no) AS chunk_id,
+         |  role AS header_path
+         |FROM emitted ORDER BY conv_id, turn_idx""".stripMargin,
 
     "kg_header_stack" ->
       s"""$transcriptsCte,

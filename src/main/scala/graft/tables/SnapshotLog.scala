@@ -40,7 +40,8 @@ import org.apache.spark.sql.functions._
   * (the driver only collects one (partition, count, checksum) tuple per task
   * partition).
   */
-class SnapshotLog(spark: SparkSession, baseDir: String) {
+class SnapshotLog(spark: SparkSession, baseDir: String,
+    autoCompactSegments: Int = 32) {
   import spark.implicits._
 
   private case class Entry(id: Long, kind: String, upsert: Boolean, keys: Seq[String])
@@ -272,7 +273,11 @@ class SnapshotLog(spark: SparkSession, baseDir: String) {
         val fresh = df.dropDuplicates(keys)
           .join(existing.select(keys.map(col): _*), keys, "left_anti")
         if (fresh.isEmpty) latestSnapshot(name).get
-        else writeSegment(name, fresh, partitionBy, kind = "delta", upsert = false, keys)
+        else {
+          val id = writeSegment(name, fresh, partitionBy, kind = "delta",
+            upsert = false, keys)
+          compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
+        }
     }
   }
 
@@ -290,9 +295,26 @@ class SnapshotLog(spark: SparkSession, baseDir: String) {
         val in = df.dropDuplicates(keys)
         val delta = in.except(existing.select(in.columns.map(col): _*))
         if (delta.isEmpty) latestSnapshot(name).get
-        else writeSegment(name, delta, partitionBy, kind = "delta", upsert = true, keys)
+        else {
+          val id = writeSegment(name, delta, partitionBy, kind = "delta",
+            upsert = true, keys)
+          compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
+        }
     }
   }
+
+  /** LSM-style amortized compaction: when the live manifest holds more than
+    * `maxSegments` segments, rewrite the resolved table as ONE full snapshot
+    * (collapsing the merge-on-read window). Auto-invoked after merge writes,
+    * so each row is rewritten at most once per `maxSegments` appends —
+    * amortized O(1/maxSegments) extra write per row — and the read path's
+    * segment union stays bounded no matter how many increments land.
+    */
+  def compactIfFragmented(name: String, maxSegments: Int,
+      partitionBy: Seq[String] = Nil): Option[Long] =
+    if (liveEntries(name).size > maxSegments)
+      read(name).map(df => commit(name, df, partitionBy))
+    else None
 
   /** Read a stage if committed, else compute + commit it (resume semantics). */
   def computeIfAbsent(name: String, partitionBy: Seq[String] = Nil)(f: => DataFrame): DataFrame =

@@ -69,6 +69,26 @@ class SnapshotLogSpec extends SparkSpec {
       "read must resolve last-writer-wins per key")
   }
 
+  test("auto-compaction bounds the live segment count (LSM-amortized rewrites)") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val log = new SnapshotLog(spark, dir, autoCompactSegments = 5)
+    (1 to 14).foreach { i =>
+      log.mergeAppend("t", Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+    }
+    // every append past 5 live segments triggers a full rewrite, so the live
+    // set never exceeds 6 (threshold + the compacted full) and read-back is
+    // complete
+    val live = log.read("t").get.collect().map(_.getLong(0)).sorted
+    assert(live === (1L to 14L).toArray)
+    val manifest = Files.readAllLines(
+      Paths.get(dir, "t", "_snapshots.json")).toArray.mkString("\n")
+    assert(manifest.linesIterator.count(_.contains("\"full\"")) >= 2,
+      s"expected auto-compaction full snapshots in:\n$manifest")
+    val lastFullId = log.snapshots("t").zip(manifest.linesIterator.toSeq)
+      .filter(_._2.contains("\"full\"")).map(_._1).max
+    assert(log.snapshots("t").count(_ >= lastFullId) <= 6)
+  }
+
   test("commit runs ONE scan of the stage output and <=2 jobs (one-pass lineage)") {
     val dir = Files.createTempDirectory("graft-onepass").toString
     val log = new SnapshotLog(spark, dir)
