@@ -24,9 +24,10 @@ import graft.app.ScalingBench
   * churned through several SparkSessions reports the same job 2-3× slower
   * (codegen-cache growth, broadcast-block debris, heap fragmentation under
   * ParallelGC), which corrupted the recorded scaling efficiency (0.46 in-bench
-  * vs 0.81 isolated). Forking makes the honest number the recorded number.
-  * Levels are still interleaved best-of-two: host noise on this VM swings
-  * single runs 2×, but rarely both interleaved samples of a level.
+  * vs 0.81 isolated). Forking makes the honest number the recorded number;
+  * each fork warms with one uncounted real-job pass (C2 JIT), and levels
+  * run as interleaved pairs so host noise (2× swings on single runs)
+  * rarely survives the per-level minimum.
   */
 object Bench {
 
