@@ -206,7 +206,8 @@ object TurnChunker {
       kept = kept.withColumn(s"local_h$k",
         last(element_at($"hslots", k), ignoreNulls = true).over(runningBySalt))
     }
-    if (cfg.markdownHeaders) kept = kept.drop("hslots") // consumed by the windows above
+    // hslots stays on `kept` for now: the w > 1 stats aggregation still
+    // needs it (lastHdrAggs); it is dropped at mainSide selection below
     if (w > 1) kept = kept
       .withColumn("ctx", collect_list(soloBody).over(trailing))
       .withColumn("kept_rn_desc", row_number().over(bySaltDesc))
@@ -294,7 +295,9 @@ object TurnChunker {
     // w == 1: emission is decided pre-join, so filter FIRST (smaller join
     // input) — the enrich side is tiny and broadcasts, preserving the window
     // sort for the numbering window below.
-    val mainSide = if (w == 1) kept.filter($"emit0") else kept
+    val mainSide0 = if (w == 1) kept.filter($"emit0") else kept
+    val mainSide =
+      if (cfg.markdownHeaders) mainSide0.drop("hslots") else mainSide0
     // breadcrumb = role > tool banner > valid stack levels ascending; a level
     // whose effective slot is the "" pop sentinel (or never seen) is absent —
     // nullif drops it and concat_ws skips nulls
@@ -432,7 +435,8 @@ object TurnChunker {
       */
     def update(t: Turn, minChars: Int): String = {
       if (t.turn_idx < minTurn) minTurn = t.turn_idx
-      if (minTs == null || t.ts.compareTo(minTs) < 0) minTs = t.ts
+      // null-tolerant like the windowed path's min($"ts") (nulls ignored)
+      if (t.ts != null && (minTs == null || t.ts.compareTo(minTs) < 0)) minTs = t.ts
       if (t.tool != null && t.tool.nonEmpty) lastTool = t.tool
       if (md) {
         val hs = headerSlots(t.text)

@@ -65,6 +65,7 @@ object EntityLinker {
       return newEntities
         .withColumn("resolved_uuid", $"entity_uuid")
         .withColumn("resolved_name", $"name")
+        .withColumn("resolved_ex_summary", nullStr)
         .withColumn("resolved_summary", newSummary)
         .withColumn("resolved_aliases", newAliases)
         .withColumn("resolved_embedding", $"embedding")
@@ -108,7 +109,12 @@ object EntityLinker {
       .withColumn("resolved_uuid", when($"matched", $"ex_uuid").otherwise($"entity_uuid"))
       .withColumn("resolved_name", when($"matched", $"ex_name").otherwise($"name"))
       // reference merge-on-match (entity_registry.py:252-333): keep the
-      // existing node but fold in the new summary and surface form
+      // existing node but fold in the new summary and surface form. The
+      // matched EXISTING summary is also exposed unmerged
+      // (resolved_ex_summary) so a caller folding SEVERAL linked rows into
+      // one uuid can merge it exactly once — folding the per-row merged
+      // summaries would repeat the existing text per row.
+      .withColumn("resolved_ex_summary", when($"matched", $"ex_summary"))
       .withColumn("resolved_summary",
         when($"matched", mergeSummariesUdf($"ex_summary", newSummary))
           .otherwise(newSummary))

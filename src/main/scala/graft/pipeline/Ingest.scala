@@ -161,38 +161,54 @@ object Ingest {
     val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
     val triples = TripleAssembler.assemble(spark, raw, finalRemap, topics, cfg.assembler)
 
-    // matched rows REPLACE the committed entity (same uuid/name/embedding,
-    // merged summary, appended aliases — entity_registry.py:252-333); new
-    // rows append. Several new entities can link to ONE existing uuid, so
-    // fold per uuid deterministically before the upsert: summaries merge
-    // pairwise in name order, alias/chunk sets union.
-    val mergeAllUdf = udf((ss: Seq[String]) =>
-      ss.sorted.foldLeft("")((acc, s) => graft.functions.Norm.mergeSummaries(acc, s)))
+    val entityRows = foldLinkedEntities(spark, linked, existing.columns)
+    log.mergeUpsert("entities", entityRows, Seq("entity_uuid"), Seq("group_id"))
+    log.mergeAppend("triples", triples.toDF(), Seq("fact_uuid"), Seq("group_id"))
+    log.mergeAppend("chunks", chunks.toDF(), Seq("chunk_uuid"), Seq("group_id"))
+
+    Result(chunks.toDF(), raw.toDF(), log.read("entities").get, log.read("triples").get)
+  }
+
+  /** Fold EntityLinker output into one upsert row per resolved uuid
+    * (entity_registry.py:252-333 merge-on-match): matched rows REPLACE the
+    * committed entity (same uuid/name/embedding, merged summary, appended
+    * aliases); new rows append. Several new entities can link to ONE
+    * existing uuid, so the fold is deterministic per uuid: the EXISTING
+    * summary merges exactly ONCE, then each linked row's OWN summary in
+    * sorted order — folding the per-row pre-merged `resolved_summary`s
+    * would repeat the existing text once per linked row. Alias/chunk sets
+    * union; scalar columns take the max_by(name, summary) row's values.
+    */
+  private[graft] def foldLinkedEntities(spark: SparkSession, linked: DataFrame,
+      entityCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val mergeAllUdf = udf((ex: String, ss: Seq[String]) =>
+      ss.sorted.foldLeft(Option(ex).getOrElse(""))((acc, s) =>
+        graft.functions.Norm.mergeSummaries(acc, s)))
     val entityRows0 = linked
+      .withColumn("own_summary", $"summary")
+      .withColumn("ex_summary", $"resolved_ex_summary")
       .withColumn("entity_uuid", $"resolved_uuid")
       .withColumn("canonical_name", $"resolved_name")
       .withColumn("name", $"resolved_name")
       .withColumn("summary", $"resolved_summary")
       .withColumn("aliases", $"resolved_aliases")
       .withColumn("embedding", $"resolved_embedding")
-      .drop("resolved_uuid", "resolved_name", "resolved_summary", "resolved_aliases",
-        "resolved_embedding", "is_new")
-      .select(existing.columns.map(col): _*)
-    val scalarCols = existing.columns.filterNot(c =>
+      .drop("resolved_uuid", "resolved_name", "resolved_ex_summary",
+        "resolved_summary", "resolved_aliases", "resolved_embedding", "is_new")
+      .select((entityCols.map(col) :+ $"own_summary" :+ $"ex_summary"): _*)
+    val scalarCols = entityCols.filterNot(c =>
       Set("entity_uuid", "summary", "aliases", "source_chunks").contains(c))
-    val entityRows = entityRows0.groupBy($"entity_uuid")
+    entityRows0.groupBy($"entity_uuid")
       .agg(
         max_by(struct(scalarCols.map(col): _*), struct($"name", $"summary")).as("c"),
-        mergeAllUdf(collect_set($"summary")).as("summary"),
+        // all rows of a matched uuid carry the SAME committed ex summary
+        // (max = that value; null for brand-new uuids)
+        mergeAllUdf(max($"ex_summary"), collect_set($"own_summary")).as("summary"),
         array_distinct(flatten(collect_list($"aliases"))).as("aliases"),
         slice(array_distinct(flatten(collect_list($"source_chunks"))), 1, 20)
           .as("source_chunks"))
-      .select(existing.columns.map(c =>
+      .select(entityCols.map(c =>
         if (scalarCols.contains(c)) col(s"c.$c").as(c) else col(c)): _*)
-    log.mergeUpsert("entities", entityRows, Seq("entity_uuid"), Seq("group_id"))
-    log.mergeAppend("triples", triples.toDF(), Seq("fact_uuid"), Seq("group_id"))
-    log.mergeAppend("chunks", chunks.toDF(), Seq("chunk_uuid"), Seq("group_id"))
-
-    Result(chunks.toDF(), raw.toDF(), log.read("entities").get, log.read("triples").get)
   }
 }

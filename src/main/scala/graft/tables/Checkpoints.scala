@@ -16,6 +16,13 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
 
   def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist BEFORE checkpoint: an unpersisted df.checkpoint() runs the
+      // plan twice (once for the eager action, once when
+      // ReliableRDDCheckpointData re-computes to write the files — the
+      // documented Spark caveat), doubling every truncated stage's cost
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint()
+      finally df.unpersist()
+    } else df.localCheckpoint()
 }

@@ -44,7 +44,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     autoCompactSegments: Int = 32) {
   import spark.implicits._
 
-  private case class Entry(id: Long, kind: String, upsert: Boolean, keys: Seq[String])
+  private case class Entry(id: Long, kind: String, upsert: Boolean, keys: Seq[String],
+      schemaB64: Option[String])
 
   private def tableDir(name: String): Path = Paths.get(baseDir, name)
   private def manifest(name: String): Path = tableDir(name).resolve("_snapshots.json")
@@ -53,6 +54,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   private val kindRe = """"kind":\s*"(\w+)"""".r
   private val upsertRe = """"upsert":\s*(true|false)""".r
   private val keysRe = """"keys":\s*\[([^\]]*)\]""".r
+  private val schemaRe = """"schema_b64":\s*"([A-Za-z0-9+/=]*)"""".r
 
   /** Parsed manifest entries, ascending by snapshot id. Legacy lines without
     * a `kind` field are full snapshots.
@@ -67,7 +69,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
         val keys = keysRe.findFirstMatchIn(line).map(_.group(1)).toSeq
           .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
             .filter(_.nonEmpty))
-        Entry(idm.group(1).toLong, kind, upsert, keys)
+        val schemaB64 = schemaRe.findFirstMatchIn(line).map(_.group(1))
+        Entry(idm.group(1).toLong, kind, upsert, keys, schemaB64)
       }
     }.sortBy(_.id)
   }
@@ -87,6 +90,25 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     if (lastFull < 0) all else all.drop(lastFull)
   }
 
+  /** Read one segment with its manifest-pinned schema: partition-column
+    * TYPE INFERENCE otherwise re-types numeric-looking partition values
+    * (e.g. a group_id of "12345" comes back as INT), silently changing the
+    * schema AND breaking lineage verification (the write-time row hash used
+    * the original types). Legacy entries without a recorded schema fall back
+    * to inference.
+    */
+  private def segDf(name: String, e: Entry): DataFrame = {
+    val path = snapshotPath(name, e.id)
+    e.schemaB64 match {
+      case Some(b64) =>
+        val json = new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
+        val st = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(st).parquet(path)
+      case None => spark.read.parquet(path)
+    }
+  }
+
   /** Read the current committed state of a table: union of live segments,
     * with last-writer-wins key resolution when any live segment is an upsert
     * delta (merge-on-read). Append-only tables pay no dedup.
@@ -94,16 +116,16 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   def read(name: String): Option[DataFrame] = {
     val live = liveEntries(name)
     if (live.isEmpty) None
-    else if (live.size == 1) Some(spark.read.parquet(snapshotPath(name, live.head.id)))
+    else if (live.size == 1) Some(segDf(name, live.head))
     else {
       val anyUpsert = live.exists(_.upsert)
       if (!anyUpsert)
-        Some(live.map(e => spark.read.parquet(snapshotPath(name, e.id)))
+        Some(live.map(e => segDf(name, e))
           .reduce(_ unionByName _))
       else {
         val keys = live.filter(_.upsert).last.keys
         val tagged = live.map(e =>
-          spark.read.parquet(snapshotPath(name, e.id)).withColumn("_seg", lit(e.id)))
+          segDf(name, e).withColumn("_seg", lit(e.id)))
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_seg").desc)
         Some(tagged.reduce(_ unionByName _)
           .withColumn("_rn", row_number().over(w))
@@ -202,7 +224,9 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     val lineageDir = tableDir(name).resolve(s"snapshot-$id-lineage").toString
     lineage.write.mode("overwrite").parquet(lineageDir)
 
-    appendManifest(name, id, kind, upsert, keys)
+    appendManifest(name, id, kind, upsert, keys,
+      org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "__graft_row_hash")))
     id
   }
 
@@ -220,7 +244,9 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * integrity question ("are the committed bytes the rows the job saw?").
     */
   def verifyLineage(name: String, id: Long): Boolean = {
-    val committed = spark.read.parquet(snapshotPath(name, id))
+    val committed = entries(name).find(_.id == id)
+      .map(segDf(name, _))
+      .getOrElse(spark.read.parquet(snapshotPath(name, id)))
     val actual = committed
       .agg(count(lit(1)).as("rows"),
         coalesce(bit_xor(rowHashCol(committed.columns)), lit(0L)).as("checksum"))
@@ -237,15 +263,17 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   }
 
   private def appendManifest(name: String, id: Long, kind: String, upsert: Boolean,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], schema: org.apache.spark.sql.types.StructType): Unit = {
     Files.createDirectories(tableDir(name))
     val m = manifest(name)
     val existing =
       if (Files.exists(m)) Files.readAllLines(m, UTF_8).asScala.toSeq else Seq.empty
     val keysJson = keys.map(k => "\"" + k + "\"").mkString("[", ", ", "]")
+    val schemaB64 = java.util.Base64.getEncoder.encodeToString(schema.json.getBytes(UTF_8))
     val entry =
       s"""{"snapshot_id": $id, "table": "$name", "kind": "$kind", "upsert": $upsert, """ +
-        s""""keys": $keysJson, "committed_at_ms": ${System.currentTimeMillis()}}"""
+        s""""keys": $keysJson, "schema_b64": "$schemaB64", """ +
+        s""""committed_at_ms": ${System.currentTimeMillis()}}"""
     val tmp = tableDir(name).resolve(s"_snapshots.json.tmp-$id")
     Files.write(tmp, (existing :+ entry).mkString("\n").getBytes(UTF_8))
     Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

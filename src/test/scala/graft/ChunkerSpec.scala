@@ -86,6 +86,17 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks(1).header_path === "user > A > C")
   }
 
+  test("markdown header stack works with windowSize > 1 (hslots feeds the w>1 stats)") {
+    val cfg = TurnChunker.Config(windowSize = 2, markdownHeaders = true)
+    val turns = Seq(
+      turn("c1", 0, "# Title\n" + longA),
+      turn("c1", 1, longB),
+      turn("c1", 2, "## Sec\n" + longA)).toDS()
+    val chunks = TurnChunker.chunk(spark, turns, cfg).collect().sortBy(_.window_end)
+    assert(chunks.nonEmpty)
+    assert(chunks.last.header_path === "user > Title > Sec")
+  }
+
   test("markdown header stack inherits across salt boundaries; parity with unsalted") {
     val mk = (i: Int) => i match {
       case 0 => "# Root\n" + longA
@@ -123,7 +134,10 @@ class ChunkerSpec extends SparkSpec {
       turn(c, i, base, role = if (i % 3 == 0) "user" else "assistant",
         tool = if (i % 4 == 1) s"tool$i" else "")
     }
-    val rows = for (c <- Seq("ca", "cb", "cc"); i <- 0 until 10) yield mk(c, i)
+    val rows = (for (c <- Seq("ca", "cb", "cc"); i <- 0 until 10) yield mk(c, i))
+      // a null ts mid-conversation: min($"ts") ignores it on the windowed
+      // path and the sorted scan must tolerate it identically
+      .map(t => if (t.conv_id == "cb" && t.turn_idx == 6) t.copy(ts = null) else t)
     // 3 slices of 10 → cb spans slices 1-2, cc spans 2-3
     val ds = spark.createDataset(spark.sparkContext.parallelize(rows, 3))
     for (md <- Seq(false, true)) {

@@ -148,6 +148,38 @@ class IncrementalSpec extends SparkSpec {
     assert(log.snapshots("entities") === segsBefore, "no-op rerun must write no segment")
   }
 
+  test("fold of several linked rows merges the existing summary exactly ONCE") {
+    import graft.link.EntityLinker
+    import graft.model.Entity
+    // existing entity U with summary S; two NEW canonical entities A and B
+    // both link to U (one via alias, one via cosine). The upsert row's
+    // summary must contain S once — folding the per-row pre-merged
+    // summaries would repeat it per linked row.
+    val ex = Seq(Entity("U", "Quantum Dynamics", "Quantum Dynamics", "Organization",
+      "S existing summary", Seq("Quantum Dynamics"), Seq("c0"),
+      graft.functions.Embed.embed("Quantum Dynamics").toSeq, "default")).toDF()
+    def linkedRow(uuid: String, name: String, own: String) =
+      Entity(uuid, name, name, "Organization", own, Seq(name), Seq(s"c-$uuid"),
+        graft.functions.Embed.embed(name).toSeq, "default")
+    val linked = Seq(linkedRow("A", "Quantum Dynamics Inc", "A summary"),
+        linkedRow("B", "Quantum Dynamics Corp", "B summary")).toDF()
+      .withColumn("resolved_uuid", lit("U"))
+      .withColumn("resolved_name", lit("Quantum Dynamics"))
+      .withColumn("resolved_ex_summary", lit("S existing summary"))
+      .withColumn("resolved_summary",
+        concat(lit("S existing summary"), lit("\n"), $"summary"))
+      .withColumn("resolved_aliases", array_union($"aliases", array(lit("Quantum Dynamics"))))
+      .withColumn("resolved_embedding", $"embedding")
+      .withColumn("is_new", lit(false))
+    val folded = Ingest.foldLinkedEntities(spark, linked, ex.columns.toSeq).collect()
+    assert(folded.length === 1)
+    val summary = folded.head.getAs[String]("summary")
+    assert("S existing summary".r.findAllIn(summary).length === 1, summary)
+    assert(summary.contains("A summary") && summary.contains("B summary"), summary)
+    val aliases = folded.head.getSeq[String](folded.head.fieldIndex("aliases"))
+    assert(aliases.contains("Quantum Dynamics Inc") && aliases.contains("Quantum Dynamics Corp"))
+  }
+
   test("dedup stats (A5)") {
     val ms = Seq(
       graft.model.Mention("Quantum Dynamics Inc", "Organization", "Quantum Dynamics Inc is an entity observed in transcripts.", "c1", "conv1", 0, "default"),
