@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("researchBatch plan: scoped/topic paths are broadcast equi-joins, no cartesian product") {
+    val r = Ingest.runInMemory(spark,
+      TranscriptGen.transcripts(spark, TranscriptGen.Config(3, 15, 2)))
+    val facts = graft.query.Retriever.withFactEmbeddings(r.triples)
+    val questions = Seq((1L, "what happened", Seq("Spark"), Seq.empty[String], false))
+      .toDF("query_id", "question", "entity_hints", "topic_hints", "enumeration")
+    val plan = graft.query.Researcher.researchBatch(facts, r.entities, questions)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian product allowed")
+    assert(plan.contains("BroadcastHashJoin"), "query-side tables must broadcast")
+  }
+
   test("q1-style agg runs partial aggregation (map-side combine)") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
