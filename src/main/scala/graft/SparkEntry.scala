@@ -477,6 +477,48 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // EXACT empty-relation check (the kg_pipeline_golden_diff pattern): every
+    // pair the LSH+verify operator emitted is re-scored by the independent
+    // codegen CosineSimilarity expression (the operator verifies with the
+    // Scala UDF) — any pair below the threshold, or any arithmetic drift
+    // between the two paths, lands a row; the oracle is the empty relation,
+    // so the driver hash-checks the verify step end-to-end even though LSH
+    // recall itself is not ANSI-expressible.
+    "dedup_embedding_check" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings").filter(col("vec_id") < 500)
+      Dedup.embeddingCosinePairs(emb, threshold = 0.25, nPlanes = 8, nTables = 4)
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+        .withColumn("recomputed",
+          graft.functions.expr.CosineSimilarity(col("va"), col("vb")))
+        .filter(col("recomputed") < lit(0.25) - lit(1e-9) ||
+          abs(col("recomputed") - col("cosine")) > 1e-9)
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // EXACT empty-relation check for IVF: recall is inherently < 1 (the
+    // committed curve in BASELINE.md quantifies it), but every (qid,
+    // neighbor) the index DID return must carry exactly the true cosine —
+    // recomputed here via the interpreted HOF formulation, independent of
+    // the codegen path the operator scores with. Expected empty.
+    "ann_ivf_score_check" -> ((s, dir) => {
+      val v = read(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(v, q, k = 10, nCentroids = 16, nprobe = 4)
+        .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
+          Seq("neighbor_id"))
+        .join(q, Seq("qid"))
+        .withColumn("recomputed", graft.functions.VectorOps.cosineHof(
+          col("qvec").cast("array<double>"), col("nvec").cast("array<double>")))
+        .filter(abs(col("recomputed") - col("score")) > 1e-9)
+        .select(col("qid").cast("long").as("qid"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("int").as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 200)).toDF()
@@ -839,6 +881,17 @@ object SparkEntry {
     // same schema — any pipeline/golden divergence breaks the hash match
     "kg_pipeline_golden_diff" ->
       """SELECT '' AS conv_id, '' AS s, '' AS p, '' AS o, '' AS d, '' AS side
+        |WHERE 1 = 0""".stripMargin,
+
+    // empty-relation checks: the Spark side emits violations of the
+    // operator's own verify/scoring arithmetic (expected none)
+    "dedup_embedding_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+        |WHERE 1 = 0""".stripMargin,
+
+    "ann_ivf_score_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS neighbor_id,
+        |  CAST(NULL AS INTEGER) AS rnk
         |WHERE 1 = 0""".stripMargin
   )
 }

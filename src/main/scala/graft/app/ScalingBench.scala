@@ -88,6 +88,12 @@ object ScalingBench {
       if (mode == "chunk") {
         graft.chunk.TurnChunker.chunk(spark, turns)
           .write.mode("overwrite").format("noop").save()
+      } else if (mode == "extract_fused") {
+        // fused single-pass chunk-gate + extraction (spec-asserted
+        // row-identical to extract(chunk(...))) — the deployment shape when
+        // only triples are needed from a standing transcript store
+        graft.extract.TripleExtractor.extractFused(spark, turns)
+          .write.mode("overwrite").format("noop").save()
       } else if (mode == "extract" || mode == "extract_sorted") {
         val ccfg = graft.chunk.TurnChunker.Config(
           sortedInput = mode == "extract_sorted")

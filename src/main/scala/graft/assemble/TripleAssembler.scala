@@ -28,13 +28,26 @@ import graft.model.{RawTriple, Triple}
 object TripleAssembler {
 
   /** `maxBroadcastTopics` caps the driver-collected resolved-topic map for
-    * the broadcast fast path; sized so the map stays well under the session's
-    * autoBroadcastJoinThreshold (~50 B/entry vs the 10 MB default — the same
-    * budget Catalyst itself would apply to a broadcast join of that table).
-    * Overflow falls back to the explode+regroup shuffle path.
+    * the broadcast fast path. Default 0 = DERIVE from the session's own
+    * `spark.sql.autoBroadcastJoinThreshold` at ~50 B per (key, label) entry —
+    * the same budget Catalyst itself would apply to a broadcast join of that
+    * table — so a session tuned for bigger/smaller broadcasts moves this cap
+    * with it. Overflow falls back to the explode+regroup shuffle path.
     */
   case class Config(broadcastResolutions: Boolean = true, groupId: String = "default",
-      maxBroadcastTopics: Int = 200000)
+      maxBroadcastTopics: Int = 0)
+
+  /** ~bytes per broadcast map entry (short lowercase key + label + overhead). */
+  private val BytesPerTopicEntry = 50L
+
+  private[assemble] def derivedTopicCap(spark: SparkSession): Int = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val bytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: Exception => 10L * 1024 * 1024 }
+    if (bytes <= 0) 200000 // broadcasts disabled session-wide: keep the old fixed cap
+    else math.min(bytes / BytesPerTopicEntry, 2000000L).toInt
+  }
 
   private val relTypeUdf = udf((s: String) => Norm.normalizeRelType(s))
   private val factUuidUdf = udf {
@@ -82,7 +95,9 @@ object TripleAssembler {
     // the distinct surface forms that matched the ontology — broadcast it and
     // rewrite the array in place (no explode, no fact-stream regroup shuffle).
     // Falls back to explode + regroup when the map is unexpectedly large.
-    val maxBroadcastTopics = cfg.maxBroadcastTopics
+    val maxBroadcastTopics =
+      if (cfg.maxBroadcastTopics > 0) cfg.maxBroadcastTopics
+      else derivedTopicCap(spark)
     // single job: fetch up to the cap + 1; overflow → fallback path
     val capped = topic0.select($"key", $"r_name").limit(maxBroadcastTopics + 1).collect()
     val resolved =

@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 
-import graft.model.{Chunk, Mention, RawTriple}
+import graft.model.{Chunk, Mention, RawTriple, Turn}
 
 /** Deterministic OpenIE-style (subject, predicate, object) triple extractor.
   *
@@ -68,40 +68,87 @@ object TripleExtractor {
   private[graft] def validEntity(name: String): Boolean =
     name != null && name.nonEmpty && !excluded.matcher(name).matches()
 
-  /** Extract raw triples from one chunk (pure; unit-testable). */
-  private[extract] def extractChunk(c: Chunk): Iterator[RawTriple] = {
-    c.text.split('\n').iterator.flatMap { line =>
-      rules.iterator.filter(r => line.contains(r.anchor)).flatMap { r =>
-        val m = r.compiled.matcher(line)
-        val out = Seq.newBuilder[RawTriple]
-        while (m.find()) {
-          val subject = m.group(1)
-          val obj = m.group(2)
-          val date = if (r.hasYear) "in " + m.group(3) else ""
-          val topics = if (r.hasTopic) Seq(m.group(3)) else Seq.empty[String]
-          if (validEntity(subject) && validEntity(obj))
-            out += RawTriple(
-              chunk_uuid = c.chunk_uuid,
-              conv_id = c.conv_id,
-              turn_idx = c.window_end,
-              group_id = c.group_id,
-              fact = m.group(0),
-              subject = subject,
-              subject_type = r.subjectType,
-              relationship = r.relationship,
-              `object` = obj,
-              object_type = r.objectType,
-              date_context = date,
-              topics = topics)
-        }
-        out.result()
+  /** Rule-match core shared by the chunk-table path and the fused
+    * turn-stream path. No pattern element can match '\n' (entity spans use
+    * spaces and word chars; verb phrases are literal), so matching runs over
+    * the WHOLE body — no per-line split/substring allocation — gated by a
+    * literal `contains(anchor)` per rule (~10× cheaper than a regex scan,
+    * and almost all text at corpus scale matches no anchor). `chunkUuid` is
+    * BY-NAME: the uuid5 digest — the hottest per-row fixed cost of the chunk
+    * stage — is computed only when a rule actually matches.
+    */
+  private[extract] def extractBody(text: String, convId: String, turnIdx: Int,
+      groupId: String, chunkUuid: () => String): Iterator[RawTriple] = {
+    var uuid: String = null
+    def u(): String = { if (uuid == null) uuid = chunkUuid(); uuid }
+    rules.iterator.filter(r => text.contains(r.anchor)).flatMap { r =>
+      val m = r.compiled.matcher(text)
+      val out = Seq.newBuilder[RawTriple]
+      while (m.find()) {
+        val subject = m.group(1)
+        val obj = m.group(2)
+        val date = if (r.hasYear) "in " + m.group(3) else ""
+        val topics = if (r.hasTopic) Seq(m.group(3)) else Seq.empty[String]
+        if (validEntity(subject) && validEntity(obj))
+          out += RawTriple(
+            chunk_uuid = u(),
+            conv_id = convId,
+            turn_idx = turnIdx,
+            group_id = groupId,
+            fact = m.group(0),
+            subject = subject,
+            subject_type = r.subjectType,
+            relationship = r.relationship,
+            `object` = obj,
+            object_type = r.objectType,
+            date_context = date,
+            topics = topics)
       }
+      out.result()
     }
   }
+
+  /** Extract raw triples from one chunk (pure; unit-testable). */
+  private[extract] def extractChunk(c: Chunk): Iterator[RawTriple] =
+    extractBody(c.text, c.conv_id, c.window_end, c.group_id, () => c.chunk_uuid)
 
   def extract(spark: SparkSession, chunks: Dataset[Chunk]): Dataset[RawTriple] = {
     import spark.implicits._
     chunks.mapPartitions(_.flatMap(extractChunk))
+  }
+
+  /** FUSED chunk→extract single pass over the raw turn stream (windowSize=1
+    * semantics). The chunk TABLE needs numbering, header stacks, and document
+    * dates — but the extraction metric needs none of them: a RawTriple
+    * carries only (chunk_uuid, conv_id, turn_idx, group_id) context, and
+    * chunk_uuid = uuid5(group, conv, "idx:N") is computable per turn without
+    * any cross-turn state. So triple extraction over a standing transcript
+    * store is ONE narrow mapPartitions: apply the chunker's emission gate
+    * (trim, minChars, "---" — TurnChunker semantics, spec-asserted
+    * row-identical to extract(chunk(turns))), then the rule core, computing
+    * the uuid5 digest only for turns that matched a rule. No Chunk objects,
+    * no header paths, no stats/reconcile pass, no layout requirement (works
+    * on ANY partitioning — per-turn independent), no shuffle.
+    *
+    * This is the triple-extraction deployment shape at 10^12 turns; the
+    * materialized chunk table (chunkSorted / windowed chunk) remains the
+    * provenance path.
+    */
+  def extractFused(spark: SparkSession, turns: Dataset[Turn], minChars: Int = 50,
+      groupId: String = "default"): Dataset[RawTriple] = {
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      it.flatMap { t =>
+        if (t.text == null) Iterator.empty
+        else {
+          val body = t.text.trim
+          if (body.length >= minChars && !body.startsWith("---"))
+            extractBody(body, t.conv_id, t.turn_idx, groupId,
+              () => graft.functions.Ids.stableUuid(groupId, t.conv_id, s"idx:${t.turn_idx}"))
+          else Iterator.empty
+        }
+      }
+    }
   }
 
   /** Phase-2a analogue: collect entity mentions from fact subjects/objects

@@ -16,10 +16,13 @@ import graft.model.OntologyTopic
   *
   * Spark shape: the ontology is a broadcast dimension table (a few hundred
   * rows). Synonyms explode into match keys; exact case-insensitive
-  * label/synonym equality wins outright (score 1.0), otherwise embedding
-  * cosine with the reference's 0.40 floor; top-1 per topic name via window;
-  * below-floor topics are rejected (dropped — pipeline.py:1624-1627 skips
-  * unmatched topics).
+  * label/synonym equality wins outright (score 1.0) via a broadcast
+  * EQUI-join — names with an exact hit never touch the similarity scan;
+  * the remainder is scored against the broadcast term list with the
+  * codegen'd DotProduct (embeddings are L2-normalized, so cosine = dot; no
+  * interpreted per-pair UDF) under the reference's 0.40 floor; top-1 per
+  * topic name via window; below-floor topics are rejected (dropped —
+  * pipeline.py:1624-1627 skips unmatched topics).
   *
   * @param topicNames DataFrame with columns (name, group_id), distinct.
   * @return (name, group_id, topic_uuid, canonical_label, definition)
@@ -36,8 +39,8 @@ object TopicResolver {
       (t.label +: t.synonyms).map(term => (t.uri, t.label, t.definition, term,
         Embed.embed(term)))
     }.toDF("uri", "label", "definition", "term", "term_emb")
+      .withColumn("term_key", lower(trim($"term")))
 
-    val cosUdf = udf((a: Seq[Double], b: Seq[Double]) => Embed.cosine(a.toArray, b.toArray))
     val embedUdf = udf((s: String) => Embed.embed(s))
     val uuidUdf = udf((g: String, label: String) => Ids.stableUuid(g, "topic", label))
 
@@ -46,12 +49,20 @@ object TopicResolver {
       .withColumn("name_key", lower(trim($"name")))
       .withColumn("name_emb", embedUdf($"name"))
 
-    val scored = named.join(broadcast(terms),
-        lower($"term") === $"name_key" || cosUdf($"name_emb", $"term_emb") >= lit(cfg.candidateFloor),
-        "inner")
+    // exact path: a broadcast HASH join on the lowered key (an OR-predicate
+    // with the similarity test would plan the whole thing as a nested-loop
+    // join evaluating an interpreted UDF per (name, term) pair)
+    val exact = named.join(broadcast(terms), $"term_key" === $"name_key")
+      .withColumn("score", lit(1.0))
+    // similarity path: only names with NO exact hit anywhere scan the term
+    // list, scored by the codegen'd dot product (L2-normalized embeddings)
+    val fuzzy = named
+      .join(broadcast(terms.select($"term_key")), $"term_key" === $"name_key", "left_anti")
+      .crossJoin(broadcast(terms))
       .withColumn("score",
-        when(lower($"term") === $"name_key", lit(1.0))
-          .otherwise(cosUdf($"name_emb", $"term_emb")))
+        graft.functions.expr.DotProduct($"name_emb", $"term_emb"))
+      .filter($"score" >= lit(cfg.candidateFloor))
+    val scored = exact.unionByName(fuzzy)
 
     val top1 = Window.partitionBy($"name", $"group_id")
       .orderBy($"score".desc, $"label".asc)

@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata. The Spark-side structure — schema, partition-friendly
-  * batch iteration, deterministic sampling — is real and tested; the actual
-  * codec decode is STUBBED (no image/audio libraries in this container) with
-  * a deterministic fake that parses our own synthetic header, clearly marked
-  * below. Swap `decodeStub` for a real codec (e.g. javax.imageio / ffmpeg via
-  * mapPartitions) without touching any plumbing.
+  * batch iteration, deterministic sampling — is real and tested.
+  *
+  * IMAGE decode is REAL: PNG/JPEG payloads go through the JDK's built-in
+  * `javax.imageio` (no external codec jars needed) inside the mapPartitions
+  * batch loop. AUDIO/VIDEO decode remains a clearly-marked deterministic STUB
+  * (no ffmpeg/codec libraries in this container) that parses our own
+  * synthetic 16-byte header; swap `decodeStub` for a real codec without
+  * touching any plumbing.
   */
 object Multimodal {
 
@@ -19,8 +22,10 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, byte_hist: Array[Double], frames_sampled: Int)
 
-  /** Deterministic synthetic media corpus: content = 16-byte header
-    * (type tag, dims) + pseudo-random payload seeded by id.
+  /** Deterministic synthetic media corpus. IMAGE rows carry a real PNG
+    * (deterministic pixels from a seeded xorshift, encoded in-memory by
+    * ImageIO — so the decode path is exercised end-to-end); audio/video rows
+    * carry the 16-byte-header synthetic container the stub parses.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -29,26 +34,68 @@ object Multimodal {
       val w = 16 + (id % 64).toInt * 4
       val h = 16 + (id % 48).toInt * 4
       val sr = if (typ == "audio") 16000 else 0
-      val payloadLen = 256 + (id % 512).toInt
-      val bytes = new Array[Byte](16 + payloadLen)
-      bytes(0) = typ(0).toByte
-      bytes(1) = (w & 0xff).toByte; bytes(2) = ((w >> 8) & 0xff).toByte
-      bytes(3) = (h & 0xff).toByte; bytes(4) = ((h >> 8) & 0xff).toByte
-      var i = 16
       var s = id * 6364136223846793005L + 1442695040888963407L
-      while (i < bytes.length) {
+      def nextByte(): Byte = {
         s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-        bytes(i) = (s & 0xff).toByte
-        i += 1
+        (s & 0xff).toByte
       }
+      val bytes =
+        if (typ == "image") {
+          // real PNG: deterministic RGB raster, JDK encoder (no timestamps →
+          // byte-stable across runs)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = ((nextByte() & 0xff) << 16) | ((nextByte() & 0xff) << 8) |
+                (nextByte() & 0xff)
+              img.setRGB(x, y, rgb)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        } else {
+          val payloadLen = 256 + (id % 512).toInt
+          val b = new Array[Byte](16 + payloadLen)
+          b(0) = typ(0).toByte
+          b(1) = (w & 0xff).toByte; b(2) = ((w >> 8) & 0xff).toByte
+          b(3) = (h & 0xff).toByte; b(4) = ((h >> 8) & 0xff).toByte
+          var i = 16
+          while (i < b.length) { b(i) = nextByte(); i += 1 }
+          b
+        }
       MediaRow(id, typ, bytes, w, h, sr)
     }
   }
 
-  /** ===== STUB ===== Codec decode. A real implementation would parse the
-    * container format here (JPEG/PNG/WAV/MP4); this deterministic fake reads
-    * our synthetic 16-byte header. Plumbing (batch iteration, schema) is the
-    * production shape.
+  /** REAL image decode via the JDK's `javax.imageio` (PNG + JPEG). Returns
+    * the decoded (width, height), or None when the payload isn't a
+    * decodable image — magic-byte gated so non-image payloads never pay the
+    * decoder attempt.
+    */
+  private[graft] def decodeImage(content: Array[Byte]): Option[(Int, Int)] = {
+    if (content == null || content.length < 8) return None
+    val isPng = (content(0) & 0xff) == 0x89 && content(1) == 'P'.toByte &&
+      content(2) == 'N'.toByte && content(3) == 'G'.toByte
+    val isJpeg = (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8
+    if (!isPng && !isJpeg) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None else Some((img.getWidth, img.getHeight))
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+  }
+
+  /** ===== STUB ===== Audio/video codec decode. A real implementation would
+    * parse the container format here (WAV/MP4 via a codec library); this
+    * deterministic fake reads our synthetic 16-byte header. Plumbing (batch
+    * iteration, schema) is the production shape.
     */
   private def decodeStub(content: Array[Byte]): (Int, Int) = {
     if (content.length < 16) (0, 0)
@@ -57,27 +104,35 @@ object Multimodal {
   }
 
   /** Feature extraction over the binary column: batched per partition
-    * (mapPartitions — the Scala analogue of mapInPandas batch iteration),
-    * emitting decode-derived dims, a 16-bin byte histogram (the stand-in for
-    * real visual features), and a deterministic frame-sample count.
+    * (mapPartitions — the Scala analogue of mapInPandas batch iteration).
+    * Images decode for REAL (ImageIO) and report the decoded dims; the
+    * byte histogram runs over the payload (the stand-in for real visual
+    * features), and frame sampling is deterministic.
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
       frameStride: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
+      // ImageIO's default disk-backed stream cache is a per-call temp file —
+      // pure-memory decoding in executor threads instead
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val (w, h) = decodeStub(r.content)
+        val decoded = decodeImage(r.content)
+        val (w, h) = decoded.getOrElse(decodeStub(r.content))
+        // real containers hash the whole payload; the synthetic stub skips
+        // its fake 16-byte header
+        val start = if (decoded.isDefined) 0 else 16
         val hist = new Array[Double](16)
-        var i = 16
+        var i = start
         while (i < r.content.length) {
           hist((r.content(i) & 0xff) >> 4) += 1.0
           i += 1
         }
-        val total = math.max(r.content.length - 16, 1).toDouble
+        val total = math.max(r.content.length - start, 1).toDouble
         var j = 0
         while (j < 16) { hist(j) /= total; j += 1 }
         // deterministic frame sampling: every frameStride-th payload offset
-        val frames = math.max((r.content.length - 16) / frameStride, 0)
+        val frames = math.max((r.content.length - start) / frameStride, 0)
         MediaFeatures(r.media_id, r.media_type, r.content.length, w, h, hist, frames)
       }
     }

@@ -67,6 +67,52 @@ object GraphLookup {
       .orderBy(col("n_facts").desc, col("neighbor"), col("predicate"))
   }
 
+  /** get_entity_info (mcp_server.py:475-510): exact-name metadata lookup —
+    * name, node type, entity_type, summary with the reference's fallback
+    * text for a missing summary. Empty result = the reference's found:false
+    * ("use resolve_entity_or_topic first to get exact names" — so the match
+    * is exact, not fuzzy).
+    */
+  def getEntityInfo(entities: DataFrame, name: String,
+      groupId: String = "default"): DataFrame =
+    entities.filter(col("group_id") === groupId)
+      .filter(col("canonical_name") === name)
+      .limit(1)
+      .select(col("canonical_name").as("name"),
+        lit("Entity").as("node_type"),
+        col("entity_type"),
+        coalesce(nullif(col("summary"), lit("")),
+          lit("No summary available for this entity.")).as("summary"))
+
+  /** explore_neighbors_semantic (mcp_server.py:605-698): the entity's
+    * incident facts ranked by similarity to a free-text hint (top-k fact
+    * search first, as the reference's fact-store query does), then edges
+    * deduped by (predicate, neighbor, direction) keeping the best-scoring
+    * fact and its date annotation. `factsWithEmb` = triples with
+    * pre-normalized fact embeddings (Retriever.withFactEmbeddings), so the
+    * score is the codegen'd dot product.
+    */
+  def exploreNeighborsSemantic(factsWithEmb: DataFrame, entityUuid: String,
+      queryHint: String, topK: Int = 15): DataFrame = {
+    val q = lit(graft.functions.Embed.embed(queryHint))
+    val out = factsWithEmb.filter(col("subject_uuid") === entityUuid)
+      .select(col("predicate"), col("object").as("neighbor"),
+        lit("outgoing").as("direction"), col("embedding"),
+        col("date_context"), col("fact_uuid"))
+    val in = factsWithEmb.filter(col("object_uuid") === entityUuid)
+      .select(col("predicate"), col("subject").as("neighbor"),
+        lit("incoming").as("direction"), col("embedding"),
+        col("date_context"), col("fact_uuid"))
+    out.unionByName(in)
+      .withColumn("score", graft.functions.expr.DotProduct(q, col("embedding")))
+      .orderBy(col("score").desc, col("fact_uuid")) // TakeOrdered, no sort-all
+      .limit(topK)
+      .groupBy(col("predicate"), col("neighbor"), col("direction"))
+      .agg(max(col("score")).as("score"),
+        max_by(col("date_context"), col("score")).as("date_context"))
+      .orderBy(col("score").desc, col("neighbor"), col("predicate"))
+  }
+
   /** search_relationships: substring/predicate search over fact text. */
   def searchRelationships(triples: DataFrame, pattern: String, limitN: Int = 50): DataFrame =
     triples.filter(lower(col("fact")).contains(pattern.toLowerCase(java.util.Locale.ROOT)) ||

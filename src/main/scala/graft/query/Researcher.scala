@@ -190,6 +190,13 @@ object Researcher {
     * shuffles are keyed by query_id × bounded candidate sets, never the
     * fact table. The thin-evidence trigger for expansion/refinement is a
     * per-query count — plain aggregation, no driver action at all.
+    *
+    * The multi-consumer intermediates (questions+embeddings, hint
+    * resolution, the merged `scored` evidence — each bounded per question)
+    * are lineage-truncated once, so the fact-table scans behind them run a
+    * bounded number of times instead of once per downstream broadcast
+    * subquery (ResearcherSpec asserts the bound with a scan-counting
+    * accumulator).
     */
   def researchBatch(facts: DataFrame, entities: DataFrame, questions: DataFrame,
       cfg: Config = Config()): DataFrame = {
@@ -198,9 +205,12 @@ object Researcher {
     val W = org.apache.spark.sql.expressions.Window
     val rcfg = cfg.retriever
 
-    val qs = questions.select(col("query_id"), col("question"),
-        col("entity_hints"), col("topic_hints"), col("enumeration"))
-      .withColumn("q_emb", embedUdf(col("question")))
+    // the question table is tiny and broadcast into every retrieval path —
+    // truncate once so each broadcast build doesn't re-run the embed UDF
+    val qs = graft.tables.Checkpoints.truncate(
+      questions.select(col("query_id"), col("question"),
+          col("entity_hints"), col("topic_hints"), col("enumeration"))
+        .withColumn("q_emb", embedUdf(col("question"))))
 
     // ---- step 1: batched hint resolution (exact alias key, else cosine) ----
     val hintRows = qs.select(col("query_id"), explode(col("entity_hints")).as("hint"))
@@ -218,6 +228,9 @@ object Researcher {
       .filter(col("exact") || col("sim") >= cfg.resolveFloor)
       .withColumn("rn", row_number().over(resolvedTop)).filter(col("rn") === 1)
       .select(col("query_id"), col("hint"), col("entity_uuid"))
+    // resolved feeds both the scoped keys and the unresolved-hint anti-join;
+    // truncate so the entities × hints resolution scan runs once, not twice
+    val resolvedT = graft.tables.Checkpoints.truncate(resolved)
 
     // ---- step 2: dual-path retrieval, all paths per question ----
     val factCols = Seq(col("query_id"), col("fact_uuid"), col("fact"),
@@ -225,7 +238,7 @@ object Researcher {
 
     // scoped: per (question, resolved entity) — OR-incidence as two
     // equi-joins, deduped per (query, entity, fact)
-    val scopedKeys = resolved.join(qs.select(col("query_id"), col("q_emb")), Seq("query_id"))
+    val scopedKeys = resolvedT.join(qs.select(col("query_id"), col("q_emb")), Seq("query_id"))
       .select(col("query_id"), col("entity_uuid").as("e_uuid"), col("q_emb"))
       .distinct()
     def scopedSide(side: String) =
@@ -267,17 +280,22 @@ object Researcher {
     // ---- step 3: merge + threshold + boost + cap, per question ----
     val capRank = W.partitionBy(col("query_id"))
       .orderBy(col("final_score").desc, col("fact_uuid"))
-    val scored = scoped.unionByName(topicScoped).unionByName(global)
-      .groupBy(col("query_id"), col("fact_uuid"))
-      .agg(max(col("score")).as("vector_score"),
-        collect_set(col("source")).as("sources"),
-        first(col("fact")).as("fact"))
-      .withColumn("final_score",
-        col("vector_score") + lit(rcfg.crossSourceBoost) * (size(col("sources")) - 1))
-      .filter(col("vector_score") >= rcfg.relevanceThreshold)
-      .withColumn("rn", row_number().over(capRank))
-      .filter(col("rn") <= rcfg.maxFactsToScore)
-      .drop("rn")
+    // scored feeds FOUR consumers (evCount, anchors, extra's anti-join,
+    // expanded) — without truncation each broadcast subquery re-derives the
+    // scoped ∪ topic ∪ global union, i.e. re-scans the fact table per
+    // consumer. Bounded: ≤ maxFactsToScore rows per question.
+    val scored = graft.tables.Checkpoints.truncate(
+      scoped.unionByName(topicScoped).unionByName(global)
+        .groupBy(col("query_id"), col("fact_uuid"))
+        .agg(max(col("score")).as("vector_score"),
+          collect_set(col("source")).as("sources"),
+          first(col("fact")).as("fact"))
+        .withColumn("final_score",
+          col("vector_score") + lit(rcfg.crossSourceBoost) * (size(col("sources")) - 1))
+        .filter(col("vector_score") >= rcfg.relevanceThreshold)
+        .withColumn("rn", row_number().over(capRank))
+        .filter(col("rn") <= rcfg.maxFactsToScore)
+        .drop("rn"))
 
     // ---- step 4: gap expansion for thin questions (count < thinEvidence) —
     // the trigger is a per-query aggregate, not a driver action
@@ -316,7 +334,7 @@ object Researcher {
     // ---- step 4b: refinement — thin questions with unresolved hints run one
     // targeted global search per hint at refinementTopK, merged with penalty
     val unresolvedHints = hintRows
-      .join(resolved.select(col("query_id"), col("hint")), Seq("query_id", "hint"), "left_anti")
+      .join(resolvedT.select(col("query_id"), col("hint")), Seq("query_id", "hint"), "left_anti")
       .join(broadcast(thinAll.select(col("query_id"))), Seq("query_id"))
       .select(col("query_id"), col("hint"), col("hint_emb"))
     val refineRank = W.partitionBy(col("query_id"), col("hint"))

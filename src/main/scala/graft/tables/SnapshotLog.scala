@@ -140,7 +140,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * the new snapshot id.
     */
   def commit(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long =
-    writeSegment(name, df, partitionBy, kind = "full", upsert = false, keys = Nil)
+    writeSegment(name, df, partitionBy, kind = "full", upsert = false, keys = Nil).get
 
   /** One write pass that streams rows to parquet while folding per-partition
     * lineage (row count + xor-of-row-hash checksum) into a collection
@@ -159,7 +159,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * partition id, which also covers that case.
     */
   private def writeSegment(name: String, df: DataFrame, partitionBy: Seq[String],
-      kind: String, upsert: Boolean, keys: Seq[String]): Long = {
+      kind: String, upsert: Boolean, keys: Seq[String],
+      skipIfEmpty: Boolean = false): Option[Long] = {
     val id = latestSnapshot(name).getOrElse(0L) + 1L
     val dataPath = snapshotPath(name, id)
 
@@ -192,6 +193,18 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataPath)
 
+    // delta merges write FIRST and discard a zero-row segment here — the
+    // accumulator already counted the rows during the single write pass, so
+    // the anti-join/EXCEPT delta is computed exactly once (an up-front
+    // `isEmpty` probe would execute it a second time; at scale the delta
+    // against the live table is the expensive half of an append)
+    val tuples = acc.value.asScala.toSeq
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    if (skipIfEmpty && tuples.map(_._2).sum == 0L) {
+      deleteRecursively(Paths.get(dataPath))
+      return None
+    }
+
     // a partitionBy write of an EMPTY stage creates no parquet files (dynamic
     // partitioning has nothing to lay out), which would fail read-back schema
     // inference — land one zero-row schema-bearing file so empty stages
@@ -209,8 +222,6 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
 
     // lineage rows from the accumulated per-partition tuples (dedup by pid:
     // a speculative duplicate attempt must not double-count)
-    val tuples = acc.value.asScala.toSeq
-      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
     val now = new Timestamp(System.currentTimeMillis())
     val lineage = tuples.toDF("partition_id", "output_rows", "checksum")
       .select(
@@ -227,8 +238,16 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     appendManifest(name, id, kind, upsert, keys,
       org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == "__graft_row_hash")))
-    id
+    Some(id)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally s.close()
+    }
 
   /** Row-content hash used for lineage checksums: JSON over columns in
     * lexicographic name order (stable across the column reordering of
@@ -300,11 +319,14 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       case Some(existing) =>
         val fresh = df.dropDuplicates(keys)
           .join(existing.select(keys.map(col): _*), keys, "left_anti")
-        if (fresh.isEmpty) latestSnapshot(name).get
-        else {
-          val id = writeSegment(name, fresh, partitionBy, kind = "delta",
-            upsert = false, keys)
-          compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
+        // write-first: the anti-join executes ONCE inside the write pass; a
+        // zero-row delta is discarded by writeSegment (skipIfEmpty) instead
+        // of being probed with a second isEmpty execution
+        writeSegment(name, fresh, partitionBy, kind = "delta",
+            upsert = false, keys, skipIfEmpty = true) match {
+          case None => latestSnapshot(name).get
+          case Some(id) =>
+            compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
         }
     }
   }
@@ -322,11 +344,13 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       case Some(existing) =>
         val in = df.dropDuplicates(keys)
         val delta = in.except(existing.select(in.columns.map(col): _*))
-        if (delta.isEmpty) latestSnapshot(name).get
-        else {
-          val id = writeSegment(name, delta, partitionBy, kind = "delta",
-            upsert = true, keys)
-          compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
+        // write-first, as in mergeAppend: EXCEPT executes once, zero-row
+        // deltas are discarded inside the single write pass
+        writeSegment(name, delta, partitionBy, kind = "delta",
+            upsert = true, keys, skipIfEmpty = true) match {
+          case None => latestSnapshot(name).get
+          case Some(id) =>
+            compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
         }
     }
   }

@@ -60,6 +60,22 @@ class ExtractorSpec extends SparkSpec {
     assert(!TripleExtractor.validEntity("42"))
   }
 
+  test("extractFused == extract(chunk(turns)): row-identical, on sorted AND arbitrary layouts") {
+    import graft.synth.TranscriptGen
+    val cfg = TranscriptGen.Config(numConvs = 8, turnsPerConv = 40, skew = 4)
+    val sorted = TranscriptGen.transcripts(spark, cfg)
+      .repartition(4, $"conv_id").sortWithinPartitions("conv_id", "turn_idx")
+      .as[Turn]
+    val viaChunks = TripleExtractor.extract(spark,
+      TurnChunker.chunk(spark, sorted, TurnChunker.Config(sortedInput = true)))
+      .collect().toSet
+    assert(viaChunks.nonEmpty)
+    assert(TripleExtractor.extractFused(spark, sorted).collect().toSet === viaChunks)
+    // the fused path has NO layout requirement — per-turn independent
+    val shuffled = TranscriptGen.transcripts(spark, cfg).repartition(7).as[Turn]
+    assert(TripleExtractor.extractFused(spark, shuffled).collect().toSet === viaChunks)
+  }
+
   test("mentions exclude topic-typed names and carry first-occurrence info") {
     val chunks = Seq(chunk("Nova Energy Ltd. partnered with Atlas Media regarding Inflation.")).toDS()
     val raw = TripleExtractor.extract(spark, chunks)

@@ -245,4 +245,47 @@ class IncrementalSpec extends SparkSpec {
     val found = GraphLookup.searchRelationships(triples, "acquired")
     assert(found.count() > 0)
   }
+
+  test("get_entity_info: exact-name metadata with summary fallback; miss = empty (mcp_server.py:475-510)") {
+    val cfg = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val res = Ingest.runInMemory(spark, TranscriptGen.transcripts(spark, cfg))
+    val entities = res.entities.cache()
+    val name = entities.select($"canonical_name").first().getString(0)
+
+    val hit = GraphLookup.getEntityInfo(entities, name).collect()
+    assert(hit.length === 1)
+    assert(hit.head.getAs[String]("name") === name)
+    assert(hit.head.getAs[String]("node_type") === "Entity")
+    assert(hit.head.getAs[String]("summary").nonEmpty) // fallback text if blank
+
+    // exact-name contract: a case-mangled or unknown name is NOT found
+    // (the reference tells the caller to resolve_entity_or_topic first)
+    assert(GraphLookup.getEntityInfo(entities, name.toUpperCase + "X").count() === 0)
+    // blank summary gets the reference's fallback sentence
+    val blanked = entities.withColumn("summary", lit(""))
+    assert(GraphLookup.getEntityInfo(blanked, name).first().getAs[String]("summary")
+      === "No summary available for this entity.")
+  }
+
+  test("explore_neighbors_semantic: hint-ranked incident edges, deduped, dated (mcp_server.py:605-698)") {
+    val cfg = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val res = Ingest.runInMemory(spark, TranscriptGen.transcripts(spark, cfg))
+    val facts = graft.query.Retriever.withFactEmbeddings(res.triples).cache()
+
+    val f0 = facts.select($"subject_uuid", $"fact").first()
+    val rows = GraphLookup.exploreNeighborsSemantic(facts, f0.getString(0), f0.getString(1))
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    // scores sorted descending, edges unique per (predicate, neighbor, direction)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val keys = rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(keys.distinct.length === keys.length)
+    // the hint IS one incident fact's text → its edge must rank first with
+    // self-similarity 1.0
+    assert(math.abs(scores.head - 1.0) < 1e-9)
+
+    // no incident facts → empty (the reference's found:false)
+    assert(GraphLookup.exploreNeighborsSemantic(facts, "no-such-uuid", "anything").count() === 0)
+  }
 }

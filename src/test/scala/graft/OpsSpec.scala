@@ -135,12 +135,25 @@ class OpsSpec extends SparkSpec {
     assert(annotated(0L).getAs[Double]("quality") > annotated(5L).getAs[Double]("quality"))
   }
 
-  test("multimodal: stub decode + features via mapPartitions; metadata-only prunes payload") {
+  test("multimodal: REAL PNG decode (ImageIO) + stub audio/video; metadata-only prunes payload") {
     val media = Multimodal.syntheticMedia(spark, 30)
+    // image rows carry genuine PNG bytes (magic + decodable)
+    val png = media.filter(_.media_type == "image").head().content
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    assert(Multimodal.decodeImage(png) === Some((16, 16)))
+    assert(Multimodal.decodeImage("not an image".getBytes) === None)
+
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length === 30)
-    val f0 = feats.find(_.media_id == 0L).get
-    assert(f0.width === 16 && f0.height === 16)
+    // image: dims come from the REAL decoder, not metadata (id=3 → 28×28)
+    val img = feats.find(_.media_id == 3L).get
+    assert(img.media_type === "image")
+    assert(img.width === 28 && img.height === 28)
+    assert(img.frames_sampled === img.n_bytes / 64)
+    // audio: stub header decode, payload after the 16-byte fake header
+    val f0 = feats.find(_.media_id == 1L).get
+    assert(f0.media_type === "audio")
+    assert(f0.width === 20 && f0.height === 20)
     assert(math.abs(f0.byte_hist.sum - 1.0) < 1e-9)
     assert(f0.frames_sampled === (f0.n_bytes - 16) / 64)
     // metadata-only access over a parquet scan must prune the binary column

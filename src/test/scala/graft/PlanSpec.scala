@@ -99,6 +99,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "query-side tables must broadcast")
   }
 
+  test("topic resolution: exact path is a broadcast HASH join, scored path has no interpreted UDF") {
+    val names = Seq(("acquisitions", "default"), ("zzqx unknown blob", "default"))
+      .toDF("name", "group_id")
+    val df = graft.link.TopicResolver.resolve(spark, names, TranscriptGen.ontology)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "exact term-key match must plan as a broadcast hash join")
+    // the similarity side may nested-loop over the bounded broadcast term
+    // list, but its score must be the codegen expression, not a per-pair
+    // interpreted Scala UDF (the join condition would show ...UDF...)
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("NestedLoopJoin") || l.contains("BroadcastHashJoin")).toSeq
+    assert(!joinLines.exists(_.contains("UDF")),
+      s"no interpreted UDF in join conditions:\n${joinLines.mkString("\n")}")
+    assert(plan.contains("dot_product") || plan.contains("DotProduct") ||
+      !plan.contains("NestedLoopJoin"), "scored path uses the codegen dot product")
+  }
+
   test("q1-style agg runs partial aggregation (map-side combine)") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -80,6 +80,30 @@ class ResearcherSpec extends SparkSpec {
     }
   }
 
+  test("researchBatch: fact-table scans are bounded (multi-consumer intermediates truncated)") {
+    val (facts, entities, _) = built
+    val nFacts = facts.count()
+    val scans = spark.sparkContext.longAccumulator("fact-scans")
+    val tick = udf { (_: String) => scans.add(1L); true }.asNondeterministic()
+    val ticked = facts.filter(tick($"fact_uuid"))
+    val f0 = facts.select($"fact", $"subject").first()
+    val questions = Seq(
+      (0L, f0.getString(0), Seq(f0.getString(1)), Seq.empty[String], false),
+      (1L, "partnerships and acquisitions", Seq.empty[String],
+        Seq(TranscriptGen.ontology.head.label), true),
+      (2L, "zzqx qzk unknowable thing", Seq("Zzqx Qzk"), Seq.empty[String], false))
+      .toDF("query_id", "question", "entity_hints", "topic_hints", "enumeration")
+    Researcher.researchBatch(ticked, entities, questions).collect()
+    // every consumer that re-derived the scoped ∪ topic ∪ global union would
+    // re-scan the fact table ~4× each; with `qs`/resolution/`scored`
+    // truncated, the whole flow needs: 4 scans to build `scored` (scoped
+    // subject+object, topic, global), ≤2 for anchors, 2 for expansion, 1 for
+    // refinement — bounded regardless of question count
+    assert(scans.value <= 12L * nFacts,
+      s"fact table scanned ${scans.value / math.max(nFacts, 1)}× " +
+        s"(${scans.value} row evals over $nFacts rows) — expected ≤12 scans")
+  }
+
   test("decomposer: capitalized spans become entity hints, question words dropped (decomposer.py:97-126)") {
     assert(Decomposer.entityHints("What did Quantum Dynamics Inc acquire from Nova Robotics?") ===
       Seq("Quantum Dynamics Inc", "Nova Robotics"))

@@ -89,6 +89,41 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.snapshots("t").count(_ >= lastFullId) <= 6)
   }
 
+  test("mergeAppend/mergeUpsert execute the delta ONCE (write-first, no isEmpty probe)") {
+    val dir = Files.createTempDirectory("graft-onejoin").toString
+    val log = new SnapshotLog(spark, dir)
+    log.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    def ticked(from: Long, until: Long) = {
+      val acc = spark.sparkContext.longAccumulator("delta-evals")
+      val tick = udf { (i: Long) => acc.add(1L); i }.asNondeterministic()
+      (spark.range(from, until).select(tick($"id").as("id"), lit("x").as("v")), acc)
+    }
+
+    // non-empty delta: the anti-join runs once, inside the write pass
+    val (in1, acc1) = ticked(1, 101)
+    log.mergeAppend("t", in1, Seq("id"))
+    assert(acc1.value === 100L,
+      s"incoming rows must be evaluated exactly once, got ${acc1.value}")
+
+    // zero-row delta: discarded inside the SAME single pass — no second
+    // execution, no new snapshot
+    val (in2, acc2) = ticked(1, 101)
+    val before = log.snapshots("t")
+    log.mergeAppend("t", in2, Seq("id"))
+    assert(acc2.value === 100L,
+      s"zero-row delta still one evaluation, got ${acc2.value}")
+    assert(log.snapshots("t") === before, "empty delta must not land a segment")
+
+    // upsert path: EXCEPT runs once too (rows identical to live → no-op;
+    // ids 3..100 carry "x" in the live table from the append above)
+    val (in3, acc3) = ticked(3, 101)
+    log.mergeUpsert("t", in3, Seq("id"))
+    assert(acc3.value === 98L,
+      s"upsert EXCEPT delta must execute once, got ${acc3.value}")
+    assert(log.snapshots("t") === before, "no-op upsert must not land a segment")
+  }
+
   test("commit runs ONE scan of the stage output and <=2 jobs (one-pass lineage)") {
     val dir = Files.createTempDirectory("graft-onepass").toString
     val log = new SnapshotLog(spark, dir)
