@@ -151,6 +151,7 @@ object Bench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     var windowedSamples: Map[Int, Seq[Double]] = Map()
+    var fusedSecs: Map[Int, Double] = Map()
     var pairRatios: Seq[Double] = Nil
     val samplesByLevel: Map[Int, Seq[Double]] =
       if (skipScaling) levels.map(_ -> Seq(1.0)).toMap
@@ -179,7 +180,10 @@ object Bench {
           }) { tries += 1; retries += 1; acc = pairOnce(dir, mode) :: acc }
           acc
         }
-        val sortedPairs = (1 to 3).flatMap(_ => defendedPair(sortedDir, "extract_sorted"))
+        // 5 pairs: r3's five full-bench replays showed the min-of-minima
+        // statistic lands ≥0.81 with 4-5 pairs but swung 0.68-0.91 with 3
+        // (each level's min needs enough draws to sample a quiet second)
+        val sortedPairs = (1 to 5).flatMap(_ => defendedPair(sortedDir, "extract_sorted"))
         pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
         def defended32(): Seq[Double] = {
           var acc = List(ScalingBench.forkMeasure(32, sortedDir, reps = 1,
@@ -201,6 +205,14 @@ object Bench {
         windowedSamples = Map(
           headlinePair._1 -> wPairs.map(_._1),
           headlinePair._2 -> wPairs.map(_._2))
+        // FUSED single-pass chunk-gate+extract (extractFused): the
+        // deployment shape when only triples are needed — reported for
+        // absolute throughput (its ratio statistic is noisier: the pass is
+        // so cheap that the ~0.5 s fixed cost dominates t8; BASELINE.md)
+        val fPair = pairOnce(sortedDir, "extract_fused")
+        val f32 = ScalingBench.forkMeasure(32, sortedDir, reps = 1, "extract_fused")
+        fusedSecs = Map(headlinePair._1 -> fPair._1, headlinePair._2 -> fPair._2,
+          32 -> f32)
         Map(
           headlinePair._1 -> sortedPairs.map(_._1),
           headlinePair._2 -> sortedPairs.map(_._2),
@@ -232,7 +244,10 @@ object Bench {
         val w8 = scalingTurns / windowedSamples(headlinePair._2).min
         ((w8 / w2) / 4.0, w2, w8)
       }
-    val pairJson = pairRatios.map(r => f"$r%.2f").mkString("[", ",", "]")
+    val (fTps2, fTps8, fTps32) =
+      if (skipScaling || fusedSecs.isEmpty) (0.0, 0.0, 0.0)
+      else (scalingTurns / fusedSecs(2), scalingTurns / fusedSecs(8),
+        scalingTurns / fusedSecs(32))
     val samplesJson = levels.map { c =>
       "\"" + c + "\":[" + samplesByLevel(c).map(s => f"$s%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -280,7 +295,7 @@ object Bench {
     // the driver's tail capture (recorded parsed:null) — the prose lives in
     // BASELINE.md now; this line carries numbers only.
     val json =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.0f,"extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.0f,"turns_per_sec_4n":$tps4N%.0f,"efficiency":$efficiency%.3f,"efficiency_paired_median":$efficiencyPaired%.3f,"pair_ratios":$pairJson%s,"turns_per_sec_32":${tps(32)}%.0f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"inflation_vs_floor":$inflationJson%s,"retries":$retries%d,"windowed_turns_per_sec_2":$wTps2%.0f,"windowed_turns_per_sec_8":$wTps8%.0f,"efficiency_windowed_2_8":$effWindowed%.3f},"methodology":"BASELINE.md"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.0f,"extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.0f,"turns_per_sec_4n":$tps4N%.0f,"efficiency":$efficiency%.3f,"efficiency_paired_median":$efficiencyPaired%.3f,"turns_per_sec_32":${tps(32)}%.0f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"inflation_vs_floor":$inflationJson%s,"retries":$retries%d,"efficiency_windowed_2_8":$effWindowed%.3f,"fused_turns_per_sec_2":$fTps2%.0f,"fused_turns_per_sec_8":$fTps8%.0f,"fused_turns_per_sec_32":$fTps32%.0f},"methodology":"BASELINE.md"}"""
     // belt-and-braces: also land the line in a file the driver (or a human)
     // can pick up if stdout gets decorated by the launcher
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

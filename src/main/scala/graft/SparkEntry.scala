@@ -457,6 +457,51 @@ object SparkEntry {
           n = 1, k = 32, bands = 8, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // EXACT empty-relation check for MinHash-LSH's verify step: every pair
+    // the operator emitted is re-verified by the INDEPENDENT column-
+    // expression shingle path (Dedup.jaccardCols — the one the exact
+    // ngramJaccardPairs oracle uses) against the operator's own UDF-computed
+    // jaccard: below-threshold or drifted-arithmetic pairs land a row.
+    // Expected empty; the driver hash-checks it.
+    "dedup_minhash_check" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.minhashLshPairs(docs, n = 1, k = 32, bands = 8, threshold = 0.7)
+      Dedup.verifyPairsExact(docs, pairs, n = 1)
+        .filter(col("jaccard_recomputed") < 0.7 ||
+          abs(col("jaccard_recomputed") - col("jaccard")) > 1e-9)
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // EXACT empty-relation check for the batched research flow: the whole-
+    // table researchBatch output ⊖ the per-question single path — any
+    // divergence in retrieval, boost, cap, expansion, or refinement between
+    // the two formulations lands a row. Expected empty (spec-asserted too;
+    // this makes it a driver-hash-checked contract).
+    "kg_research_batch_check" -> ((s, dir) => {
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      val r = Ingest.runInMemory(s, turns)
+      val facts = Retriever.withFactEmbeddings(r.triples)
+      val qtexts = facts.orderBy(col("fact_uuid")).select(col("fact")).limit(3)
+        .collect().map(_.getString(0))
+      import s.implicits._
+      val qs = qtexts.zipWithIndex
+        .map { case (q, i) => (i.toLong, q, Seq.empty[String], Seq.empty[String], i % 2 == 1) }
+        .toSeq.toDF("query_id", "question", "entity_hints", "topic_hints", "enumeration")
+      def key(df: DataFrame): DataFrame = df.select(col("query_id"), col("fact_uuid"),
+        round(col("final_score"), 9).as("sc"),
+        array_join(array_sort(col("sources")), "|").as("src"))
+      val batch = key(graft.query.Researcher.researchBatch(facts, r.entities, qs))
+      val singles = qtexts.zipWithIndex.map { case (q, i) =>
+        key(graft.query.Researcher.research(facts, r.entities, q,
+            enumeration = i % 2 == 1)
+          .withColumn("query_id", lit(i.toLong)))
+      }.reduce(_ unionByName _)
+      batch.except(singles).withColumn("side", lit("batch_only"))
+        .unionByName(singles.except(batch).withColumn("side", lit("single_only")))
+        .orderBy(col("query_id"), col("fact_uuid"), col("side"))
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(read(s, dir, "documents").filter(col("doc_id") < 200),
           maxHamming = 12)
@@ -892,6 +937,15 @@ object SparkEntry {
     "ann_ivf_score_check" ->
       """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS neighbor_id,
         |  CAST(NULL AS INTEGER) AS rnk
+        |WHERE 1 = 0""".stripMargin,
+
+    "dedup_minhash_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+        |WHERE 1 = 0""".stripMargin,
+
+    "kg_research_batch_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, '' AS fact_uuid,
+        |  CAST(NULL AS DOUBLE) AS sc, '' AS src, '' AS side
         |WHERE 1 = 0""".stripMargin
   )
 }

@@ -193,9 +193,9 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--materialize")) {
-      val Array(_, turnsS, dir) = args
-      val n = materializeCorpus(turnsS.toLong, dir)
-      println(s"[materialize] $n $dir")
+      val sorted = args.length > 3 && args(3) == "sorted"
+      val n = materializeCorpus(args(1).toLong, args(2), sorted)
+      println(s"[materialize] $n ${args(2)}${if (sorted) " (sorted)" else ""}")
       return
     }
     if (args.headOption.contains("--measure")) {

@@ -75,6 +75,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Re-verify emitted near-dup pairs against the COLUMN-EXPRESSION shingle
+    * path (the arithmetic [[ngramJaccardPairs]] uses — independent of the
+    * Scala-UDF shingle path inside [[minhashLshPairs]]'s own verify step).
+    * Joins the pair set back to the docs and appends `jaccard_recomputed`;
+    * callers assert threshold/agreement (the driver's empty-relation
+    * `dedup_minhash_check` row).
+    */
+  def verifyPairsExact(docs: DataFrame, pairs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shinglesCol(textCol, n)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard_recomputed",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .drop("sh_a", "sh_b", "inter")
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** k minhash values over word n-gram shingles (deterministic seeds). */
