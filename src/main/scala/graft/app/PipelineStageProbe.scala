@@ -14,7 +14,8 @@ object PipelineStageProbe {
     val cores = args.headOption.map(_.toInt).getOrElse(32)
     val dir = args.lift(1).getOrElse("/tmp/bench-corpus-1m")
     val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores.toString).toInt)
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -71,6 +72,11 @@ object PipelineStageProbe {
     t("  edges")(edges.write.mode("overwrite").format("noop").save())
     t("  cc")(graft.canon.ConnectedComponents.run(spark, edges)
       .write.mode("overwrite").format("noop").save())
+    println(s"[probe] counts: raw=${raw.count()} mentions=${mentions.count()} " +
+      s"pending=${pending.count()} edges=${edges.count()}")
+    pending.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Aggregate") || l.contains("Sort") || l.contains("Exchange"))
+      .foreach(l => println(s"[probe] plan: ${l.take(160)}"))
     spark.stop()
   }
 }

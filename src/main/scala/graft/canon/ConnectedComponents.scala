@@ -44,18 +44,22 @@ object ConnectedComponents {
     // localCheckpoint otherwise (single-JVM local mode)
     def truncate(df: DataFrame): DataFrame = graft.tables.Checkpoints.truncate(df)
 
-    val sym = edges.select($"src", $"dst")
+    val sym0 = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val edgeCount = sym.count()
-    if (edgeCount <= smallGraphEdges) {
-      val result = runLocal(spark, sym.as[(String, String)].collect())
-      sym.unpersist()
-      return result
-    }
+    // small-graph probe and fetch in ONE job: pull up to the cap + 1 rows —
+    // if they all fit, that IS the edge list (the former count()-then-
+    // collect() pair cost two executions of the edge subtree plus a
+    // persist/unpersist round; on the pipeline's ~10³-edge graphs the fixed
+    // job rounds were the whole CC cost)
+    val probe = sym0.limit((smallGraphEdges + 1).toInt)
+      .as[(String, String)].collect()
+    if (probe.length <= smallGraphEdges) return runLocal(spark, probe)
+
+    val sym = sym0.persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count() // materialize once for the iterative rounds
 
     val vertices = sym.select($"src".as("id"))
       .union(edges.select($"src".as("id")))

@@ -107,6 +107,20 @@ object EntityDedup {
     */
   def pendingEntities(spark: SparkSession, mentions: Dataset[Mention], cfg: Config): DataFrame = {
     import spark.implicits._
+    // This aggregation is an ObjectHashAggregate (the bounded-top-k UDAF and
+    // the struct-min are object-based), and Spark's sort-based fallback
+    // kicks in at a DEFAULT of 128 distinct keys per task — any real corpus
+    // exceeds that instantly, silently converting the one-pass hash
+    // aggregation into sort-based aggregation of the mention stream. The
+    // group buffers here are bounded (≤20 chunk-uuid strings + one struct ≈
+    // a few KB), so 64k in-memory groups per task is at most a few hundred
+    // MB — raise the threshold once, session-wide (performance-only conf,
+    // no semantic effect; at local-bench group counts the win is small, but
+    // at corpus-scale name cardinality the fallback sort is O(mentions log
+    // mentions) per task where the hash path is O(mentions)).
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(fallbackKey).forall(_.toLong < 65536L))
+      spark.conf.set(fallbackKey, 65536L)
     val normName = udf((s: String) => Norm.normalizeEntityName(s))
     val embedUdf = udf((s: String) => Embed.embed(s))
     val uuidUdf = udf((g: String, n: String) =>
