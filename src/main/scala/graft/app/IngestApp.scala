@@ -11,11 +11,14 @@ import graft.synth.TranscriptGen
   *
   * Usage:
   *   IngestApp <warehouseDir> [--input <parquet-of-transcripts>]
+  *             [--input-jsonl <jsonl-of-transcripts>]
   *             [--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]
   *             [--sorted true]
   *
   * With --input, reads an (conv_id, turn_idx, role, text, tool, ts) parquet
-  * table (the input_hint shape); otherwise synthesizes transcripts.
+  * table (the input_hint shape); --input-jsonl reads the same shape as
+  * JSONL through the PERMISSIVE bad-line-tolerant source (S3 semantics —
+  * malformed lines drop, count logged); otherwise synthesizes transcripts.
   * `--sorted true` declares the input storage-ordered by (conv_id, turn_idx)
   * within files (each conversation confined to one file or its splits) and
   * routes chunking through the shuffle-free sortedInput fast path — the
@@ -26,7 +29,7 @@ object IngestApp {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: IngestApp <warehouseDir> [--input <parquet>] " +
+        "usage: IngestApp <warehouseDir> [--input <parquet>] [--input-jsonl <jsonl>] " +
           "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] [--sorted true]")
       sys.exit(2)
     }
@@ -34,7 +37,8 @@ object IngestApp {
     val opts = args.drop(1).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
-    val unknown = opts.keys.filterNot(Set("--input", "--synth", "--master", "--sorted"))
+    val unknown = opts.keys.filterNot(
+      Set("--input", "--input-jsonl", "--synth", "--master", "--sorted"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}")
       sys.exit(2)
@@ -53,9 +57,13 @@ object IngestApp {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val turns = opts.get("--input") match {
-      case Some(path) => spark.read.parquet(path).as[graft.model.Turn]
-      case None =>
+    val turns = (opts.get("--input"), opts.get("--input-jsonl")) match {
+      case (Some(path), _) => spark.read.parquet(path).as[graft.model.Turn]
+      case (None, Some(path)) =>
+        val bad = graft.sources.JsonlSource.corruptCount(spark, path)
+        if (bad > 0) println(s"[ingest] skipped $bad malformed JSONL line(s)")
+        graft.sources.JsonlSource.readTranscripts(spark, path)
+      case _ =>
         val synth = opts.getOrElse("--synth", "")
         val kv = synth.split(",").filter(_.contains("=")).map { s =>
           val Array(k, v) = s.split("=", 2); k -> v

@@ -13,6 +13,7 @@ object PipelineStageProbe {
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(32)
     val dir = args.lift(1).getOrElse("/tmp/bench-corpus-1m")
+    val sorted = args.lift(2).contains("sorted")
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores.toString).toInt)
@@ -43,8 +44,10 @@ object PipelineStageProbe {
           i.taskMetrics.executorRunTime, site))
       }
     })
-    t("full pipeline (noop sink)") {
-      Ingest.runInMemory(spark, turns).triples
+    val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
+      sortedInput = sorted))
+    t(s"full pipeline (noop sink, sorted=$sorted)") {
+      Ingest.runInMemory(spark, turns, icfg).triples
         .write.mode("overwrite").format("noop").save()
     }
     Thread.sleep(500)
@@ -53,7 +56,8 @@ object PipelineStageProbe {
     }
     spark.catalog.clearCache()
     import org.apache.spark.storage.StorageLevel
-    val chunks = graft.chunk.TurnChunker.chunk(spark, turns)
+    val chunks = graft.chunk.TurnChunker.chunk(spark, turns,
+      graft.chunk.TurnChunker.Config(sortedInput = sorted))
     t("chunk only")(chunks.write.mode("overwrite").format("noop").save())
     val raw = graft.extract.TripleExtractor.extract(spark, chunks)
       .persist(StorageLevel.MEMORY_AND_DISK)
