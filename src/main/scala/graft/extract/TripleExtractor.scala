@@ -153,20 +153,27 @@ object TripleExtractor {
 
   /** Phase-2a analogue: collect entity mentions from fact subjects/objects
     * (pipeline.py:1388-1418). Topic-typed mentions are excluded here and
-    * routed to the topic path (pipeline.py:704-706). Narrow flatMap — the
-    * turn index rides on the RawTriple, so no join back to chunks.
+    * routed to the topic path (pipeline.py:704-706). Narrow COLUMNAR explode
+    * (was a Dataset flatMap): no per-row object decode/encode, so the whole
+    * triples→mentions→pending-aggregation chain stays in Tungsten rows and
+    * whole-stage codegen — the turn index rides on the RawTriple, so no
+    * join back to chunks either way.
     */
   def mentions(spark: SparkSession, triples: Dataset[RawTriple]): Dataset[Mention] = {
     import spark.implicits._
-    triples.flatMap { t =>
-      def m(name: String, typ: String) =
-        Mention(name, typ, s"$name is an entity observed in transcripts.",
-          t.chunk_uuid, t.conv_id, t.turn_idx, t.group_id)
-      val s = if (t.subject_type.toLowerCase(java.util.Locale.ROOT) != "topic")
-        Iterator.single(m(t.subject, t.subject_type)) else Iterator.empty
-      val o = if (t.object_type.toLowerCase(java.util.Locale.ROOT) != "topic")
-        Iterator.single(m(t.`object`, t.object_type)) else Iterator.empty
-      s ++ o
-    }
+    import org.apache.spark.sql.functions._
+    triples.toDF()
+      .select(
+        explode(array(
+          struct($"subject".as("name"), $"subject_type".as("entity_type")),
+          struct($"object".as("name"), $"object_type".as("entity_type")))).as("m"),
+        $"chunk_uuid", $"conv_id", $"turn_idx", $"group_id")
+      .filter(lower($"m.entity_type") =!= "topic")
+      .select(
+        $"m.name".as("name"),
+        $"m.entity_type".as("entity_type"),
+        concat($"m.name", lit(" is an entity observed in transcripts.")).as("summary"),
+        $"chunk_uuid", $"conv_id", $"turn_idx", $"group_id")
+      .as[Mention]
   }
 }
