@@ -452,6 +452,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("fact_uuid"))
     }),
 
+    // EXACT empty-relation check for the fused single-pass extractor: its
+    // output ⊖ the two-stage chunk-then-extract path on the same synthetic
+    // corpus (which DOES contain facts — both sides are non-empty relations
+    // internally). Any drift in the emission gate, rule matching, or the
+    // lazy uuid5 lands a row; oracle = empty relation, driver hash-checked.
+    "kg_extract_fused_check" -> ((s, dir) => {
+      import s.implicits._
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      def key(df: DataFrame): DataFrame = df.select(col("chunk_uuid"),
+        col("conv_id"), col("turn_idx"), col("fact"), col("subject"),
+        col("relationship"), col("object"), col("date_context"),
+        array_join(col("topics"), "|").as("topics"))
+      val viaChunks = key(graft.extract.TripleExtractor.extract(s,
+        graft.chunk.TurnChunker.chunk(s, turns)).toDF())
+      val fused = key(graft.extract.TripleExtractor.extractFused(s, turns).toDF())
+      fused.except(viaChunks).withColumn("side", lit("fused_only"))
+        .unionByName(viaChunks.except(fused).withColumn("side", lit("chunked_only")))
+        .orderBy(col("conv_id"), col("turn_idx"), col("fact"), col("side"))
+    }),
+
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(read(s, dir, "documents").filter(col("doc_id") < 200),
           n = 1, k = 32, bands = 8, threshold = 0.7)
@@ -946,6 +966,12 @@ object SparkEntry {
     "kg_research_batch_check" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, '' AS fact_uuid,
         |  CAST(NULL AS DOUBLE) AS sc, '' AS src, '' AS side
+        |WHERE 1 = 0""".stripMargin,
+
+    "kg_extract_fused_check" ->
+      """SELECT '' AS chunk_uuid, '' AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
+        |  '' AS fact, '' AS subject, '' AS relationship, '' AS object,
+        |  '' AS date_context, '' AS topics, '' AS side
         |WHERE 1 = 0""".stripMargin
   )
 }

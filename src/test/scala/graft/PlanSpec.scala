@@ -99,6 +99,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "query-side tables must broadcast")
   }
 
+  test("extractFused plan: one narrow pass, no exchange/sort of the turn stream") {
+    val turns = TranscriptGen.transcripts(spark, TranscriptGen.Config(3, 15, 2))
+    val plan = graft.extract.TripleExtractor.extractFused(spark, turns)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused extraction must not shuffle:\n$plan")
+    assert(!plan.contains("Sort "), s"fused extraction must not sort:\n$plan")
+  }
+
   test("topic resolution: exact path is a broadcast HASH join, scored path has no interpreted UDF") {
     val names = Seq(("acquisitions", "default"), ("zzqx unknown blob", "default"))
       .toDF("name", "group_id")
