@@ -119,15 +119,23 @@ object Bench {
     var scalingTurns = 0L
     val levels = Seq(2, 8, 32)
     val headlinePair = (2, 8)
-    // Window-defense floors: committed isolated fresh-JVM times for this exact
-    // job/corpus (BASELINE.md §sorted fast path — t2 14.7 s, t8 4.2 s,
-    // t32 2.0 s). A fork whose wall time exceeds 2× its floor ran in a
-    // contaminated host window (round 3's recorded bench had every fork 3-5×
-    // the floor); the pair is retried (bounded) and the residual inflation
-    // factor is emitted so a bad window is visible instead of silently
-    // recorded.
-    val sortedFloors = Map(2 -> 14.7, 8 -> 4.2, 32 -> 2.0)
+    // Window-defense floors: committed isolated fresh-JVM MINIMA for this
+    // exact job/corpus across the round-4 replay set (BASELINE.md — observed
+    // t2 11.8-12.8 s, t8 3.7-4.2 s, t32 2.2-2.5 s). Two defenses hang off
+    // them:
+    //  - a fork beyond 2× its floor ran in a contaminated window → the pair
+    //    is retried (bounded) and the residual inflation factor is emitted;
+    //  - after the scheduled pairs, if a level's MINIMUM still sits > 1.1×
+    //    its floor, the window never gave that level a clean draw (observed:
+    //    one replay recorded 0.760 because all five t8 draws landed ≥ 4.2 s
+    //    while t2 drew 12.8 s — a regime mix, not an engine property), so up
+    //    to 3 extra pairs are drawn. The continuation test is ONLY the floor
+    //    breach — never the ratio — so extra draws can't select for a
+    //    flattering statistic: per-level minima only move toward the true
+    //    cost with more draws.
+    val sortedFloors = Map(2 -> 11.8, 8 -> 3.7, 32 -> 2.0)
     val floorTol = 2.0
+    val cleanTol = 1.1
     var retries = 0
     // HEADLINE ladder runs the deployment path: a standing 10^12-turn
     // transcript store keeps its files sorted by (conv_id, turn_idx), and
@@ -183,7 +191,18 @@ object Bench {
         // 5 pairs: r3's five full-bench replays showed the min-of-minima
         // statistic lands ≥0.81 with 4-5 pairs but swung 0.68-0.91 with 3
         // (each level's min needs enough draws to sample a quiet second)
-        val sortedPairs = (1 to 5).flatMap(_ => defendedPair(sortedDir, "extract_sorted"))
+        var sortedPairs = (1 to 5).flatMap(_ => defendedPair(sortedDir, "extract_sorted"))
+        // clean-window extension (see floor comment): draw more pairs while
+        // either level's minimum is still > 1.1× its floor, max 3 extra
+        var extraPairs = 0
+        def levelMin(pick: ((Double, Double)) => Double): Double =
+          sortedPairs.map(pick).min
+        while (extraPairs < 3 &&
+            (levelMin(_._1) > sortedFloors(headlinePair._1) * cleanTol ||
+              levelMin(_._2) > sortedFloors(headlinePair._2) * cleanTol)) {
+          extraPairs += 1; retries += 1
+          sortedPairs = sortedPairs ++ defendedPair(sortedDir, "extract_sorted")
+        }
         pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
         def defended32(): Seq[Double] = {
           var acc = List(ScalingBench.forkMeasure(32, sortedDir, reps = 1,
