@@ -591,6 +591,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // EXACT empty-relation check for the REAL image decode path: every image
+    // row's PNG payload is decoded by ImageIO inside the batch loop, and the
+    // decoded dims must equal the row's metadata dims (the synthetic corpus
+    // encodes exactly those); histograms must be unit-sum. A decoder
+    // regression, header mixup, or hist normalization bug lands a row.
+    "multimodal_decode_check" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(s, 200)
+      val meta = media.toDF().select(col("media_id"),
+        col("width").as("m_w"), col("height").as("m_h"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .join(meta, Seq("media_id"))
+        .withColumn("hist_sum", aggregate(col("byte_hist"), lit(0.0), (a, v) => a + v))
+        .filter(
+          (col("media_type") === "image" &&
+            (col("width") =!= col("m_w") || col("height") =!= col("m_h"))) ||
+          abs(col("hist_sum") - 1.0) > 1e-9)
+        .select(col("media_id").cast("long").as("media_id"))
+        .orderBy(col("media_id"))
+    }),
+
     "text_rolling_hash" -> ((s, dir) =>
       read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
@@ -972,6 +993,9 @@ object SparkEntry {
       """SELECT '' AS chunk_uuid, '' AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
         |  '' AS fact, '' AS subject, '' AS relationship, '' AS object,
         |  '' AS date_context, '' AS topics, '' AS side
-        |WHERE 1 = 0""".stripMargin
+        |WHERE 1 = 0""".stripMargin,
+
+    "multimodal_decode_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS media_id WHERE 1 = 0""".stripMargin
   )
 }

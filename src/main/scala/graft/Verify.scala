@@ -16,7 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): an empty-relation result can reach
+      // the writer with ZERO partitions (AQE collapses empty shuffles), and
+      // coalesce(1) of zero partitions is still zero → no parquet file at
+      // all → the driver reads "output missing" instead of the empty
+      // relation. repartition always materializes exactly one (possibly
+      // empty, schema-bearing) output file.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpec {
       s"diff=${(streamed.toSet diff batch.toSet) ++ (batch.toSet diff streamed.toSet)}")
   }
 
+  test("streaming restart: a NEW query over the same warehouse resumes exactly-once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-restart").toString
+    val allTurns = (0 until 8).map(i =>
+      turn("c1", i, s"turn number $i with enough filler text to pass the length filter."))
+    val (b1, b2) = allTurns.splitAt(4)
+    val mem1 = MemoryStream[Turn]
+    val q1 = StreamingIngest.start(spark, mem1.toDS(), dir)
+    try { mem1.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+
+    // "crash + restart": a fresh query instance on the same warehouse; an
+    // at-least-once source replays the tail of the pre-crash batch along
+    // with the new rows — MERGE on deterministic identity absorbs the
+    // replay, numbering resumes from the committed high-water mark
+    val mem2 = MemoryStream[Turn]
+    val q2 = StreamingIngest.start(spark, mem2.toDS(), dir)
+    try { mem2.addData(b1.drop(2) ++ b2: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val log = new SnapshotLog(spark, dir)
+    val streamed = log.read("chunks").get.select($"chunk_uuid", $"chunk_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val batch = graft.chunk.TurnChunker.chunk(spark, allTurns.toDS()).collect()
+      .map(c => (c.chunk_uuid, c.chunk_id)).toMap
+    assert(streamed === batch,
+      s"restart+replay must land the single-batch result; diff=" +
+        s"${(streamed.toSet diff batch.toSet) ++ (batch.toSet diff streamed.toSet)}")
+  }
+
   test("flatMapGroupsWithState session tracker accumulates per-conv state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[graft.model.Turn]
