@@ -164,8 +164,6 @@ object EntityDedup {
     */
   def candidateEdges(spark: SparkSession, pending: DataFrame, cfg: Config): DataFrame = {
     import spark.implicits._
-    val cosUdf = udf((a: Seq[Double], b: Seq[Double]) =>
-      Embed.cosine(a.toArray, b.toArray))
     val aliasKeyUdf = udf((name: String) => aliasKey(name))
     val firstTokUdf = udf((name: String) => firstTokenKey(name))
 
@@ -213,7 +211,10 @@ object EntityDedup {
       $"embedding".as("dst_emb"))
     val simEdges = a.join(b, Seq("fkey", "entity_type"))
       .filter($"src" < $"dst") // guardrail: same entity_type enforced by the key
-      .filter(cosUdf($"src_emb", $"dst_emb") > lit(cfg.similarityThreshold))
+      // codegen cosine (bit-identical to Embed.cosine on these fixed-dim
+      // vectors) — the pair filter stays in whole-stage codegen
+      .filter(graft.functions.expr.CosineSimilarity($"src_emb", $"dst_emb") >
+        lit(cfg.similarityThreshold))
       .select($"src", $"dst")
 
     // NOTE: may contain duplicate pairs (a pair can satisfy both rules);

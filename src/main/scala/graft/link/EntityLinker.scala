@@ -55,7 +55,6 @@ object EntityLinker {
     val keysUdf = udf((n: String) =>
       Seq(EntityDedup.aliasKey(n), EntityDedup.firstTokenKey(n)).distinct)
     val aliasKeyUdf = udf((n: String) => EntityDedup.aliasKey(n))
-    val cosUdf = udf((a: Seq[Double], b: Seq[Double]) => Embed.cosine(a.toArray, b.toArray))
     val mergeSummariesUdf = udf((old: String, nw: String) => Norm.mergeSummaries(old, nw))
 
     val newSummary = colOr(newEntities, "summary", nullStr)
@@ -95,8 +94,14 @@ object EntityLinker {
     val scored = newKeyed.join(exKeyed, Seq("block_key", "group_id"), "left")
       .withColumn("type_ok", $"ex_type".isNotNull && $"ex_type" === $"entity_type")
       .withColumn("alias_match", $"type_ok" && $"akey" === $"ex_akey")
+      // codegen cosine expression, not a Scala UDF: both sides are fixed-dim
+      // Embed.embed vectors, for which the expression is bit-identical to
+      // Embed.cosine (same accumulation order/formula; tail handling only
+      // differs for unequal lengths) — keeps link scoring in whole-stage
+      // codegen, evaluated once per blocked candidate pair
       .withColumn("cos",
-        when(!$"type_ok", lit(-1.0)).otherwise(cosUdf($"embedding", $"ex_emb")))
+        when(!$"type_ok", lit(-1.0)).otherwise(
+          graft.functions.expr.CosineSimilarity($"embedding", $"ex_emb")))
       .withColumn("score", when($"alias_match", lit(2.0)).otherwise($"cos"))
 
     val top1 = Window.partitionBy($"entity_uuid")
