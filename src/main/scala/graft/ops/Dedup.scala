@@ -218,6 +218,20 @@ object Dedup {
     * candidates at scale (narrower chunks → hotter buckets); that's inherent
     * to wide-radius Hamming LSH, not an implementation artifact.
     */
+  /** Per-document 64-bit SimHash signatures as (id, sim) — the blocking
+    * input of [[simhashPairs]], exposed so the driver's exhaustiveness check
+    * (`dedup_simhash_check`) can brute-force the same signatures.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val shUdf = udf { (text: String) =>
+      val toks = if (text == null) Seq.empty[String]
+        else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      simhash64(toks)
+    }
+    docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("sim"))
+  }
+
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
@@ -227,12 +241,7 @@ object Dedup {
     val chunkMask = (1L << chunkBits) - 1
     val spark = docs.sparkSession
     import spark.implicits._
-    val shUdf = udf { (text: String) =>
-      val toks = if (text == null) Seq.empty[String]
-        else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-      simhash64(toks)
-    }
-    val sigs = docs.select(col(idCol).as("id"), shUdf(col(textCol)).as("sim"))
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val chunkArr = array((0 until nChunks).map(c =>
       shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(chunkMask))): _*)
     val chunked = sigs.select(col("id"), col("sim"),

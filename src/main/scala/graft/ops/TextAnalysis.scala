@@ -18,7 +18,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "que", "une", "sur"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "中"))
 
-  private def tokens(textCol: Column): Column =
+  private[graft] def tokens(textCol: Column): Column =
     array_remove(split(lower(textCol), "[^\\p{L}0-9]+"), "")
 
   /** Heuristic language id: argmax over marker-word hit counts; "und"

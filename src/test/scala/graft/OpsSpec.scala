@@ -135,6 +135,35 @@ class OpsSpec extends SparkSpec {
     assert(annotated(0L).getAs[Double]("quality") > annotated(5L).getAs[Double]("quality"))
   }
 
+  test("from-spec XXH64 matches Spark's codegen xxhash64 on every tail-length class") {
+    // token lengths exercising every branch of the spec: empty, <4, exactly
+    // 4, 4<len<8, exactly 8, 8<len<32, exactly 32, >32 (stripe loop), and
+    // multi-byte UTF-8; longs exercise the 8-LE-byte path at every fold step
+    val toks = Seq("", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+      "abcdefghi", "abcdefghijklmnop", "abcdefghijklmnopqrstuvwxyz012345",
+      "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH", "naïve-ünïcôdé-日本語")
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("i", "t")
+    val sparkSide = df.orderBy("i")
+      .select(xxhash64(lit(0L), col("t")), xxhash64(lit(-987654321L), col("t")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val refSide = toks.map { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (graft.functions.XxHash64Ref.hash(b, graft.functions.XxHash64Ref.hashLong(0L, 42L)),
+        graft.functions.XxHash64Ref.hash(b, graft.functions.XxHash64Ref.hashLong(-987654321L, 42L)))
+    }
+    assert(sparkSide.toSeq === refSide)
+    // and the full rolling fold equals the production column on real-ish text
+    val texts = Seq("The quick brown fox; jumps over 42 lazy dogs!",
+      "", "one", "päällekkäisyys detection — multi byte tokens herë")
+    val tdf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("i", "text")
+    val prod = tdf.orderBy("i")
+      .select(TextAnalysis.rollingHash(col("text"))).collect().map(_.getLong(0))
+    val ref = tdf.orderBy("i")
+      .select(TextAnalysis.tokens(col("text"))).collect()
+      .map(r => graft.functions.XxHash64Ref.rollingFold(r.getSeq[String](0)))
+    assert(prod.toSeq === ref.toSeq)
+  }
+
   test("multimodal: REAL PNG decode (ImageIO) + stub audio/video; metadata-only prunes payload") {
     val media = Multimodal.syntheticMedia(spark, 30)
     // image rows carry genuine PNG bytes (magic + decodable)
