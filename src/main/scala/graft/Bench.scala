@@ -163,94 +163,143 @@ object Bench {
     }
     var windowedSamples: Map[Int, Seq[Double]] = Map()
     var fusedSecs: Map[Int, Double] = Map()
-    var pairRatios: Seq[Double] = Nil
-    val samplesByLevel: Map[Int, Seq[Double]] =
-      if (skipScaling) levels.map(_ -> Seq(1.0)).toMap
-      else {
-        val sortedDir = Files.createTempDirectory("graft-bench-scaling-sorted").toString
-        scalingTurns = ScalingBench.materializeCorpus(scalingTurnsTarget, sortedDir,
-          sorted = true)
-        // each fork = one uncounted real-job warmup pass (C2 JIT is
-        // volume-triggered; without it a fresh fork records compiler time
-        // as engine time) + 1 measured rep
-        def pairOnce(dir: String, mode: String): (Double, Double) = {
-          val tN = ScalingBench.forkMeasure(headlinePair._1, dir, reps = 1, mode)
-          val t4N = ScalingBench.forkMeasure(headlinePair._2, dir, reps = 1, mode)
-          (tN, t4N)
-        }
-        // window-defense: a pair where either half breaches 2× its committed
-        // floor was measured in a contaminated window — retry it (max 2
-        // retries per pair), keeping every sample in the record
-        def defendedPair(dir: String, mode: String): Seq[(Double, Double)] = {
-          var acc = List(pairOnce(dir, mode))
-          var tries = 0
-          while (tries < 2 && {
-            val (tN, t4N) = acc.head
-            tN > sortedFloors(headlinePair._1) * floorTol ||
-              t4N > sortedFloors(headlinePair._2) * floorTol
-          }) { tries += 1; retries += 1; acc = pairOnce(dir, mode) :: acc }
-          acc
-        }
-        // 5 pairs: r3's five full-bench replays showed the min-of-minima
-        // statistic lands ≥0.81 with 4-5 pairs but swung 0.68-0.91 with 3
-        // (each level's min needs enough draws to sample a quiet second)
-        var sortedPairs = (1 to 5).flatMap(_ => defendedPair(sortedDir, "extract_sorted"))
-        // clean-window extension (see floor comment): draw more pairs while
-        // either level's minimum is still > 1.1× its floor, max 3 extra
-        var extraPairs = 0
-        def levelMin(pick: ((Double, Double)) => Double): Double =
-          sortedPairs.map(pick).min
-        while (extraPairs < 3 &&
-            (levelMin(_._1) > sortedFloors(headlinePair._1) * cleanTol ||
-              levelMin(_._2) > sortedFloors(headlinePair._2) * cleanTol)) {
-          extraPairs += 1; retries += 1
-          sortedPairs = sortedPairs ++ defendedPair(sortedDir, "extract_sorted")
-        }
-        pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
-        def defended32(): Seq[Double] = {
-          var acc = List(ScalingBench.forkMeasure(32, sortedDir, reps = 1,
-            mode = "extract_sorted"))
-          var tries = 0
-          while (tries < 2 && acc.head > sortedFloors(32) * floorTol) {
-            tries += 1; retries += 1
-            acc = ScalingBench.forkMeasure(32, sortedDir, reps = 1,
-              mode = "extract_sorted") :: acc
-          }
-          acc
-        }
-        val t32 = defended32() ++ defended32()
-        // windowed (salted-shuffle) path over the SAME bytes: one pair for
-        // transparency (the sorted/windowed contrast is fully quantified in
-        // BASELINE.md; re-measuring it 2× per round added 10+ min of noise
-        // exposure in round 3)
-        val wPairs = Seq(pairOnce(sortedDir, "extract"))
-        windowedSamples = Map(
-          headlinePair._1 -> wPairs.map(_._1),
-          headlinePair._2 -> wPairs.map(_._2))
-        // FUSED single-pass chunk-gate+extract (extractFused): the
-        // deployment shape when only triples are needed — reported for
-        // absolute throughput (its ratio statistic is noisier: the pass is
-        // so cheap that the ~0.5 s fixed cost dominates t8; BASELINE.md)
-        val fPair = pairOnce(sortedDir, "extract_fused")
-        val f32 = ScalingBench.forkMeasure(32, sortedDir, reps = 1, "extract_fused")
-        fusedSecs = Map(headlinePair._1 -> fPair._1, headlinePair._2 -> fPair._2,
-          32 -> f32)
-        Map(
-          headlinePair._1 -> sortedPairs.map(_._1),
-          headlinePair._2 -> sortedPairs.map(_._2),
-          32 -> t32)
+    var sortedPairs: Seq[(Double, Double)] = Nil
+    var t32Samples: Seq[Double] = Seq(1.0)
+    var scalingDir: String = null
+    // each fork = one uncounted real-job warmup pass (C2 JIT is
+    // volume-triggered; without it a fresh fork records compiler time
+    // as engine time) + 1 measured rep
+    def pairOnce(dir: String, mode: String): (Double, Double) = {
+      val tN = ScalingBench.forkMeasure(headlinePair._1, dir, reps = 1, mode)
+      val t4N = ScalingBench.forkMeasure(headlinePair._2, dir, reps = 1, mode)
+      (tN, t4N)
+    }
+    // window-defense: a pair where either half breaches 2× its committed
+    // floor was measured in a contaminated window — retry it (max 2
+    // retries per pair), keeping every sample in the record
+    def defendedPair(dir: String, mode: String): Seq[(Double, Double)] = {
+      var acc = List(pairOnce(dir, mode))
+      var tries = 0
+      while (tries < 2 && {
+        val (tN, t4N) = acc.head
+        tN > sortedFloors(headlinePair._1) * floorTol ||
+          t4N > sortedFloors(headlinePair._2) * floorTol
+      }) { tries += 1; retries += 1; acc = pairOnce(dir, mode) :: acc }
+      acc
+    }
+    def headlineMinBreach: Boolean =
+      sortedPairs.map(_._1).min > sortedFloors(headlinePair._1) * cleanTol ||
+        sortedPairs.map(_._2).min > sortedFloors(headlinePair._2) * cleanTol
+    if (!skipScaling) {
+      scalingDir = Files.createTempDirectory("graft-bench-scaling-sorted").toString
+      scalingTurns = ScalingBench.materializeCorpus(scalingTurnsTarget, scalingDir,
+        sorted = true)
+      // 5 pairs: r3's five full-bench replays showed the min-of-minima
+      // statistic lands ≥0.81 with 4-5 pairs but swung 0.68-0.91 with 3
+      // (each level's min needs enough draws to sample a quiet second)
+      sortedPairs = (1 to 5).flatMap(_ => defendedPair(scalingDir, "extract_sorted"))
+      // clean-window extension (see floor comment): draw more pairs while
+      // either level's minimum is still > cleanTol× its floor, max 3 extra
+      var extraPairs = 0
+      while (extraPairs < 3 && headlineMinBreach) {
+        extraPairs += 1; retries += 1
+        sortedPairs = sortedPairs ++ defendedPair(scalingDir, "extract_sorted")
       }
+      def defended32(): Seq[Double] = {
+        var acc = List(ScalingBench.forkMeasure(32, scalingDir, reps = 1,
+          mode = "extract_sorted"))
+        var tries = 0
+        while (tries < 2 && acc.head > sortedFloors(32) * floorTol) {
+          tries += 1; retries += 1
+          acc = ScalingBench.forkMeasure(32, scalingDir, reps = 1,
+            mode = "extract_sorted") :: acc
+        }
+        acc
+      }
+      t32Samples = defended32() ++ defended32()
+      // windowed (salted-shuffle) path over the SAME bytes: one pair for
+      // transparency (the sorted/windowed contrast is fully quantified in
+      // BASELINE.md; re-measuring it 2× per round added 10+ min of noise
+      // exposure in round 3)
+      val wPairs = Seq(pairOnce(scalingDir, "extract"))
+      windowedSamples = Map(
+        headlinePair._1 -> wPairs.map(_._1),
+        headlinePair._2 -> wPairs.map(_._2))
+      // FUSED single-pass chunk-gate+extract (extractFused): the
+      // deployment shape when only triples are needed — reported for
+      // absolute throughput (its ratio statistic is noisier: the pass is
+      // so cheap that the ~0.5 s fixed cost dominates t8; BASELINE.md)
+      val fPair = pairOnce(scalingDir, "extract_fused")
+      val f32 = ScalingBench.forkMeasure(32, scalingDir, reps = 1, "extract_fused")
+      fusedSecs = Map(headlinePair._1 -> fPair._1, headlinePair._2 -> fPair._2,
+        32 -> f32)
+    }
+    def samplesByLevel: Map[Int, Seq[Double]] =
+      if (skipScaling) levels.map(_ -> Seq(1.0)).toMap
+      else Map(
+        headlinePair._1 -> sortedPairs.map(_._1),
+        headlinePair._2 -> sortedPairs.map(_._2),
+        32 -> t32Samples)
+    // full pipeline on the sorted (deployment-layout) corpus; TWO forks with
+    // the same floor defense (isolated floor ~9.6-10.6 s at 32 cores,
+    // BASELINE.md) — a single fork in a bad host-drift window inflated the
+    // pipeline number 2× in one observed run and 3.4× in round 3's record
+    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
+    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir, sorted = true)
+    val pipeFloor = 9.6
+    def defendedPipe(): Double = {
+      var best = ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted")
+      var tries = 0
+      while (tries < 2 && best > pipeFloor * floorTol) {
+        tries += 1; retries += 1
+        best = math.min(best,
+          ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted"))
+      }
+      best
+    }
+    val pipeSecs = (1 to 2).map(_ => defendedPipe()).min
+    val turnsPerSec = corpusTurns / pipeSecs
+
+    // headline queries: ONE fresh forked JVM, best-of-2 per query (see
+    // runQueriesChild — round 2's in-churned-JVM numbers were inflated 1.3-2.8×)
+    val (qrc, qout) = ScalingBench.forkLines("graft.Bench",
+      Seq("--queries", cpus.toString, sfDir, "2"))
+    val queryTimes: Seq[(String, Double)] = headline.map { name =>
+      name -> qout.linesIterator.collectFirst {
+        case l if l.startsWith(s"[query] $name ") => l.split("\\s+").last.toDouble
+      }.getOrElse(-1.0)
+    }
+    require(qrc == 0 || queryTimes.exists(_._2 >= 0),
+      s"headline query fork failed (rc=$qrc): $qout")
+
+    // DEFERRED clean-window draws: when a headline level's minimum still
+    // breaches cleanTol× its floor after the in-window extension, the noise
+    // regime was persistent through the scaling section's whole window (one
+    // replay drew t8 ≥ 4.32 s ten times in a row while the pipeline fork
+    // minutes later ran at 1.10× floor) — so draw up to 3 more pairs HERE,
+    // after the ~5-minute pipeline+queries sections, in a different drift
+    // regime. Same continuation test (floor breach only, never the ratio),
+    // same pooled per-level minima — more draws, spread further in time.
+    if (!skipScaling) {
+      var deferred = 0
+      while (deferred < 3 && headlineMinBreach) {
+        deferred += 1; retries += 1
+        sortedPairs = sortedPairs ++ defendedPair(scalingDir, "extract_sorted")
+      }
+    }
+
     val tps: Map[Int, Double] =
       if (skipScaling) levels.map(_ -> 0.0).toMap
       else levels.map(c => c -> scalingTurns / samplesByLevel(c).min).toMap
     val (tpsN, tps4N) = (tps(headlinePair._1), tps(headlinePair._2))
-    // primary statistic: ratio of per-level MINIMA over 5 interleaved fork
+    // primary statistic: ratio of per-level MINIMA over the interleaved fork
     // pairs. The noise model is measured, not assumed: one-sided additive
     // interference with no low-core turbo (BurnProbe), so each level's min
     // converges to the engine's own cost from above and the ratio of minima
     // to the true ratio; the per-pair medians (secondary) degrade when a
     // seconds-scale noise burst hits one half of a pair (observed: a clean-t2
     // /noisy-t8 pair recorded 0.61 while the minima said 0.81).
+    val pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
     val efficiency = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
     val efficiencyPaired = if (skipScaling) 0.0 else median(pairRatios)
     val efficiency832 = if (tps(8) > 0) (tps(32) / tps(8)) / 4.0 else 0.0
@@ -284,38 +333,6 @@ object Bench {
     val inflationJson = levels.map { c =>
       "\"" + c + "\":" + f"${inflation.getOrElse(c, 0.0)}%.2f"
     }.mkString("{", ",", "}")
-
-    // full pipeline on the sorted (deployment-layout) corpus; TWO forks with
-    // the same floor defense (isolated floor ~9.6-10.6 s at 32 cores,
-    // BASELINE.md) — a single fork in a bad host-drift window inflated the
-    // pipeline number 2× in one observed run and 3.4× in round 3's record
-    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
-    val corpusTurns = ScalingBench.materializeCorpus(1000000L, corpusDir, sorted = true)
-    val pipeFloor = 9.6
-    def defendedPipe(): Double = {
-      var best = ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted")
-      var tries = 0
-      while (tries < 2 && best > pipeFloor * floorTol) {
-        tries += 1; retries += 1
-        best = math.min(best,
-          ScalingBench.forkMeasure(cpus, corpusDir, reps = 1, mode = "full_sorted"))
-      }
-      best
-    }
-    val pipeSecs = (1 to 2).map(_ => defendedPipe()).min
-    val turnsPerSec = corpusTurns / pipeSecs
-
-    // headline queries: ONE fresh forked JVM, best-of-2 per query (see
-    // runQueriesChild — round 2's in-churned-JVM numbers were inflated 1.3-2.8×)
-    val (qrc, qout) = ScalingBench.forkLines("graft.Bench",
-      Seq("--queries", cpus.toString, sfDir, "2"))
-    val queryTimes: Seq[(String, Double)] = headline.map { name =>
-      name -> qout.linesIterator.collectFirst {
-        case l if l.startsWith(s"[query] $name ") => l.split("\\s+").last.toDouble
-      }.getOrElse(-1.0)
-    }
-    require(qrc == 0 || queryTimes.exists(_._2 >= 0),
-      s"headline query fork failed (rc=$qrc): $qout")
 
     val qs = (queryTimes :+ ("kg_pipeline_1m_turns" -> pipeSecs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")

@@ -40,7 +40,10 @@ object ScalingBench {
       // a fixture artifact, not an engine property (a 10^12-turn table has
       // millions of splits). 8 MB keeps every level's scan saturated.
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
-      .config("spark.sql.adaptive.enabled", "true")
+      // env-overridable so the F-decomposition experiments (BASELINE.md) can
+      // isolate AQE's per-exchange replanning rounds from the dataflow cost
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
