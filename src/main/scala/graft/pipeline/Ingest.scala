@@ -66,11 +66,12 @@ object Ingest {
     // their lineage here (the in-memory analogue of the committed path's
     // stage tables) stops downstream broadcast subqueries from re-running the
     // whole chunk+extract subtree — measured as a repeated multi-second
-    // broadcast build in the assembly phase. Checkpoints.truncate prefers a
-    // reliable checkpoint when a dir is configured (cluster failure model).
-    val entities = graft.tables.Checkpoints.truncate(entities0.toDF())
-    val remap = graft.tables.Checkpoints.truncate(remap0)
-    val topics = graft.tables.Checkpoints.truncate(
+    // broadcast build in the assembly phase. The three tables are mutually
+    // independent, so they materialize in ONE job (truncateAll) instead of
+    // three sequential driver rounds. Checkpoints prefers a reliable
+    // checkpoint when a dir is configured (cluster failure model).
+    val Seq(entities, remap, topics) = graft.tables.Checkpoints.truncateAll(
+      entities0.toDF(), remap0,
       TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics))
     val triples = TripleAssembler.assemble(spark, raw, remap, topics, cfg.assembler)
     Result(chunks.toDF(), raw.toDF(), entities, triples.toDF())

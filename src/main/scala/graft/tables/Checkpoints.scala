@@ -25,4 +25,28 @@ object Checkpoints {
       try df.checkpoint()
       finally df.unpersist()
     } else df.localCheckpoint()
+
+  /** Truncate SEVERAL mutually-independent small intermediates in ONE job:
+    * each is marked for local checkpoint lazily, then a single union action
+    * computes them all. N eager `truncate` calls cost N sequential driver
+    * job rounds — at the in-memory pipeline's scale those rounds are pure
+    * fixed cost (the tables are KB-sized), and within the one job Spark also
+    * reuses any shuffle stages the inputs share (entities/remap both hang
+    * off the dedup subtree). Reliable-checkpoint sessions keep per-df eager
+    * checkpoints: each is a distributed file write with its own commit.
+    */
+  def truncateAll(dfs: DataFrame*): Seq[DataFrame] = dfs.toList match {
+    case Nil => Nil
+    case one :: Nil => Seq(truncate(one))
+    case many =>
+      val sc = many.head.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isDefined) many.map(truncate)
+      else {
+        val marked = many.map(_.localCheckpoint(eager = false))
+        // one action materializes every marked checkpoint; the internal rows
+        // are discarded, not copied
+        sc.union(marked.map(_.queryExecution.toRdd.map(_ => ()))).count()
+        marked
+      }
+  }
 }
