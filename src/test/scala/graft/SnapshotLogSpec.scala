@@ -166,6 +166,33 @@ class SnapshotLogSpec extends SparkSpec {
     assert(!log.verifyLineage("t", 1L))
   }
 
+  test("truncateAll materializes three independent tables in ONE job, values intact") {
+    val a = spark.range(1, 101).select($"id".cast("int").as("x")).filter($"x" % 2 === 0)
+    val b = (1 to 50).map(i => (i, s"n$i")).toDF("id", "name")
+    val c = Seq(("t1", 0.5), ("t2", 0.9)).toDF("topic", "score")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = try {
+      val r = graft.tables.Checkpoints.truncateAll(a.toDF(), b, c)
+      Thread.sleep(500) // listener bus is async
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 1,
+      s"three independent truncations must share ONE materialization job, got ${jobs.get()}")
+    assert(out(0).collect().map(_.getInt(0)).sorted.toSeq === (2 to 100 by 2).toSeq)
+    assert(out(1).count() === 50L && out(2).count() === 2L)
+    // lineage actually truncated: the returned plans scan checkpointed RDDs,
+    // not the original subtrees
+    out.foreach { df =>
+      assert(df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.getClass.getSimpleName.contains("LogicalRDD")),
+        s"expected LogicalRDD leaves, got ${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("commit after deltas compacts: read sees exactly the last full snapshot onward") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val log = new SnapshotLog(spark, dir)
