@@ -113,6 +113,115 @@ object GraphLookup {
       .orderBy(col("score").desc, col("neighbor"), col("predicate"))
   }
 
+  /** get_chunks (mcp_server.py:308-361): BATCHED get_chunk — up to 8
+    * (entity_one, edge_type, entity_two) name triplets resolved in ONE pass
+    * (the reference loops per item; the Spark shape is an equi-join). Each
+    * triplet explodes into its two orientations and BROADCASTS against the
+    * fact table on (subject, object, predicate) keys — a BroadcastHashJoin
+    * over one triples scan, never a nested-loop or a shuffle. Provenance
+    * chunks fetch via the bounded-id isin pattern (predicate pushdown prunes
+    * the chunk scan — fetchChunks' point-lookup shape). Output carries
+    * rel_idx; a rel_idx absent from the result is the reference's
+    * found:false (found_count = countDistinct(rel_idx)).
+    */
+  def chunksForRelationships(triples: DataFrame, chunks: DataFrame,
+      relationships: Seq[(String, String, String)]): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val oriented = relationships.take(8).zipWithIndex.flatMap {
+      case ((a, et, b), i) =>
+        val (ak, bk) = (a.trim.toLowerCase(java.util.Locale.ROOT),
+          b.trim.toLowerCase(java.util.Locale.ROOT))
+        Seq((i, ak, et.trim, bk), (i, bk, et.trim, ak))
+    }.toDF("rel_idx", "s_key", "edge_type", "o_key")
+    val matched = triples
+      .select(lower(col("subject")).as("s_key"), lower(col("object")).as("o_key"),
+        col("predicate").as("edge_type"), col("fact_uuid"), col("fact"),
+        col("chunk_uuid"))
+      .join(broadcast(oriented), Seq("s_key", "edge_type", "o_key"))
+      // a self-symmetric request (a == b) matches the same fact twice
+      .dropDuplicates("rel_idx", "fact_uuid")
+    val matchedT = graft.tables.Checkpoints.truncate(
+      matched.select(col("rel_idx"), col("edge_type"), col("fact_uuid"),
+        col("fact"), col("chunk_uuid")))
+    val ids = matchedT.select(col("chunk_uuid")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    matchedT.join(
+        chunks.filter(col("chunk_uuid").isin(ids: _*))
+          .select(col("chunk_uuid"), col("chunk_id"), col("text"), col("header_path")),
+        Seq("chunk_uuid"), "left")
+      .orderBy(col("rel_idx"), col("fact_uuid"))
+  }
+
+  /** _expand_query analogue (mcp_server.py:700-729): the reference asks an
+    * LLM for ≤3 variations (synonyms, statement rephrase, key entities);
+    * the deterministic analogue keeps the original plus the keyword form
+    * (stop-words dropped) and the entity-span form — ≤4 distinct, original
+    * FIRST (downstream dedup is first-variant-wins, as the reference's
+    * seen_facts_global set is).
+    */
+  private[graft] def expandQuery(query: String): Seq[String] = {
+    val kw = Retriever.extractKeywords(query).mkString(" ")
+    val ents = Decomposer.entityHints(query).mkString(" ")
+    (query +: Seq(kw, ents).filter(_.nonEmpty)).distinct.take(4)
+  }
+
+  /** search_relationships (mcp_server.py:732-846): semantic fact search with
+    * auto query expansion and optional date-range filters. ONE fact-table
+    * scan scores every fact against all ≤4 variant embeddings (posexplode
+    * over a broadcast literal array — not a pass per variant); per-variant
+    * candidates keep the reference's index fetch shape (top_k*2, score >
+    * 0.3); a fact retrieved by several variants keeps its FIRST variant's
+    * score (seen_facts_global); the bounded candidate set (≤ 8·topK rows)
+    * fetches chunk header/date via pushed-down isin, rows with no date pass
+    * the date filters (reference keeps undated rows), and the final
+    * (score desc, date desc) top-k is taken with a fact_uuid tie-break.
+    */
+  def searchRelationshipsSemantic(factsWithEmb: DataFrame, chunks: DataFrame,
+      query: String, topK: Int = 10,
+      dateFrom: Option[String] = None, dateTo: Option[String] = None,
+      scoreFloor: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val variants = expandQuery(query)
+    val qvecs = array(variants.map(v => lit(graft.functions.Embed.embed(v))): _*)
+    val perVariant = Window.partitionBy(col("variant"))
+      .orderBy(col("score").desc, col("fact_uuid"))
+    val firstVariant = Window.partitionBy(col("fact_uuid"))
+      .orderBy(col("variant"), col("fact_uuid"))
+    val cands = factsWithEmb
+      .select(col("fact_uuid"), col("fact"), col("subject"),
+        col("predicate").as("edge_type"), col("object"), col("chunk_uuid"),
+        col("embedding"), posexplode(qvecs).as(Seq("variant", "qvec")))
+      .withColumn("score",
+        graft.functions.expr.DotProduct(col("qvec"), col("embedding")))
+      .filter(col("score") > scoreFloor)
+      .withColumn("vrank", row_number().over(perVariant))
+      .filter(col("vrank") <= topK * 2)
+      .withColumn("first", row_number().over(firstVariant))
+      .filter(col("first") === 1)
+      .select(col("fact_uuid"), col("fact"), col("subject"), col("edge_type"),
+        col("object"), col("chunk_uuid"), round(col("score"), 3).as("score"))
+    // bounded (≤ 8·topK rows): truncate so the fact scan runs once, then
+    // point-fetch the chunks by pushed-down id list
+    val candsT = graft.tables.Checkpoints.truncate(cands)
+    val ids = candsT.select(col("chunk_uuid")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val meta = chunks.filter(col("chunk_uuid").isin(ids: _*))
+      .select(col("chunk_uuid"), col("chunk_id"), col("header_path").as("header"),
+        date_format(col("document_date"), "yyyy-MM-dd").as("document_date"))
+    var out = candsT.join(meta, Seq("chunk_uuid"), "left")
+    dateFrom.foreach(d =>
+      out = out.filter(col("document_date").isNull || col("document_date") >= d))
+    dateTo.foreach(d =>
+      out = out.filter(col("document_date").isNull || col("document_date") <= d))
+    out.select(col("fact_uuid"), col("fact"), col("score"), col("subject"),
+        col("edge_type"), col("object"), col("chunk_id"), col("header"),
+        col("document_date"))
+      .orderBy(col("score").desc, col("document_date").desc_nulls_last,
+        col("fact_uuid"))
+      .limit(topK)
+  }
+
   /** search_relationships: substring/predicate search over fact text. */
   def searchRelationships(triples: DataFrame, pattern: String, limitN: Int = 50): DataFrame =
     triples.filter(lower(col("fact")).contains(pattern.toLowerCase(java.util.Locale.ROOT)) ||

@@ -288,4 +288,54 @@ class IncrementalSpec extends SparkSpec {
     // no incident facts → empty (the reference's found:false)
     assert(GraphLookup.exploreNeighborsSemantic(facts, "no-such-uuid", "anything").count() === 0)
   }
+
+  test("get_chunks batch: one equi-join resolves all triplets; misses absent (mcp_server.py:308-361)") {
+    val cfg = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val res = Ingest.runInMemory(spark, TranscriptGen.transcripts(spark, cfg))
+    val t0 = res.triples.select($"subject", $"predicate", $"object", $"fact_uuid").first()
+    val rows = GraphLookup.chunksForRelationships(res.triples, res.chunks, Seq(
+      (t0.getString(0), t0.getString(1), t0.getString(2)),        // as stored
+      (t0.getString(2).toUpperCase, t0.getString(1), t0.getString(0)), // flipped + case-mangled
+      ("no such entity", "ACQUIRED", "nobody else")))              // miss
+      .collect()
+    // both orientations of the real triplet land (rel_idx 0 and 1), each
+    // with its provenance chunk joined; the miss contributes no row
+    val byIdx = rows.groupBy(_.getAs[Int]("rel_idx"))
+    assert(byIdx.contains(0) && byIdx.contains(1) && !byIdx.contains(2))
+    assert(byIdx(0).exists(_.getAs[String]("fact_uuid") == t0.getString(3)))
+    assert(rows.forall(r => r.getAs[String]("text") != null))
+    // found_count semantics: distinct rel_idx present
+    assert(byIdx.keySet === Set(0, 1))
+  }
+
+  test("search_relationships semantic: expansion, first-variant score, date filters (mcp_server.py:700-846)") {
+    val cfg = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val res = Ingest.runInMemory(spark, TranscriptGen.transcripts(spark, cfg))
+    val facts = graft.query.Retriever.withFactEmbeddings(res.triples).cache()
+    val f0 = facts.select($"fact", $"fact_uuid").first()
+
+    // deterministic expansion: original first, distinct, ≤4
+    val vs = GraphLookup.expandQuery("Who acquired DataCore Systems in 2023?")
+    assert(vs.head === "Who acquired DataCore Systems in 2023?")
+    assert(vs.distinct.length === vs.length && vs.length >= 2 && vs.length <= 4)
+
+    // querying with an existing fact's text ranks that fact first at ~1.0
+    val rows = GraphLookup.searchRelationshipsSemantic(facts, res.chunks,
+      f0.getString(0), topK = 5).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.head.getAs[String]("fact_uuid") === f0.getString(1))
+    assert(math.abs(rows.head.getAs[Double]("score") - 1.0) < 1e-6)
+    // provenance joined: chunk id + yyyy-MM-dd date string present
+    assert(rows.forall(_.getAs[String]("chunk_id") != null))
+    assert(rows.forall(r => r.getAs[String]("document_date") == null ||
+      r.getAs[String]("document_date").matches("\\d{4}-\\d{2}-\\d{2}")))
+    // date-range filters: a window excluding every document date empties the
+    // result (synthetic corpus dates are all post-1990); dated rows pass an
+    // inclusive window around them
+    assert(GraphLookup.searchRelationshipsSemantic(facts, res.chunks,
+      f0.getString(0), topK = 5, dateTo = Some("1990-01-01")).count() === 0)
+    assert(GraphLookup.searchRelationshipsSemantic(facts, res.chunks,
+      f0.getString(0), topK = 5,
+      dateFrom = Some("1990-01-01"), dateTo = Some("2099-12-31")).count() > 0)
+  }
 }
