@@ -13,7 +13,7 @@ import graft.synth.TranscriptGen
   *   IngestApp <warehouseDir> [--input <parquet-of-transcripts>]
   *             [--input-jsonl <jsonl-of-transcripts>]
   *             [--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]
-  *             [--sorted true]
+  *             [--sorted true] [--fused true]
   *
   * With --input, reads an (conv_id, turn_idx, role, text, tool, ts) parquet
   * table (the input_hint shape); --input-jsonl reads the same shape as
@@ -23,14 +23,19 @@ import graft.synth.TranscriptGen
   * within files (each conversation confined to one file or its splits) and
   * routes chunking through the shuffle-free sortedInput fast path — the
   * right call on a standing sorted transcript store; layout violations fail
-  * fast with a pointer back to the default windowed path.
+  * fast with a pointer back to the default windowed path. `--fused true`
+  * runs the triples-only pipeline (Ingest.runFused): the fused single-pass
+  * extractor feeds the raw-triple table directly and the corpus-sized chunks
+  * table is never written — the deployment shape when chunk-text provenance
+  * is not needed.
   */
 object IngestApp {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
         "usage: IngestApp <warehouseDir> [--input <parquet>] [--input-jsonl <jsonl>] " +
-          "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] [--sorted true]")
+          "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] " +
+          "[--sorted true] [--fused true]")
       sys.exit(2)
     }
     val warehouse = args(0)
@@ -38,7 +43,7 @@ object IngestApp {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
     val unknown = opts.keys.filterNot(
-      Set("--input", "--input-jsonl", "--synth", "--master", "--sorted"))
+      Set("--input", "--input-jsonl", "--synth", "--master", "--sorted", "--fused"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}")
       sys.exit(2)
@@ -77,14 +82,17 @@ object IngestApp {
     }
 
     val t0 = System.nanoTime()
+    val fused = opts.get("--fused").exists(_.toBoolean)
     val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
       sortedInput = opts.get("--sorted").exists(_.toBoolean)))
-    val result = Ingest.run(spark, turns, warehouse, icfg)
+    val result =
+      if (fused) Ingest.runFused(spark, turns, warehouse, icfg)
+      else Ingest.run(spark, turns, warehouse, icfg)
     val nTriples = result.triples.count()
     val nEntities = result.entities.count()
-    val nChunks = result.chunks.count()
+    val chunksNote = if (fused) "chunks=skipped(fused)" else s"chunks=${result.chunks.count()}"
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[ingest] chunks=$nChunks entities=$nEntities triples=$nTriples in $secs%.1fs")
+    println(f"[ingest] $chunksNote%s entities=$nEntities triples=$nTriples in $secs%.1fs")
     println(s"[ingest] warehouse=$warehouse (committed snapshots; rerun resumes)")
     spark.stop()
   }

@@ -103,6 +103,12 @@ object ScalingBench {
         val chunks = graft.chunk.TurnChunker.chunk(spark, turns, ccfg)
         graft.extract.TripleExtractor.extract(spark, chunks)
           .write.mode("overwrite").format("noop").save()
+      } else if (mode == "full_fused") {
+        // triples-only pipeline end-to-end (Ingest.runFused deployment
+        // shape): fused extraction feeds dedup/link/assemble directly —
+        // no chunk table, no chunk-window pass
+        Ingest.runInMemoryFused(spark, turns).triples
+          .write.mode("overwrite").format("noop").save()
       } else {
         val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
           sortedInput = mode == "full_sorted"))

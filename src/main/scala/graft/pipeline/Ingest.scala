@@ -48,11 +48,36 @@ object Ingest {
     */
   def runInMemory(spark: SparkSession, turns: Dataset[Turn],
       cfg: Config = Config()): Result = {
-    import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     val chunks = TurnChunker.chunk(spark, turns, cfg.chunker)
     val raw = TripleExtractor.extract(spark, chunks)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val (entities, triples) = inMemoryDownstream(spark, raw, cfg)
+    Result(chunks.toDF(), raw.toDF(), entities, triples)
+  }
+
+  /** In-memory triples-only run (see `runFused`): fused single-pass
+    * extraction feeds the downstream stages directly — no Chunk objects, no
+    * chunk-window/stats pass. windowSize=1 / markdownHeaders=false semantics
+    * only (enforced).
+    */
+  def runInMemoryFused(spark: SparkSession, turns: Dataset[Turn],
+      cfg: Config = Config()): Result = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    require(cfg.chunker.windowSize == 1 && !cfg.chunker.markdownHeaders,
+      "runInMemoryFused implements windowSize=1 / markdownHeaders=false semantics; " +
+        "use runInMemory() for windowed or header-stack configs")
+    val raw = TripleExtractor.extractFused(spark, turns,
+        cfg.chunker.minChars, cfg.chunker.groupId)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (entities, triples) = inMemoryDownstream(spark, raw, cfg)
+    Result(spark.emptyDataset[Chunk].toDF(), raw.toDF(), entities, triples)
+  }
+
+  private def inMemoryDownstream(spark: SparkSession, raw: Dataset[RawTriple],
+      cfg: Config): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val mentions = TripleExtractor.mentions(spark, raw)
     val (entities0, remap0) = EntityDedup.dedup(spark, mentions, cfg.dedup)
     // one pass over raw (not a 3-way union = 3 cache scans): topics array ∪
@@ -74,7 +99,7 @@ object Ingest {
       entities0.toDF(), remap0,
       TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics))
     val triples = TripleAssembler.assemble(spark, raw, remap, topics, cfg.assembler)
-    Result(chunks.toDF(), raw.toDF(), entities, triples.toDF())
+    (entities, triples.toDF())
   }
 
   /** Full run with committed snapshots + lineage + resume.
@@ -95,6 +120,45 @@ object Ingest {
     val rawDf = log.computeIfAbsent("raw_triples", Seq("group_id")) {
       TripleExtractor.extract(spark, chunks).toDF()
     }
+
+    val (entitiesDf, triplesDf) = downstream(spark, log, rawDf, cfg)
+    Result(chunksDf, rawDf, entitiesDf, triplesDf)
+  }
+
+  /** Triples-only committed run: the raw-triple table is computed by the
+    * FUSED single-pass extractor straight off the turn stream
+    * (`TripleExtractor.extractFused`) and the corpus-sized chunks table is
+    * never materialized — at 10^12 turns that is ~1× corpus bytes of write
+    * volume saved, and no chunk-window shuffle/stats pass at all. Provenance
+    * still resolves per triple via the carried (conv_id, turn_idx,
+    * chunk_uuid); deployments that need chunk TEXT provenance (J12 lookups,
+    * v7 chunk-centric retrieval) use `run`. Fused semantics are
+    * windowSize=1 without markdown header stacks (spec-asserted identical to
+    * extract(chunk(turns)) there); other chunker configs must take `run`.
+    */
+  def runFused(spark: SparkSession, turns: Dataset[Turn], warehouseDir: String,
+      cfg: Config = Config()): Result = {
+    import spark.implicits._
+    require(cfg.chunker.windowSize == 1 && !cfg.chunker.markdownHeaders,
+      "runFused implements windowSize=1 / markdownHeaders=false semantics; " +
+        "use run() for windowed or header-stack configs")
+    val log = new SnapshotLog(spark, warehouseDir)
+    val rawDf = log.computeIfAbsent("raw_triples", Seq("group_id")) {
+      TripleExtractor.extractFused(spark, turns,
+        cfg.chunker.minChars, cfg.chunker.groupId).toDF()
+    }
+    val (entitiesDf, triplesDf) = downstream(spark, log, rawDf, cfg)
+    Result(spark.emptyDataset[Chunk].toDF(), rawDf, entitiesDf, triplesDf)
+  }
+
+  /** Stages downstream of the committed raw-triple table, shared by `run`
+    * (chunk-table provenance path) and `runFused` (triples-only path):
+    * mentions → dedup/canonicalize → topic resolve → assembly, each a
+    * committed resume-aware snapshot.
+    */
+  private def downstream(spark: SparkSession, log: SnapshotLog, rawDf: DataFrame,
+      cfg: Config): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val raw = rawDf.as[RawTriple]
 
     val mentionsDf = log.computeIfAbsent("mentions", Seq("group_id")) {
@@ -126,7 +190,7 @@ object Ingest {
       TripleAssembler.assemble(spark, raw, remapDf, topicsDf, cfg.assembler).toDF()
     }
 
-    Result(chunksDf, rawDf, entitiesDf, triplesDf)
+    (entitiesDf, triplesDf)
   }
 
   /** Incremental ingest of an additional corpus into an EXISTING warehouse

@@ -105,6 +105,28 @@ class PipelineSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("fused triples-only run: identical triples table, no chunks table written") {
+    val small = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val turns = TranscriptGen.transcripts(spark, small)
+    val dirA = Files.createTempDirectory("graft-fusedA").toString
+    val full = Ingest.run(spark, turns, dirA).triples.orderBy($"fact_uuid").collect()
+    val dirB = Files.createTempDirectory("graft-fusedB").toString
+    // fused path has no layout requirement — hand it an arbitrary repartition
+    val fusedRes = Ingest.runFused(spark, turns.repartition(7), dirB)
+    val fused = fusedRes.triples.orderBy($"fact_uuid").collect()
+    assert(full.length === fused.length && full.nonEmpty)
+    full.zip(fused).foreach { case (a, b) => assert(a === b) }
+    val log = new SnapshotLog(spark, dirB)
+    assert(log.latestSnapshot("chunks").isEmpty,
+      "fused run must not materialize the chunks table")
+    assert(fusedRes.chunks.isEmpty)
+    // windowed / header-stack configs are outside fused semantics → rejected
+    intercept[IllegalArgumentException] {
+      Ingest.runFused(spark, turns, dirB,
+        Ingest.Config(chunker = graft.chunk.TurnChunker.Config(windowSize = 2)))
+    }
+  }
+
   test("partial resume: killing after chunks commit resumes from raw_triples") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     val small = TranscriptGen.Config(numConvs = 3, turnsPerConv = 15, skew = 2)
