@@ -299,7 +299,16 @@ object Bench {
     // to the true ratio; the per-pair medians (secondary) degrade when a
     // seconds-scale noise burst hits one half of a pair (observed: a clean-t2
     // /noisy-t8 pair recorded 0.61 while the minima said 0.81).
-    val pairRatios = sortedPairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
+    // pairs the floor defense itself classified as contaminated (either half
+    // beyond 2× its floor) stay in the sample record but are excluded from
+    // the median — the defended minima already ignore them, and a retried
+    // pair would otherwise enter the median once per retry
+    val cleanPairs = sortedPairs.filter { case (tN, t4N) =>
+      tN <= sortedFloors(headlinePair._1) * floorTol &&
+        t4N <= sortedFloors(headlinePair._2) * floorTol
+    }
+    val pairRatios = (if (cleanPairs.nonEmpty) cleanPairs else sortedPairs)
+      .map { case (tN, t4N) => tN / (4.0 * t4N) }
     val efficiency = if (tpsN > 0) (tps4N / tpsN) / 4.0 else 0.0
     val efficiencyPaired = if (skipScaling) 0.0 else median(pairRatios)
     val efficiency832 = if (tps(8) > 0) (tps(32) / tps(8)) / 4.0 else 0.0
@@ -344,9 +353,13 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_turns":$corpusTurns%d,"pipeline_turns_per_sec":$turnsPerSec%.0f,"extract_scaling":{"turns":$scalingTurns%d,"mode":"extract_sorted","cores_n":2,"cores_4n":8,"turns_per_sec_n":$tpsN%.0f,"turns_per_sec_4n":$tps4N%.0f,"efficiency":$efficiency%.3f,"efficiency_paired_median":$efficiencyPaired%.3f,"turns_per_sec_32":${tps(32)}%.0f,"efficiency_8_32":$efficiency832%.3f,"secs_samples":$samplesJson%s,"n_samples":$nSamplesJson%s,"inflation_vs_floor":$inflationJson%s,"retries":$retries%d,"efficiency_windowed_2_8":$effWindowed%.3f,"fused_turns_per_sec_2":$fTps2%.0f,"fused_turns_per_sec_8":$fTps8%.0f,"fused_turns_per_sec_32":$fTps32%.0f},"methodology":"BASELINE.md"}"""
     // belt-and-braces: also land the line in a file the driver (or a human)
-    // can pick up if stdout gets decorated by the launcher
+    // can pick up if stdout gets decorated by the launcher. Best-effort: a
+    // bad path must not throw away the run's stdout line after ~20 min of
+    // measurement (println is the contract channel and comes regardless).
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      try Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_OUT write failed: $e") }
     }
     println(json)
   }

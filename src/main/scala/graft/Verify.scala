@@ -21,7 +21,10 @@ object Verify {
       // coalesce(1) of zero partitions is still zero → no parquet file at
       // all → the driver reads "output missing" instead of the empty
       // relation. repartition always materializes exactly one (possibly
-      // empty, schema-bearing) output file.
+      // empty, schema-bearing) output file. Row ORDER in the file is
+      // irrelevant: the driver compare (tools/selfcheck.py replica) sorts
+      // rows before hashing — the queries' orderBy exists to make limit/
+      // top-k MEMBERSHIP deterministic, not file order.
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -62,12 +62,15 @@ object IngestApp {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    var jsonlObs: Option[org.apache.spark.sql.Observation] = None
     val turns = (opts.get("--input"), opts.get("--input-jsonl")) match {
       case (Some(path), _) => spark.read.parquet(path).as[graft.model.Turn]
       case (None, Some(path)) =>
-        val bad = graft.sources.JsonlSource.corruptCount(spark, path)
-        if (bad > 0) println(s"[ingest] skipped $bad malformed JSONL line(s)")
-        graft.sources.JsonlSource.readTranscripts(spark, path)
+        // corrupt-line count rides the pipeline's own first scan (observe
+        // metric) — a standalone count would parse the corpus twice
+        val (t, o) = graft.sources.JsonlSource.readTranscriptsObserved(spark, path)
+        jsonlObs = Some(o)
+        t
       case _ =>
         val synth = opts.getOrElse("--synth", "")
         val kv = synth.split(",").filter(_.contains("=")).map { s =>
@@ -92,6 +95,15 @@ object IngestApp {
     val nEntities = result.entities.count()
     val chunksNote = if (fused) "chunks=skipped(fused)" else s"chunks=${result.chunks.count()}"
     val secs = (System.nanoTime() - t0) / 1e9
+    jsonlObs.foreach { o =>
+      // non-blocking: the metric future is complete iff the pipeline's first
+      // action scanned the source (a full resume never does — nothing to log)
+      o.future.value.foreach {
+        case scala.util.Success(row) if !row.isNullAt(0) && row.getLong(0) > 0 =>
+          println(s"[ingest] skipped ${row.getLong(0)} malformed JSONL line(s)")
+        case _ =>
+      }
+    }
     println(f"[ingest] $chunksNote%s entities=$nEntities triples=$nTriples in $secs%.1fs")
     println(s"[ingest] warehouse=$warehouse (committed snapshots; rerun resumes)")
     spark.stop()

@@ -46,7 +46,12 @@ object TripleAssembler {
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
       catch { case _: Exception => 10L * 1024 * 1024 }
     if (bytes <= 0) 200000 // broadcasts disabled session-wide: keep the old fixed cap
-    else math.min(bytes / BytesPerTopicEntry, 2000000L).toInt
+    // hard ceiling 500k regardless of threshold: the COLLECT that builds the
+    // map materializes driver Row objects at ~250-300 B each (object headers,
+    // not the 50 B/entry the broadcast map itself costs), so a session tuned
+    // to a 100 MB autoBroadcastJoinThreshold must not trigger a multi-GB
+    // driver collect — 500k ≈ 150 MB transient, safe on any driver
+    else math.min(bytes / BytesPerTopicEntry, 500000L).toInt
   }
 
   private val relTypeUdf = udf((s: String) => Norm.normalizeRelType(s))

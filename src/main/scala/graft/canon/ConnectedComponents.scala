@@ -53,13 +53,20 @@ object ConnectedComponents {
     // if they all fit, that IS the edge list (the former count()-then-
     // collect() pair cost two executions of the edge subtree plus a
     // persist/unpersist round; on the pipeline's ~10³-edge graphs the fixed
-    // job rounds were the whole CC cost)
-    val probe = sym0.limit((smallGraphEdges + 1).toInt)
-      .as[(String, String)].collect()
-    if (probe.length <= smallGraphEdges) return runLocal(spark, probe)
-
+    // job rounds were the whole CC cost). Persisting BEFORE the probe makes
+    // every partition the probe touches land in the cache whole (the block
+    // store materializes full partitions), so on the LARGE path the later
+    // count() completes materialization instead of re-running the
+    // union+distinct shuffle — two separate actions re-plan separately, so
+    // nothing else would reuse that shuffle.
     val sym = sym0.persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count() // materialize once for the iterative rounds
+    val probe = sym.limit((smallGraphEdges + 1).toInt)
+      .as[(String, String)].collect()
+    if (probe.length <= smallGraphEdges) {
+      sym.unpersist(blocking = false)
+      return runLocal(spark, probe)
+    }
+    sym.count() // complete cache materialization for the iterative rounds
 
     val vertices = sym.select($"src".as("id"))
       .union(edges.select($"src".as("id")))

@@ -118,9 +118,13 @@ object EntityDedup {
     // no semantic effect; at local-bench group counts the win is small, but
     // at corpus-scale name cardinality the fallback sort is O(mentions log
     // mentions) per task where the hash path is O(mentions)).
+    // Raised only when the conf still sits at Spark's default (128): a user
+    // who tuned it deliberately (e.g. memory-tight executors) keeps their
+    // value — silently overriding a session-wide conf someone set on purpose
+    // reintroduces exactly the OOM they tuned against.
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (spark.conf.getOption(fallbackKey).forall(_.toLong < 65536L))
-      spark.conf.set(fallbackKey, 65536L)
+    val cur = spark.conf.getOption(fallbackKey).map(_.toLong)
+    if (cur.isEmpty || cur.contains(128L)) spark.conf.set(fallbackKey, 65536L)
     val normName = udf((s: String) => Norm.normalizeEntityName(s))
     val embedUdf = udf((s: String) => Embed.embed(s))
     val uuidUdf = udf((g: String, n: String) =>

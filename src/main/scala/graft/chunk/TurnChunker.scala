@@ -66,6 +66,12 @@ object TurnChunker {
     */
   private val HeaderLevels = 6
 
+  /** Java String.trim character set (every char ≤ U+0020) for SQL-side trims:
+    * keeps the windowed gate byte-consistent with the sorted/fused paths'
+    * String.trim and the reference's Python str.strip on ASCII whitespace.
+    */
+  private val JavaWs: String = (0 to 0x20).map(_.toChar).mkString
+
   /** Per-turn header-stack summary: element k-1 describes the turn's effect
     * on stack level k — null (turn has no header of level ≤ k: level k is
     * untouched), "" (turn's last header of level ≤ k is SHALLOWER than k:
@@ -179,9 +185,14 @@ object TurnChunker {
     // recompute, but a projected copy would serialize the text bytes TWICE
     // through the window shuffle. The date regex runs only on rows containing
     // a '-' at all (instr pre-gate) — regex per row was measurable at 32 cores.
-    val soloBody = trim($"text")
+    // trim uses JavaWs (chars ≤ U+0020), NOT SQL trim (spaces only): the
+    // sorted fast path and the fused extractor gate with String.trim, and the
+    // reference gates with Python str.strip (markdown_chunker.py:60-67) — a
+    // plain trim() here would keep a '\n---' separator line the other paths
+    // drop. Still a slice (UTF8String.trim(trimString)), no allocation.
+    val soloBody = trim($"text", JavaWs)
     val kept0 = turns
-      .filter($"text".isNotNull && length(trim($"text")) > 0)
+      .filter($"text".isNotNull && length(trim($"text", JavaWs)) > 0)
       .withColumn("salt", floor($"turn_idx" / lit(cfg.saltTurns)).cast("int"))
       .withColumn("emit0",
         length(soloBody) >= cfg.minChars && !soloBody.startsWith("---"))

@@ -133,6 +133,15 @@ object TripleExtractor {
     * This is the triple-extraction deployment shape at 10^12 turns; the
     * materialized chunk table (chunkSorted / windowed chunk) remains the
     * provenance path.
+    *
+    * Identity precondition (documented divergence): the chunk path prepends
+    * role/tool-banner/header LINES to the chunk text
+    * (Norm.prependHeaderIfMissing — the reference extracts entities from
+    * section headers, extractor_v2.py:59). No extraction rule can match
+    * across '\n', so the paths agree unless a banner line ITSELF is
+    * rule-shaped text (e.g. a `tool` value spelling "X acquired Y in 2014.").
+    * Transcript role/tool fields are metadata, not fact prose, so this holds
+    * for real corpora; a corpus that violates it must use extract(chunk(..)).
     */
   def extractFused(spark: SparkSession, turns: Dataset[Turn], minChars: Int = 50,
       groupId: String = "default"): Dataset[RawTriple] = {

@@ -30,7 +30,12 @@ object GraphLookup {
     val pair = triples.filter(
       (col("subject_uuid") === entityA && col("object_uuid") === entityB) ||
         (col("subject_uuid") === entityB && col("object_uuid") === entityA))
-    val filtered = edgeType.fold(pair)(e => pair.filter(col("predicate") === e))
+    // edge types are stored in F1-canonical form (UPPER_SNAKE); canonicalize
+    // the request the same way — exact for well-formed callers, and a
+    // case-mangled "Acquired" matches its stored "ACQUIRED" instead of
+    // silently reporting not-found while both entity names matched
+    val filtered = edgeType.fold(pair)(e =>
+      pair.filter(col("predicate") === graft.functions.Norm.normalizeRelType(e)))
     filtered.select(col("fact_uuid"), col("fact"), col("predicate"), col("chunk_uuid"))
       .join(chunks.select(col("chunk_uuid"), col("chunk_id"), col("text"),
         col("conv_id"), col("header_path")), Seq("chunk_uuid"), "left")
@@ -46,7 +51,8 @@ object GraphLookup {
       case "incoming" => col("object_uuid") === entity
       case _ => col("subject_uuid") === entity || col("object_uuid") === entity
     }
-    triples.filter(side && col("predicate") === edgeType)
+    triples.filter(side &&
+        col("predicate") === graft.functions.Norm.normalizeRelType(edgeType))
       .select(col("fact_uuid"), col("subject"), col("predicate"), col("object"),
         col("fact"), col("chunk_uuid"), col("date_context"))
   }
@@ -132,7 +138,10 @@ object GraphLookup {
       case ((a, et, b), i) =>
         val (ak, bk) = (a.trim.toLowerCase(java.util.Locale.ROOT),
           b.trim.toLowerCase(java.util.Locale.ROOT))
-        Seq((i, ak, et.trim, bk), (i, bk, et.trim, ak))
+        // same canonical-form tolerance as chunksBetween: predicates are
+        // F1-normalized at write time, so normalize the request too
+        val ek = graft.functions.Norm.normalizeRelType(et.trim)
+        Seq((i, ak, ek, bk), (i, bk, ek, ak))
     }.toDF("rel_idx", "s_key", "edge_type", "o_key")
     val matched = triples
       .select(lower(col("subject")).as("s_key"), lower(col("object")).as("o_key"),

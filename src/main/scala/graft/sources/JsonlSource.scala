@@ -27,17 +27,31 @@ object JsonlSource {
     StructField("_corrupt", StringType)))
 
   def readTranscripts(spark: SparkSession, path: String,
-      limit: Option[Int] = None): Dataset[Turn] = {
+      limit: Option[Int] = None): Dataset[Turn] =
+    readTranscriptsObserved(spark, path, limit)._1
+
+  /** Same read with the malformed-line count attached as an `observe` metric
+    * (`corrupt_lines`): the count rides the FIRST action that scans the
+    * source — no separate parse-and-cache pass over the corpus (at 10^12
+    * turns a standalone count is an extra full read plus a corpus-sized
+    * cache). Read `obs.getOrEmpty` after the pipeline ran; it stays empty if
+    * a resume never re-scanned the input.
+    */
+  def readTranscriptsObserved(spark: SparkSession, path: String,
+      limit: Option[Int] = None): (Dataset[Turn], org.apache.spark.sql.Observation) = {
     import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
     val df = spark.read
       .schema(turnSchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
+      .observe(obs, sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+        .as("corrupt_lines"))
       .filter(col("_corrupt").isNull && col("conv_id").isNotNull && col("turn_idx").isNotNull)
       .drop("_corrupt")
       .withColumn("tool", coalesce(col("tool"), lit("")))
-    limit.fold(df)(df.limit).as[Turn]
+    (limit.fold(df)(df.limit).as[Turn], obs)
   }
 
   /** JSONL sink (S3 write side, reference chunks_to_jsonl

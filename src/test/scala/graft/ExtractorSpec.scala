@@ -76,6 +76,28 @@ class ExtractorSpec extends SparkSpec {
     assert(TripleExtractor.extractFused(spark, shuffled).collect().toSet === viaChunks)
   }
 
+  test("control-whitespace gate parity: windowed == sorted == fused on \\n/\\t-padded turns") {
+    // '\n---' separators and tab padding: Java String.trim (sorted/fused) and
+    // the windowed SQL gate must agree char-for-char (all use chars <= 0x20)
+    val fact = "Quantum Dynamics Inc. acquired Apex Systems in 2014. extra padding text here."
+    val ts0 = new Timestamp(1704067200000L)
+    val turns = Seq(
+      Turn("cws", 0, "user", "\n--- separator line padded out to minChars length ---\n", null, ts0),
+      Turn("cws", 1, "user", "\t\t" + fact + "\n", null, ts0),
+      Turn("cws", 2, "user", "\n\n" + fact, null, ts0),
+      Turn("cws", 3, "user", " \t \n ", null, ts0)).toDS()
+    val sortedLayout = turns.repartition(1, $"conv_id").sortWithinPartitions("conv_id", "turn_idx").as[Turn]
+    val windowed = TripleExtractor.extract(spark,
+      TurnChunker.chunk(spark, turns)).collect().toSet
+    val viaSorted = TripleExtractor.extract(spark,
+      TurnChunker.chunk(spark, sortedLayout, TurnChunker.Config(sortedInput = true)))
+      .collect().toSet
+    val fused = TripleExtractor.extractFused(spark, turns).collect().toSet
+    assert(windowed.map(_.turn_idx) === Set(1, 2), "turn 0 is a ---separator, turn 3 blank")
+    assert(viaSorted === windowed)
+    assert(fused === windowed)
+  }
+
   test("mentions exclude topic-typed names and carry first-occurrence info") {
     val chunks = Seq(chunk("Nova Energy Ltd. partnered with Atlas Media regarding Inflation.")).toDS()
     val raw = TripleExtractor.extract(spark, chunks)
