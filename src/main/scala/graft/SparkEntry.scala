@@ -591,22 +591,30 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // EXACT empty-relation check for the REAL image decode path: every image
-    // row's PNG payload is decoded by ImageIO inside the batch loop, and the
-    // decoded dims must equal the row's metadata dims (the synthetic corpus
-    // encodes exactly those); histograms must be unit-sum. A decoder
+    // EXACT empty-relation check for the REAL decode paths: every image
+    // row's PNG payload is decoded by ImageIO and the decoded dims must
+    // equal the row's metadata dims; every audio row's PCM WAV payload is
+    // decoded by javax.sound and must report the true sample rate (16 kHz)
+    // and the exact duration implied by the corpus' frame formula
+    // (160 + id % 320 frames); histograms must be unit-sum. A decoder
     // regression, header mixup, or hist normalization bug lands a row.
     "multimodal_decode_check" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.syntheticMedia(s, 200)
       val meta = media.toDF().select(col("media_id"),
-        col("width").as("m_w"), col("height").as("m_h"))
+        col("width").as("m_w"), col("height").as("m_h"),
+        col("sample_rate").as("m_sr"))
+      val expectedDurMs = floor((lit(160) + pmod(col("media_id"), lit(320)))
+        * 1000 / 16000).cast("int")
       Multimodal.extractFeatures(s, media).toDF()
         .join(meta, Seq("media_id"))
         .withColumn("hist_sum", aggregate(col("byte_hist"), lit(0.0), (a, v) => a + v))
         .filter(
           (col("media_type") === "image" &&
             (col("width") =!= col("m_w") || col("height") =!= col("m_h"))) ||
+          (col("media_type") === "audio" &&
+            (col("sample_rate_hz") =!= col("m_sr") ||
+              col("duration_ms") =!= expectedDurMs)) ||
           abs(col("hist_sum") - 1.0) > 1e-9)
         .select(col("media_id").cast("long").as("media_id"))
         .orderBy(col("media_id"))

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: PNG/JPEG payloads go through the JDK's built-in
   * `javax.imageio` (no external codec jars needed) inside the mapPartitions
-  * batch loop. AUDIO/VIDEO decode remains a clearly-marked deterministic STUB
-  * (no ffmpeg/codec libraries in this container) that parses our own
-  * synthetic 16-byte header; swap `decodeStub` for a real codec without
-  * touching any plumbing.
+  * batch loop. AUDIO decode is REAL for PCM WAV: RIFF/WAVE payloads go
+  * through the JDK's `javax.sound.sampled` (also codec-jar-free) and report
+  * true sample rate + duration. VIDEO decode remains a clearly-marked
+  * deterministic STUB (no ffmpeg/codec libraries in this container) that
+  * parses our own synthetic 16-byte header; swap `decodeStub` for a real
+  * codec without touching any plumbing.
   */
 object Multimodal {
 
@@ -20,12 +22,15 @@ object Multimodal {
       width: Int, height: Int, sample_rate: Int)
 
   case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Int,
-      width: Int, height: Int, byte_hist: Array[Double], frames_sampled: Int)
+      width: Int, height: Int, byte_hist: Array[Double], frames_sampled: Int,
+      sample_rate_hz: Int, duration_ms: Int)
 
   /** Deterministic synthetic media corpus. IMAGE rows carry a real PNG
     * (deterministic pixels from a seeded xorshift, encoded in-memory by
-    * ImageIO — so the decode path is exercised end-to-end); audio/video rows
-    * carry the 16-byte-header synthetic container the stub parses.
+    * ImageIO), AUDIO rows a real 16-bit mono PCM WAV (deterministic samples,
+    * `160 + id % 320` frames at 16 kHz, written by AudioSystem — so both
+    * decode paths are exercised end-to-end); video rows carry the
+    * 16-byte-header synthetic container the stub parses.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -58,6 +63,20 @@ object Multimodal {
           }
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        } else if (typ == "audio") {
+          // real PCM WAV: 16-bit mono little-endian at 16 kHz, deterministic
+          // sample bytes; RIFF output is header + raw frames → byte-stable
+          val frames = 160 + (id % 320).toInt
+          val data = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < data.length) { data(i) = nextByte(); i += 1 }
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           bos.toByteArray
         } else {
           val payloadLen = 256 + (id % 512).toInt
@@ -92,10 +111,36 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB ===== Audio/video codec decode. A real implementation would
-    * parse the container format here (WAV/MP4 via a codec library); this
-    * deterministic fake reads our synthetic 16-byte header. Plumbing (batch
-    * iteration, schema) is the production shape.
+  /** REAL audio decode for PCM WAV via the JDK's `javax.sound.sampled`
+    * (RIFF/WAVE magic-gated). Returns (sample_rate_hz, duration_ms), or
+    * None for non-WAV payloads.
+    */
+  private[graft] def decodeAudio(content: Array[Byte]): Option[(Int, Int)] = {
+    if (content == null || content.length < 12) return None
+    val riffWave = content(0) == 'R'.toByte && content(1) == 'I'.toByte &&
+      content(2) == 'F'.toByte && content(3) == 'F'.toByte &&
+      content(8) == 'W'.toByte && content(9) == 'A'.toByte &&
+      content(10) == 'V'.toByte && content(11) == 'E'.toByte
+    if (!riffWave) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val rate = ais.getFormat.getSampleRate.toInt
+        val frames = ais.getFrameLength
+        val durMs = if (rate > 0 && frames >= 0) (frames * 1000L / rate).toInt else 0
+        Some((rate, durMs))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+          _: java.io.IOException | _: RuntimeException => None
+    }
+  }
+
+  /** ===== STUB ===== Video codec decode. A real implementation would parse
+    * the container format here (MP4 via a codec library); this deterministic
+    * fake reads our synthetic 16-byte header. Plumbing (batch iteration,
+    * schema) is the production shape.
     */
   private def decodeStub(content: Array[Byte]): (Int, Int) = {
     if (content.length < 16) (0, 0)
@@ -105,9 +150,10 @@ object Multimodal {
 
   /** Feature extraction over the binary column: batched per partition
     * (mapPartitions — the Scala analogue of mapInPandas batch iteration).
-    * Images decode for REAL (ImageIO) and report the decoded dims; the
-    * byte histogram runs over the payload (the stand-in for real visual
-    * features), and frame sampling is deterministic.
+    * Images decode for REAL (ImageIO, decoded dims), PCM WAV audio decodes
+    * for REAL (javax.sound, true sample rate + duration); the byte histogram
+    * runs over the payload (the stand-in for real visual features), and
+    * frame sampling is deterministic.
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
       frameStride: Int = 64): Dataset[MediaFeatures] = {
@@ -117,11 +163,13 @@ object Multimodal {
       // pure-memory decoding in executor threads instead
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val decoded = decodeImage(r.content)
-        val (w, h) = decoded.getOrElse(decodeStub(r.content))
+        val img = decodeImage(r.content)
+        val audio = if (img.isDefined) None else decodeAudio(r.content)
+        val (w, h) = img.getOrElse(if (audio.isDefined) (0, 0) else decodeStub(r.content))
+        val (rate, durMs) = audio.getOrElse((0, 0))
         // real containers hash the whole payload; the synthetic stub skips
         // its fake 16-byte header
-        val start = if (decoded.isDefined) 0 else 16
+        val start = if (img.isDefined || audio.isDefined) 0 else 16
         val hist = new Array[Double](16)
         var i = start
         while (i < r.content.length) {
@@ -133,7 +181,8 @@ object Multimodal {
         while (j < 16) { hist(j) /= total; j += 1 }
         // deterministic frame sampling: every frameStride-th payload offset
         val frames = math.max((r.content.length - start) / frameStride, 0)
-        MediaFeatures(r.media_id, r.media_type, r.content.length, w, h, hist, frames)
+        MediaFeatures(r.media_id, r.media_type, r.content.length, w, h, hist,
+          frames, rate, durMs)
       }
     }
   }

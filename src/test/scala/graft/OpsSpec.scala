@@ -164,13 +164,19 @@ class OpsSpec extends SparkSpec {
     assert(prod.toSeq === ref.toSeq)
   }
 
-  test("multimodal: REAL PNG decode (ImageIO) + stub audio/video; metadata-only prunes payload") {
+  test("multimodal: REAL PNG + WAV decode (JDK codecs), stub video; metadata-only prunes payload") {
     val media = Multimodal.syntheticMedia(spark, 30)
     // image rows carry genuine PNG bytes (magic + decodable)
     val png = media.filter(_.media_type == "image").head().content
     assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
     assert(Multimodal.decodeImage(png) === Some((16, 16)))
     assert(Multimodal.decodeImage("not an image".getBytes) === None)
+    // audio rows carry genuine RIFF/WAVE bytes the JDK decoder accepts
+    val wav = media.filter(_.media_id == 1L).head().content
+    assert(wav(0) === 'R'.toByte && wav(8) === 'W'.toByte)
+    // id=1 → 160 + 1 % 320 = 161 frames at 16 kHz → 10 ms (floor)
+    assert(Multimodal.decodeAudio(wav) === Some((16000, 10)))
+    assert(Multimodal.decodeAudio("not audio at all".getBytes) === None)
 
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length === 30)
@@ -179,12 +185,19 @@ class OpsSpec extends SparkSpec {
     assert(img.media_type === "image")
     assert(img.width === 28 && img.height === 28)
     assert(img.frames_sampled === img.n_bytes / 64)
-    // audio: stub header decode, payload after the 16-byte fake header
+    assert(img.sample_rate_hz === 0 && img.duration_ms === 0)
+    // audio: REAL javax.sound decode — true rate + duration, whole payload hashed
     val f0 = feats.find(_.media_id == 1L).get
     assert(f0.media_type === "audio")
-    assert(f0.width === 20 && f0.height === 20)
+    assert(f0.width === 0 && f0.height === 0)
+    assert(f0.sample_rate_hz === 16000 && f0.duration_ms === 10)
     assert(math.abs(f0.byte_hist.sum - 1.0) < 1e-9)
-    assert(f0.frames_sampled === (f0.n_bytes - 16) / 64)
+    assert(f0.frames_sampled === f0.n_bytes / 64)
+    // video: still the declared stub — dims from the synthetic 16-byte header
+    val vid = feats.find(_.media_id == 2L).get
+    assert(vid.media_type === "video")
+    assert(vid.width === 24 && vid.height === 24)
+    assert(vid.frames_sampled === (vid.n_bytes - 16) / 64)
     // metadata-only access over a parquet scan must prune the binary column
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
