@@ -596,8 +596,11 @@ object SparkEntry {
     // equal the row's metadata dims; every audio row's PCM WAV payload is
     // decoded by javax.sound and must report the true sample rate (16 kHz)
     // and the exact duration implied by the corpus' frame formula
-    // (160 + id % 320 frames); histograms must be unit-sum. A decoder
-    // regression, header mixup, or hist normalization bug lands a row.
+    // (160 + id % 320 frames); every video row's MP4 payload is parsed by
+    // the ISO-BMFF box walker and must report the metadata dims (tkhd) and
+    // the corpus duration formula 500 + id % 1000 ms (mvhd); histograms
+    // must be unit-sum. A decoder regression, header mixup, box-offset
+    // slip, or hist normalization bug lands a row.
     "multimodal_decode_check" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.syntheticMedia(s, 200)
@@ -606,6 +609,7 @@ object SparkEntry {
         col("sample_rate").as("m_sr"))
       val expectedDurMs = floor((lit(160) + pmod(col("media_id"), lit(320)))
         * 1000 / 16000).cast("int")
+      val expectedVidMs = (lit(500) + pmod(col("media_id"), lit(1000))).cast("int")
       Multimodal.extractFeatures(s, media).toDF()
         .join(meta, Seq("media_id"))
         .withColumn("hist_sum", aggregate(col("byte_hist"), lit(0.0), (a, v) => a + v))
@@ -615,6 +619,9 @@ object SparkEntry {
           (col("media_type") === "audio" &&
             (col("sample_rate_hz") =!= col("m_sr") ||
               col("duration_ms") =!= expectedDurMs)) ||
+          (col("media_type") === "video" &&
+            (col("width") =!= col("m_w") || col("height") =!= col("m_h") ||
+              col("duration_ms") =!= expectedVidMs)) ||
           abs(col("hist_sum") - 1.0) > 1e-9)
         .select(col("media_id").cast("long").as("media_id"))
         .orderBy(col("media_id"))

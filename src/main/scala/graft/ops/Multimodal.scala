@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` (no external codec jars needed) inside the mapPartitions
   * batch loop. AUDIO decode is REAL for PCM WAV: RIFF/WAVE payloads go
   * through the JDK's `javax.sound.sampled` (also codec-jar-free) and report
-  * true sample rate + duration. VIDEO decode remains a clearly-marked
-  * deterministic STUB (no ffmpeg/codec libraries in this container) that
-  * parses our own synthetic 16-byte header; swap `decodeStub` for a real
-  * codec without touching any plumbing.
+  * true sample rate + duration. VIDEO container metadata is REAL for MP4:
+  * `decodeVideo` walks the ISO base-media (ISO/IEC 14496-12) box tree —
+  * ftyp gate, moov → mvhd (timescale/duration, version 0 and 1) → trak →
+  * tkhd (16.16 fixed-point width/height) — as plain big-endian byte
+  * parsing; only FRAME decode (actual pixel data) remains out of scope
+  * here, since that genuinely needs a codec library this container lacks.
   */
 object Multimodal {
 
@@ -28,9 +30,10 @@ object Multimodal {
   /** Deterministic synthetic media corpus. IMAGE rows carry a real PNG
     * (deterministic pixels from a seeded xorshift, encoded in-memory by
     * ImageIO), AUDIO rows a real 16-bit mono PCM WAV (deterministic samples,
-    * `160 + id % 320` frames at 16 kHz, written by AudioSystem — so both
-    * decode paths are exercised end-to-end); video rows carry the
-    * 16-byte-header synthetic container the stub parses.
+    * `160 + id % 320` frames at 16 kHz, written by AudioSystem), VIDEO rows
+    * a spec-compliant minimal MP4 (ftyp + moov{mvhd,trak{tkhd}} + mdat,
+    * timescale 1000, duration `500 + id % 1000` ms, 16.16 fixed-point dims)
+    * — so all three decode/parse paths are exercised end-to-end.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -79,14 +82,45 @@ object Multimodal {
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           bos.toByteArray
         } else {
+          // real minimal MP4 (ISO/IEC 14496-12 base-media boxes): ftyp +
+          // moov{mvhd(timescale 1000, duration ms), trak{tkhd(16.16 dims)}}
+          // + mdat carrying deterministic payload bytes
+          val durMs = 500 + (id % 1000).toInt
           val payloadLen = 256 + (id % 512).toInt
-          val b = new Array[Byte](16 + payloadLen)
-          b(0) = typ(0).toByte
-          b(1) = (w & 0xff).toByte; b(2) = ((w >> 8) & 0xff).toByte
-          b(3) = (h & 0xff).toByte; b(4) = ((h >> 8) & 0xff).toByte
-          var i = 16
-          while (i < b.length) { b(i) = nextByte(); i += 1 }
-          b
+          val bb = java.nio.ByteBuffer.allocate(24 + 216 + 8 + payloadLen)
+          def fourcc(s: String): Unit = s.foreach(c => bb.put(c.toByte))
+          // ftyp (24): major brand isom, minor 0, compatible isom/mp41
+          bb.putInt(24); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+          fourcc("isom"); fourcc("mp41")
+          // moov (216) = mvhd (108) + trak (100)
+          bb.putInt(216); fourcc("moov")
+          bb.putInt(108); fourcc("mvhd"); bb.putInt(0) // version 0, flags 0
+          bb.putInt(0); bb.putInt(0)                   // ctime, mtime
+          bb.putInt(1000); bb.putInt(durMs)            // timescale, duration
+          bb.putInt(0x00010000); bb.putShort(0x0100.toShort) // rate, volume
+          bb.putShort(0); bb.putInt(0); bb.putInt(0)   // reserved (10)
+          bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0) // unity matrix
+          bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0) // (36 bytes)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+          (0 until 6).foreach(_ => bb.putInt(0))       // pre_defined (24)
+          bb.putInt(2)                                 // next_track_ID
+          bb.putInt(100); fourcc("trak")
+          bb.putInt(92); fourcc("tkhd"); bb.putInt(0x000007) // v0, enabled
+          bb.putInt(0); bb.putInt(0)                   // ctime, mtime
+          bb.putInt(1); bb.putInt(0); bb.putInt(durMs) // track_ID, rsvd, dur
+          bb.putLong(0L)                               // reserved (8)
+          bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+          bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0) // unity matrix
+          bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+          bb.putInt(w << 16); bb.putInt(h << 16)       // 16.16 fixed dims
+          // mdat
+          bb.putInt(8 + payloadLen); fourcc("mdat")
+          val payload = new Array[Byte](payloadLen)
+          var i = 0
+          while (i < payloadLen) { payload(i) = nextByte(); i += 1 }
+          bb.put(payload)
+          bb.array()
         }
       MediaRow(id, typ, bytes, w, h, sr)
     }
@@ -137,23 +171,78 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB ===== Video codec decode. A real implementation would parse
-    * the container format here (MP4 via a codec library); this deterministic
-    * fake reads our synthetic 16-byte header. Plumbing (batch iteration,
-    * schema) is the production shape.
+  /** REAL video container metadata parse for MP4 (ISO/IEC 14496-12 base
+    * media file format): walks the big-endian box tree — ftyp magic gate,
+    * moov → mvhd (movie timescale + duration, versions 0 and 1) and
+    * moov → trak → tkhd (16.16 fixed-point presentation width/height,
+    * versions 0 and 1); handles 64-bit `largesize` and to-end-of-file
+    * (size 0) boxes. Returns (width, height, duration_ms), or None for
+    * non-MP4 payloads. Only FRAME decode (pixel data) is out of scope —
+    * that needs a codec library this container lacks.
     */
-  private def decodeStub(content: Array[Byte]): (Int, Int) = {
-    if (content.length < 16) (0, 0)
-    else ((content(1) & 0xff) | ((content(2) & 0xff) << 8),
-      (content(3) & 0xff) | ((content(4) & 0xff) << 8))
+  private[graft] def decodeVideo(content: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (content == null || content.length < 16) return None
+    def be32(o: Int): Long =
+      ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+        ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def boxType(o: Int): String =
+      new String(content, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // (bodyStart, bodyEnd) of the first box of `typ` in [start, end)
+    def findBox(typ: String, start: Int, end: Int): Option[(Int, Int)] = {
+      var o = start
+      while (o + 8 <= end) {
+        val size32 = be32(o)
+        val (bodyOff, size) =
+          if (size32 == 1L && o + 16 <= end) (16, be64(o + 8))
+          else if (size32 == 0L) (8, (end - o).toLong) // box extends to end
+          else (8, size32)
+        if (size < bodyOff || o + size > end) return None // malformed
+        if (boxType(o) == typ) return Some((o + bodyOff, o + size.toInt))
+        o += size.toInt
+      }
+      None
+    }
+    if (boxType(0) != "ftyp") return None
+    try {
+      findBox("moov", 0, content.length).flatMap { case (moovS, moovE) =>
+        val durMs = findBox("mvhd", moovS, moovE).flatMap { case (s, e) =>
+          val version = content(s) & 0xff
+          // body after the 4 version/flags bytes: v0 = 32-bit ctime, mtime,
+          // timescale, duration; v1 = 64-bit times, 32-bit timescale,
+          // 64-bit duration
+          if (version == 0 && s + 20 <= e)
+            Some((be32(s + 12), be32(s + 16)))
+          else if (version == 1 && s + 32 <= e)
+            Some((be32(s + 20), be64(s + 24)))
+          else None
+        }.collect { case (ts, dur) if ts > 0 => (dur * 1000L / ts).toInt }
+        val dims = findBox("trak", moovS, moovE).flatMap { case (tkS, tkE) =>
+          findBox("tkhd", tkS, tkE).flatMap { case (s, e) =>
+            val version = content(s) & 0xff
+            // width/height are the last 8 body bytes in both versions:
+            // 16.16 fixed point after the matrix (v0 body: 4 verflags +
+            // 2×4 times + 4 id + 4 rsvd + 4 dur + 8 rsvd + 8 layer/alt/
+            // vol/rsvd + 36 matrix = 76; v1 times/duration are 64-bit)
+            val wOff = if (version == 0) s + 76 else s + 88
+            if (wOff + 8 <= e) Some(((be32(wOff) >> 16).toInt, (be32(wOff + 4) >> 16).toInt))
+            else None
+          }
+        }
+        dims.map { case (w, h) => (w, h, durMs.getOrElse(0)) }
+      }
+    } catch {
+      case _: IndexOutOfBoundsException | _: RuntimeException => None
+    }
   }
 
   /** Feature extraction over the binary column: batched per partition
     * (mapPartitions — the Scala analogue of mapInPandas batch iteration).
     * Images decode for REAL (ImageIO, decoded dims), PCM WAV audio decodes
-    * for REAL (javax.sound, true sample rate + duration); the byte histogram
-    * runs over the payload (the stand-in for real visual features), and
-    * frame sampling is deterministic.
+    * for REAL (javax.sound, true sample rate + duration), MP4 container
+    * metadata parses for REAL (ISO-BMFF box walk: tkhd dims + mvhd
+    * duration); the byte histogram runs over the payload (the stand-in for
+    * real visual features), and frame sampling is deterministic.
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
       frameStride: Int = 64): Dataset[MediaFeatures] = {
@@ -165,22 +254,22 @@ object Multimodal {
       rows.map { r =>
         val img = decodeImage(r.content)
         val audio = if (img.isDefined) None else decodeAudio(r.content)
-        val (w, h) = img.getOrElse(if (audio.isDefined) (0, 0) else decodeStub(r.content))
-        val (rate, durMs) = audio.getOrElse((0, 0))
-        // real containers hash the whole payload; the synthetic stub skips
-        // its fake 16-byte header
-        val start = if (img.isDefined || audio.isDefined) 0 else 16
+        val video =
+          if (img.isDefined || audio.isDefined) None else decodeVideo(r.content)
+        val (w, h) = img.orElse(video.map(v => (v._1, v._2))).getOrElse((0, 0))
+        val durMs = audio.map(_._2).orElse(video.map(_._3)).getOrElse(0)
+        val rate = audio.map(_._1).getOrElse(0)
         val hist = new Array[Double](16)
-        var i = start
+        var i = 0
         while (i < r.content.length) {
           hist((r.content(i) & 0xff) >> 4) += 1.0
           i += 1
         }
-        val total = math.max(r.content.length - start, 1).toDouble
+        val total = math.max(r.content.length, 1).toDouble
         var j = 0
         while (j < 16) { hist(j) /= total; j += 1 }
         // deterministic frame sampling: every frameStride-th payload offset
-        val frames = math.max((r.content.length - start) / frameStride, 0)
+        val frames = math.max(r.content.length / frameStride, 0)
         MediaFeatures(r.media_id, r.media_type, r.content.length, w, h, hist,
           frames, rate, durMs)
       }

@@ -164,7 +164,7 @@ class OpsSpec extends SparkSpec {
     assert(prod.toSeq === ref.toSeq)
   }
 
-  test("multimodal: REAL PNG + WAV decode (JDK codecs), stub video; metadata-only prunes payload") {
+  test("multimodal: REAL PNG + WAV + MP4-metadata decode; metadata-only prunes payload") {
     val media = Multimodal.syntheticMedia(spark, 30)
     // image rows carry genuine PNG bytes (magic + decodable)
     val png = media.filter(_.media_type == "image").head().content
@@ -177,6 +177,16 @@ class OpsSpec extends SparkSpec {
     // id=1 → 160 + 1 % 320 = 161 frames at 16 kHz → 10 ms (floor)
     assert(Multimodal.decodeAudio(wav) === Some((16000, 10)))
     assert(Multimodal.decodeAudio("not audio at all".getBytes) === None)
+    // video rows carry a spec-compliant minimal MP4 the box walker parses
+    val mp4 = media.filter(_.media_id == 2L).head().content
+    assert(new String(mp4, 4, 4) === "ftyp")
+    // id=2 → dims 24×24, duration 500 + 2 % 1000 = 502 ms
+    assert(Multimodal.decodeVideo(mp4) === Some((24, 24, 502)))
+    assert(Multimodal.decodeVideo("definitely not an mp4".getBytes) === None)
+    // version-1 boxes (64-bit times/duration — the long-file layout real
+    // encoders emit): rebuild id=2's moov with v1 mvhd/tkhd, same values
+    assert(Multimodal.decodeVideo(OpsSpecMp4.v1Variant(24, 24, 502)) ===
+      Some((24, 24, 502)))
 
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length === 30)
@@ -193,11 +203,12 @@ class OpsSpec extends SparkSpec {
     assert(f0.sample_rate_hz === 16000 && f0.duration_ms === 10)
     assert(math.abs(f0.byte_hist.sum - 1.0) < 1e-9)
     assert(f0.frames_sampled === f0.n_bytes / 64)
-    // video: still the declared stub — dims from the synthetic 16-byte header
+    // video: REAL ISO-BMFF metadata parse — tkhd dims + mvhd duration
     val vid = feats.find(_.media_id == 2L).get
     assert(vid.media_type === "video")
     assert(vid.width === 24 && vid.height === 24)
-    assert(vid.frames_sampled === (vid.n_bytes - 16) / 64)
+    assert(vid.duration_ms === 502 && vid.sample_rate_hz === 0)
+    assert(vid.frames_sampled === vid.n_bytes / 64)
     // metadata-only access over a parquet scan must prune the binary column
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
@@ -207,5 +218,47 @@ class OpsSpec extends SparkSpec {
     assert(!readSchema.contains("content"),
       s"payload column must be pruned from the scan: $readSchema")
     assert(meta.count() > 0)
+  }
+}
+
+/** Builds a minimal MP4 with VERSION-1 mvhd/tkhd boxes (64-bit times and
+  * durations — the layout real encoders emit for long files) to exercise
+  * `Multimodal.decodeVideo`'s v1 offsets, which the synthetic corpus (v0)
+  * does not cover.
+  */
+object OpsSpecMp4 {
+  def v1Variant(w: Int, h: Int, durMs: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 + 240 + 8)
+    def fourcc(s: String): Unit = s.foreach(c => bb.put(c.toByte))
+    bb.putInt(24); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+    fourcc("isom"); fourcc("mp41")
+    bb.putInt(240); fourcc("moov")
+    // mvhd v1 (120): 8 hdr + 4 verflags + 8+8 times + 4 timescale + 8 dur
+    // + 4 rate + 2 vol + 10 rsvd + 36 matrix + 24 predefined + 4 next
+    bb.putInt(120); fourcc("mvhd"); bb.putInt(0x01000000)
+    bb.putLong(0L); bb.putLong(0L)
+    bb.putInt(1000); bb.putLong(durMs)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort)
+    bb.putShort(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2)
+    // trak (112) = 8 hdr + tkhd v1 (104): 8 hdr + 4 verflags + 8+8 times
+    // + 4 id + 4 rsvd + 8 dur + 8 rsvd + 8 layer/alt/vol/rsvd + 36 matrix
+    // + 8 dims
+    bb.putInt(112); fourcc("trak")
+    bb.putInt(104); fourcc("tkhd"); bb.putInt(0x01000007)
+    bb.putLong(0L); bb.putLong(0L)
+    bb.putInt(1); bb.putInt(0); bb.putLong(durMs)
+    bb.putLong(0L)
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+    bb.putInt(w << 16); bb.putInt(h << 16)
+    bb.putInt(8); fourcc("mdat")
+    bb.array()
   }
 }
