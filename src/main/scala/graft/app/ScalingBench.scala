@@ -57,9 +57,14 @@ object ScalingBench {
     * conversation hash-routed to one file, files sorted by (conv_id,
     * turn_idx)) — the precondition for the chunker's sortedInput fast path.
     */
-  def materializeCorpus(turnsTarget: Long, dir: String, sorted: Boolean = false): Long = {
+  def materializeCorpus(turnsTarget: Long, dir: String, sorted: Boolean = false,
+      conv0Frac: Double = 0.0): Long = {
     val base = 400
-    val skew = 8
+    // conv0Frac > 0 builds the EXTREME-skew corpus: conversation 0 alone
+    // holds that fraction of all turns (the north-star long-conversation
+    // pathology), vs the default mild skew=8
+    val skew =
+      if (conv0Frac > 0) math.max((turnsTarget * conv0Frac / base).toInt, 1) else 8
     val numConvs = math.max(((turnsTarget - skew.toLong * base) / base + 1).toInt, 2)
     val cfg = TranscriptGen.Config(numConvs = numConvs, turnsPerConv = base, skew = skew)
     val spark = session(8)
@@ -203,8 +208,10 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--materialize")) {
       val sorted = args.length > 3 && args(3) == "sorted"
-      val n = materializeCorpus(args(1).toLong, args(2), sorted)
-      println(s"[materialize] $n ${args(2)}${if (sorted) " (sorted)" else ""}")
+      val conv0Frac = args.lift(4).map(_.toDouble).getOrElse(0.0)
+      val n = materializeCorpus(args(1).toLong, args(2), sorted, conv0Frac)
+      println(s"[materialize] $n ${args(2)}${if (sorted) " (sorted)" else ""}" +
+        (if (conv0Frac > 0) s" conv0Frac=$conv0Frac" else ""))
       return
     }
     if (args.headOption.contains("--measure")) {

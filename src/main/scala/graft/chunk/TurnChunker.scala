@@ -542,6 +542,15 @@ object TurnChunker {
     * per-group sort; on a shared-bus host the shuffle is the scaling
     * bottleneck (BASELINE.md), and at 100 TB it is the difference between
     * reading the corpus twice and WRITING it once more.
+    *
+    * SKEW EXPOSURE (measured, BASELINE.md round 4): this path inherits the
+    * storage layout's parallelism — a single conversation holding fraction
+    * f of the corpus sits in one unsplittable partition and bounds speedup
+    * at ~1/f (one conv with 33% of a 3M-turn corpus: 3.2 s → 12.6 s at 32
+    * cores, 3.9×). The salted WINDOWED path is skew-invariant on the same
+    * corpus (4.7 s both ways) and produces row-identical output — when the
+    * max-conversation share is pathological, route through `sortedInput =
+    * false` (or pre-split giant conversations at the store layer).
     */
   private[chunk] def chunkSorted(spark: SparkSession, turns: Dataset[Turn],
       cfg: Config): Dataset[Chunk] = {
