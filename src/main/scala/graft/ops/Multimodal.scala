@@ -188,8 +188,9 @@ object Multimodal {
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     def boxType(o: Int): String =
       new String(content, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // (bodyStart, bodyEnd) of the first box of `typ` in [start, end)
-    def findBox(typ: String, start: Int, end: Int): Option[(Int, Int)] = {
+    // (bodyStart, bodyEnd) of every box of `typ` in [start, end), in order
+    def findBoxes(typ: String, start: Int, end: Int): List[(Int, Int)] = {
+      val found = List.newBuilder[(Int, Int)]
       var o = start
       while (o + 8 <= end) {
         val size32 = be32(o)
@@ -197,12 +198,14 @@ object Multimodal {
           if (size32 == 1L && o + 16 <= end) (16, be64(o + 8))
           else if (size32 == 0L) (8, (end - o).toLong) // box extends to end
           else (8, size32)
-        if (size < bodyOff || o + size > end) return None // malformed
-        if (boxType(o) == typ) return Some((o + bodyOff, o + size.toInt))
+        if (size < bodyOff || o + size > end) return found.result() // malformed tail
+        if (boxType(o) == typ) found += ((o + bodyOff, o + size.toInt))
         o += size.toInt
       }
-      None
+      found.result()
     }
+    def findBox(typ: String, start: Int, end: Int): Option[(Int, Int)] =
+      findBoxes(typ, start, end).headOption
     if (boxType(0) != "ftyp") return None
     try {
       findBox("moov", 0, content.length).flatMap { case (moovS, moovE) =>
@@ -217,7 +220,9 @@ object Multimodal {
             Some((be32(s + 20), be64(s + 24)))
           else None
         }.collect { case (ts, dur) if ts > 0 => (dur * 1000L / ts).toInt }
-        val dims = findBox("trak", moovS, moovE).flatMap { case (tkS, tkE) =>
+        // real files order tracks arbitrarily (audio tracks carry 0×0): scan
+        // every trak and prefer the first with nonzero presentation dims
+        val allDims = findBoxes("trak", moovS, moovE).flatMap { case (tkS, tkE) =>
           findBox("tkhd", tkS, tkE).flatMap { case (s, e) =>
             val version = content(s) & 0xff
             // width/height are the last 8 body bytes in both versions:
@@ -229,6 +234,7 @@ object Multimodal {
             else None
           }
         }
+        val dims = allDims.find(d => d._1 > 0 && d._2 > 0).orElse(allDims.headOption)
         dims.map { case (w, h) => (w, h, durMs.getOrElse(0)) }
       }
     } catch {

@@ -187,6 +187,10 @@ class OpsSpec extends SparkSpec {
     // encoders emit): rebuild id=2's moov with v1 mvhd/tkhd, same values
     assert(Multimodal.decodeVideo(OpsSpecMp4.v1Variant(24, 24, 502)) ===
       Some((24, 24, 502)))
+    // multi-track file with the AUDIO trak first (0×0 dims, the common real
+    // layout): the parser must skip it and report the video trak's dims
+    assert(Multimodal.decodeVideo(OpsSpecMp4.twoTrackVariant(320, 180, 750)) ===
+      Some((320, 180, 750)))
 
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length === 30)
@@ -258,6 +262,44 @@ object OpsSpecMp4 {
     bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
     bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
     bb.putInt(w << 16); bb.putInt(h << 16)
+    bb.putInt(8); fourcc("mdat")
+    bb.array()
+  }
+
+  /** Minimal MP4 with TWO v0 tracks — an audio trak (0×0 dims) FIRST, then
+    * the video trak — the ordering real encoders commonly emit; exercises
+    * the parser's skip-dimensionless-tracks behavior.
+    */
+  def twoTrackVariant(w: Int, h: Int, durMs: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 + 316 + 8)
+    def fourcc(s: String): Unit = s.foreach(c => bb.put(c.toByte))
+    def trakV0(trackId: Int, tw: Int, th: Int): Unit = {
+      bb.putInt(100); fourcc("trak")
+      bb.putInt(92); fourcc("tkhd"); bb.putInt(0x000007)
+      bb.putInt(0); bb.putInt(0)
+      bb.putInt(trackId); bb.putInt(0); bb.putInt(durMs)
+      bb.putLong(0L)
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+      bb.putInt(tw << 16); bb.putInt(th << 16)
+    }
+    bb.putInt(24); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+    fourcc("isom"); fourcc("mp41")
+    bb.putInt(316); fourcc("moov")
+    bb.putInt(108); fourcc("mvhd"); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0)
+    bb.putInt(1000); bb.putInt(durMs)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort)
+    bb.putShort(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(3)
+    trakV0(1, 0, 0)   // audio first: no presentation dims
+    trakV0(2, w, h)   // the video track
     bb.putInt(8); fourcc("mdat")
     bb.array()
   }
