@@ -112,7 +112,8 @@ object Ingest {
     import spark.implicits._
     val log = new SnapshotLog(spark, warehouseDir)
 
-    val chunksDf = log.computeIfAbsent("chunks", Seq("group_id")) {
+    val chunksDf = log.computeIfAbsent("chunks", Seq("group_id"),
+        bloomKeys = Seq("chunk_uuid")) {
       TurnChunker.chunk(spark, turns, cfg.chunker).toDF()
     }
     val chunks = chunksDf.as[Chunk]
@@ -172,7 +173,8 @@ object Ingest {
           val (e, r) = EntityDedup.dedup(spark, mentionsDf.as[Mention], cfg.dedup)
           // link against a pre-existing entity table if one was committed by a
           // previous corpus run (incremental ingest, J4)
-          log.commit("entities", e.toDF(), Seq("group_id"))
+          log.commit("entities", e.toDF(), Seq("group_id"),
+            bloomKeys = Seq("entity_uuid"))
           log.commit("entity_remap", r)
           (log.read("entities").get, log.read("entity_remap").get)
       }
@@ -186,7 +188,8 @@ object Ingest {
       TopicResolver.resolve(spark, names, cfg.ontology, cfg.topics)
     }
 
-    val triplesDf = log.computeIfAbsent("triples", Seq("group_id")) {
+    val triplesDf = log.computeIfAbsent("triples", Seq("group_id"),
+        bloomKeys = Seq("fact_uuid")) {
       TripleAssembler.assemble(spark, raw, remapDf, topicsDf, cfg.assembler).toDF()
     }
 

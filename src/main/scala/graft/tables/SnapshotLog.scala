@@ -35,14 +35,50 @@ import org.apache.spark.sql.functions._
   *  - merge-on-read updates: an upsert delta marks its key columns in the
   *    manifest; `read` then resolves last-writer-wins per key (Iceberg MOR
   *    semantics). Append-only tables skip that window entirely.
+  *  - O(delta) merge READS via per-segment key blooms (Iceberg/Delta-style
+  *    file-skipping): every keyed segment write folds a bloom filter over
+  *    the merge-key hash into the same single write pass (an accumulator —
+  *    no second scan) and lands it next to the segment. `mergeAppend`/
+  *    `mergeUpsert` then probe the incoming delta against each live
+  *    segment's bloom and anti-join/EXCEPT against ONLY the segments that
+  *    might contain an incoming key. In the standing regime (increments
+  *    are new conversations → new uuids) a small increment into a huge
+  *    table touches ZERO existing segments — without the blooms every
+  *    increment re-scans the live table's key column, an O(table) read a
+  *    100 TB fact table cannot afford per 20k-turn increment. Bloom
+  *    misses are impossible (no false negatives), so pruning never drops
+  *    a genuine match; false positives only cost an unnecessary scan.
+  *    Segments without a bloom (legacy, or a saturated/oversized
+  *    compaction) are always scanned — strictly the old behavior.
   *
   * The driver never holds data rows — lineage aggregation happens in Spark
   * (the driver only collects one (partition, count, checksum) tuple per task
   * partition).
   */
+/** @param bloomExpectedItems capacity of each segment's key bloom. Segments
+  *   holding more keys than this saturate their bloom (fpp degrades toward
+  *   always-hit) and simply stop being prunable — correct, just unpruned;
+  *   typical for a giant compacted base snapshot, while the delta segments
+  *   increments produce stay far under capacity.
+  * @param bloomFpp per-test false-positive rate AT capacity. A merge makes
+  *   deltaRows × segments membership tests and scans every segment with ≥ 1
+  *   hit, so the expected number of NEEDLESSLY scanned segments is
+  *   ≈ deltaRows × fpp × segments — fpp must sit well under 1/deltaRows for
+  *   the typical increment, not at the 1-5% of scan-time bloom defaults
+  *   (0.03 at a 10k-row delta flags EVERY segment almost surely). 1e-6
+  *   costs ~28.8 bits/key ≈ 3.5 MB per bloom at the 1M default capacity
+  *   and keeps a 10k-row delta's flag-FP chance at ~1% per segment.
+  */
 class SnapshotLog(spark: SparkSession, baseDir: String,
-    autoCompactSegments: Int = 32) {
+    autoCompactSegments: Int = 32,
+    bloomExpectedItems: Long = 1L * 1000 * 1000,
+    bloomFpp: Double = 1e-6) {
   import spark.implicits._
+
+  /** (segments scanned, segments live) of the most recent merge — a test/
+    * diagnostics hook for the bloom-pruning read path.
+    */
+  @volatile private[graft] var lastMergeScan: Option[(Int, Int)] = None
 
   private case class Entry(id: Long, kind: String, upsert: Boolean, keys: Seq[String],
       schemaB64: Option[String])
@@ -113,8 +149,15 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * with last-writer-wins key resolution when any live segment is an upsert
     * delta (merge-on-read). Append-only tables pay no dedup.
     */
-  def read(name: String): Option[DataFrame] = {
-    val live = liveEntries(name)
+  def read(name: String): Option[DataFrame] =
+    resolveSegments(name, liveEntries(name))
+
+  /** The resolved view of a SUBSET of live segments (same union +
+    * last-writer-wins window as `read`). Safe for merge pruning: a key's
+    * rows hash into the bloom of EVERY segment that holds them, so a
+    * key-complete subset resolves those keys exactly as the full view does.
+    */
+  private def resolveSegments(name: String, live: Seq[Entry]): Option[DataFrame] = {
     if (live.isEmpty) None
     else if (live.size == 1) Some(segDf(name, live.head))
     else {
@@ -135,12 +178,62 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     }
   }
 
+  /** Merge-key hash (same expression on the segment-write side and the
+    * merge-probe side): xxhash64 over the key columns' JSON in lexicographic
+    * column order.
+    */
+  private def keyHashCol(keys: Seq[String]) =
+    xxhash64(to_json(struct(keys.sorted.map(col): _*)))
+
+  private def bloomPath(name: String, id: Long): Path =
+    tableDir(name).resolve(s"snapshot-$id.bloom")
+
+  private def segBloom(name: String, e: Entry): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(name, e.id)
+    if (!Files.exists(p)) None
+    else {
+      val in = Files.newInputStream(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+  }
+
+  /** The live segments a merge of `in` (already carrying `__graft_key_hash`)
+    * must scan: segments whose bloom matches at least one incoming key hash,
+    * plus every segment without a bloom. ONE aggregation job over the
+    * incoming delta decides all segments at once. Records `lastMergeScan`.
+    */
+  private def scannedEntries(name: String, in: DataFrame): Seq[Entry] = {
+    val live = liveEntries(name)
+    val withBlooms = live.map(e => e -> segBloom(name, e))
+    val bloomed = withBlooms.collect { case (e, Some(b)) => (e, b) }
+    val scanned =
+      if (bloomed.isEmpty) live
+      else {
+        val flags = bloomed.map { case (e, b) =>
+          val hit = udf((h: Long) => b.mightContainLong(h))
+          max(when(hit(col("__graft_key_hash")), 1).otherwise(0)).as(s"s${e.id}")
+        }
+        val row = in.agg(flags.head, flags.tail: _*).first()
+        val hitIds = bloomed.indices.collect {
+          case i if !row.isNullAt(i) && row.getInt(i) == 1 => bloomed(i)._1.id
+        }.toSet
+        withBlooms.collect { case (e, ob) if ob.isEmpty || hitIds(e.id) => e }
+      }
+    lastMergeScan = Some((scanned.size, live.size))
+    scanned
+  }
+
   /** Write a new FULL snapshot (also the compaction path for delta-fragmented
     * tables): parquet first, manifest append last (atomic rename). Returns
-    * the new snapshot id.
+    * the new snapshot id. `bloomKeys` (the table's merge keys, when it has
+    * them) makes the snapshot carry a key bloom so later merges can skip it.
     */
-  def commit(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long =
-    writeSegment(name, df, partitionBy, kind = "full", upsert = false, keys = Nil).get
+  def commit(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      bloomKeys: Seq[String] = Nil): Long =
+    writeSegment(name, df, partitionBy, kind = "full", upsert = false,
+      keys = bloomKeys).get
 
   /** One write pass that streams rows to parquet while folding per-partition
     * lineage (row count + xor-of-row-hash checksum) into a collection
@@ -166,9 +259,22 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
 
     val acc = spark.sparkContext
       .collectionAccumulator[(Int, Long, Long)](s"graft-lineage-$name-$id")
-    val enriched = df.withColumn("__graft_row_hash", rowHashCol(df.columns))
+    // key bloom rides the SAME single write pass (a second scan to build it
+    // would cost as much as the write at scale); failed/speculative task
+    // attempts may add extra keys — false positives only, never a miss
+    val bloomAcc =
+      if (keys.nonEmpty) {
+        val a = new BloomAccumulator(bloomExpectedItems, bloomFpp)
+        spark.sparkContext.register(a, s"graft-bloom-$name-$id")
+        Some(a)
+      } else None
+    val enriched0 = df.withColumn("__graft_row_hash", rowHashCol(df.columns))
+    val enriched =
+      if (keys.nonEmpty) enriched0.withColumn("__graft_key_hash", keyHashCol(keys))
+      else enriched0
     val schema = enriched.schema
     val hashIdx = schema.fieldIndex("__graft_row_hash")
+    val keyIdx = if (keys.nonEmpty) schema.fieldIndex("__graft_key_hash") else -1
     val counted = enriched.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       new Iterator[Row] {
@@ -184,12 +290,15 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
           val r = it.next()
           cnt += 1
           if (!r.isNullAt(hashIdx)) xor ^= r.getLong(hashIdx)
+          if (keyIdx >= 0 && !r.isNullAt(keyIdx))
+            bloomAcc.get.add(r.getLong(keyIdx))
           r
         }
       }
     }(Encoders.row(schema))
 
-    val writer = counted.drop("__graft_row_hash").write.mode("overwrite")
+    val writer = counted.drop("__graft_row_hash", "__graft_key_hash")
+      .write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataPath)
 
@@ -214,8 +323,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
     }
     if (!hasParquet) {
-      val dataSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.filterNot(_.name == "__graft_row_hash"))
+      val dataSchema = org.apache.spark.sql.types.StructType(schema.fields
+        .filterNot(f => f.name == "__graft_row_hash" || f.name == "__graft_key_hash"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
         .coalesce(1).write.mode("append").parquet(dataPath)
     }
@@ -235,9 +344,17 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     val lineageDir = tableDir(name).resolve(s"snapshot-$id-lineage").toString
     lineage.write.mode("overwrite").parquet(lineageDir)
 
+    // key bloom lands BEFORE the manifest line makes the segment visible
+    // (an EMPTY bloom is still written: it makes a zero-row segment
+    // skippable, whereas a MISSING bloom means "always scan")
+    bloomAcc.foreach { a =>
+      val out = Files.newOutputStream(bloomPath(name, id))
+      try a.value.writeTo(out) finally out.close()
+    }
+
     appendManifest(name, id, kind, upsert, keys,
-      org.apache.spark.sql.types.StructType(
-        schema.fields.filterNot(_.name == "__graft_row_hash")))
+      org.apache.spark.sql.types.StructType(schema.fields
+        .filterNot(f => f.name == "__graft_row_hash" || f.name == "__graft_key_hash")))
     Some(id)
   }
 
@@ -314,21 +431,32 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     */
   def mergeAppend(name: String, df: DataFrame, keys: Seq[String],
       partitionBy: Seq[String] = Nil): Long = {
-    read(name) match {
-      case None => commit(name, df.dropDuplicates(keys), partitionBy)
-      case Some(existing) =>
-        val fresh = df.dropDuplicates(keys)
-          .join(existing.select(keys.map(col): _*), keys, "left_anti")
-        // write-first: the anti-join executes ONCE inside the write pass; a
-        // zero-row delta is discarded by writeSegment (skipIfEmpty) instead
-        // of being probed with a second isEmpty execution
-        writeSegment(name, fresh, partitionBy, kind = "delta",
-            upsert = false, keys, skipIfEmpty = true) match {
-          case None => latestSnapshot(name).get
-          case Some(id) =>
-            compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
-        }
-    }
+    if (liveEntries(name).isEmpty)
+      return commit(name, df.dropDuplicates(keys), partitionBy, bloomKeys = keys)
+    // the incoming delta feeds TWO jobs now (the bloom probe + the write):
+    // persist so the caller's upstream pipeline computes once
+    val in = df.dropDuplicates(keys)
+      .withColumn("__graft_key_hash", keyHashCol(keys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val existing = resolveSegments(name, scannedEntries(name, in))
+      val fresh = existing match {
+        case None => in.drop("__graft_key_hash")
+        case Some(ex) =>
+          in.drop("__graft_key_hash")
+            .join(ex.select(keys.map(col): _*), keys, "left_anti")
+      }
+      // write-first: the anti-join executes ONCE inside the write pass; a
+      // zero-row delta is discarded by writeSegment (skipIfEmpty) instead
+      // of being probed with a second isEmpty execution
+      writeSegment(name, fresh, partitionBy, kind = "delta",
+          upsert = false, keys, skipIfEmpty = true) match {
+        case None => latestSnapshot(name).get
+        case Some(id) =>
+          compactIfFragmented(name, autoCompactSegments, partitionBy, keys)
+            .getOrElse(id)
+      }
+    } finally in.unpersist(blocking = false)
   }
 
   /** MERGE with UPDATE semantics (entity-link summary/alias merges): rows
@@ -339,20 +467,32 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     */
   def mergeUpsert(name: String, df: DataFrame, keys: Seq[String],
       partitionBy: Seq[String] = Nil): Long = {
-    read(name) match {
-      case None => commit(name, df.dropDuplicates(keys), partitionBy)
-      case Some(existing) =>
-        val in = df.dropDuplicates(keys)
-        val delta = in.except(existing.select(in.columns.map(col): _*))
-        // write-first, as in mergeAppend: EXCEPT executes once, zero-row
-        // deltas are discarded inside the single write pass
-        writeSegment(name, delta, partitionBy, kind = "delta",
-            upsert = true, keys, skipIfEmpty = true) match {
-          case None => latestSnapshot(name).get
-          case Some(id) =>
-            compactIfFragmented(name, autoCompactSegments, partitionBy).getOrElse(id)
-        }
-    }
+    if (liveEntries(name).isEmpty)
+      return commit(name, df.dropDuplicates(keys), partitionBy, bloomKeys = keys)
+    val in0 = df.dropDuplicates(keys)
+    val in = in0.withColumn("__graft_key_hash", keyHashCol(keys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pruning is key-complete (see resolveSegments), so last-writer-wins
+      // over the scanned subset resolves every key the delta could touch
+      // exactly as the full view does; EXCEPT rows from unrelated keys can
+      // never equal an incoming row (row equality implies key equality)
+      val existing = resolveSegments(name, scannedEntries(name, in))
+      val inPlain = in.drop("__graft_key_hash")
+      val delta = existing match {
+        case None => inPlain
+        case Some(ex) => inPlain.except(ex.select(in0.columns.map(col): _*))
+      }
+      // write-first, as in mergeAppend: EXCEPT executes once, zero-row
+      // deltas are discarded inside the single write pass
+      writeSegment(name, delta, partitionBy, kind = "delta",
+          upsert = true, keys, skipIfEmpty = true) match {
+        case None => latestSnapshot(name).get
+        case Some(id) =>
+          compactIfFragmented(name, autoCompactSegments, partitionBy, keys)
+            .getOrElse(id)
+      }
+    } finally in.unpersist(blocking = false)
   }
 
   /** LSM-style amortized compaction: when the live manifest holds more than
@@ -363,17 +503,54 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * segment union stays bounded no matter how many increments land.
     */
   def compactIfFragmented(name: String, maxSegments: Int,
-      partitionBy: Seq[String] = Nil): Option[Long] =
+      partitionBy: Seq[String] = Nil, bloomKeys: Seq[String] = Nil): Option[Long] =
     if (liveEntries(name).size > maxSegments)
-      read(name).map(df => commit(name, df, partitionBy))
+      read(name).map(df => commit(name, df, partitionBy, bloomKeys))
     else None
 
-  /** Read a stage if committed, else compute + commit it (resume semantics). */
-  def computeIfAbsent(name: String, partitionBy: Seq[String] = Nil)(f: => DataFrame): DataFrame =
+  /** Read a stage if committed, else compute + commit it (resume semantics).
+    * `bloomKeys` = the table's merge keys when later increments will merge
+    * into it (the initial full snapshot then carries a skippable key bloom).
+    */
+  def computeIfAbsent(name: String, partitionBy: Seq[String] = Nil,
+      bloomKeys: Seq[String] = Nil)(f: => DataFrame): DataFrame =
     read(name) match {
       case Some(df) => df
       case None =>
-        commit(name, f, partitionBy)
+        commit(name, f, partitionBy, bloomKeys)
         read(name).get
     }
+}
+
+/** Accumulator folding merge-key hashes into a bloom filter during the
+  * segment write pass (see SnapshotLog.writeSegment). Task-side instances
+  * each build a partial bloom; the driver merges them. Extra adds from
+  * failed/speculative attempts widen the bloom (false positives) but can
+  * never cause a miss.
+  */
+private[tables] class BloomAccumulator(expectedItems: Long, fpp: Double)
+    extends org.apache.spark.util.AccumulatorV2[java.lang.Long,
+      org.apache.spark.util.sketch.BloomFilter] {
+  import org.apache.spark.util.sketch.BloomFilter
+  private var bf: BloomFilter = null
+  private var nonEmpty = false
+  private def ensure(): BloomFilter = {
+    if (bf == null) bf = BloomFilter.create(expectedItems, fpp)
+    bf
+  }
+  override def isZero: Boolean = !nonEmpty
+  override def copy(): BloomAccumulator = {
+    val c = new BloomAccumulator(expectedItems, fpp)
+    if (bf != null) { c.ensure().mergeInPlace(bf); c.nonEmpty = nonEmpty }
+    c
+  }
+  override def reset(): Unit = { bf = null; nonEmpty = false }
+  override def add(v: java.lang.Long): Unit = { ensure().putLong(v); nonEmpty = true }
+  override def merge(other: org.apache.spark.util.AccumulatorV2[java.lang.Long,
+      org.apache.spark.util.sketch.BloomFilter]): Unit = other match {
+    case b: BloomAccumulator =>
+      if (b.bf != null && !b.isZero) { ensure().mergeInPlace(b.bf); nonEmpty = true }
+    case _ =>
+  }
+  override def value: BloomFilter = ensure()
 }

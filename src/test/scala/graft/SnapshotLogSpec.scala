@@ -208,4 +208,69 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.read("t").get.orderBy($"id").collect().map(_.getLong(0)).toSeq ===
       Seq(1L, 2L, 3L))
   }
+
+  test("bloom pruning: all-new-key merges scan ZERO live segments; overlap scans only hits") {
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeAppend("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (1001L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.snapshots("t") === Seq(1L, 2L))
+    // every keyed segment carries a bloom file
+    assert(Files.exists(Paths.get(dir, "t", "snapshot-1.bloom")))
+    assert(Files.exists(Paths.get(dir, "t", "snapshot-2.bloom")))
+
+    // disjoint keys: the anti-join reads NO existing segment at all — the
+    // O(delta)-read contract a 100 TB table needs per small increment
+    log.mergeAppend("t", (9001L to 9100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.lastMergeScan === Some((0, 2)),
+      s"disjoint increment must scan 0 of 2 segments: ${log.lastMergeScan}")
+    assert(log.read("t").get.count() === 2100L)
+
+    // keys overlapping ONLY segment 2 → scan exactly the hit segment(s),
+    // and the overlapping rows are correctly dropped (no duplicates)
+    log.mergeAppend("t", (1901L to 1950L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val (scanned, live) = log.lastMergeScan.get
+    assert(live === 3 && scanned >= 1 && scanned < 3,
+      s"overlap with one segment must scan a strict subset: ${log.lastMergeScan}")
+    assert(log.read("t").get.count() === 2100L) // all duplicates dropped
+    assert(log.snapshots("t") === Seq(1L, 2L, 3L)) // zero-row delta discarded
+
+    // idempotency through the pruned path: full replay appends nothing
+    log.mergeAppend("t", (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.read("t").get.count() === 2100L)
+  }
+
+  test("bloom pruning: upsert resolves changed keys correctly through a pruned scan") {
+    val dir = Files.createTempDirectory("graft-bloomup").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeUpsert("t", (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeUpsert("t", (501L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // change one row living in segment 1, add one new key
+    log.mergeUpsert("t", Seq((42L, "CHANGED"), (5000L, "NEW")).toDF("id", "v"), Seq("id"))
+    val (scanned, live) = log.lastMergeScan.get
+    assert(live === 2 && scanned <= 1,
+      s"two-key upsert should scan at most the one hit segment: ${log.lastMergeScan}")
+    val m = log.read("t").get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(42L) === "CHANGED" && m(5000L) === "NEW" && m(43L) === "v43")
+    assert(m.size === 1001)
+    // unchanged replay through the pruned path is still a no-op
+    val before = log.snapshots("t")
+    log.mergeUpsert("t", Seq((42L, "CHANGED")).toDF("id", "v"), Seq("id"))
+    assert(log.snapshots("t") === before)
+  }
+
+  test("bloom pruning: a segment without a bloom file is always scanned (legacy safety)") {
+    val dir = Files.createTempDirectory("graft-bloomlegacy").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeAppend("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (101L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    Files.delete(Paths.get(dir, "t", "snapshot-1.bloom")) // simulate legacy segment
+    // disjoint keys: segment 2's bloom prunes it, bloom-less segment 1 must
+    // still be scanned — and the merge stays correct
+    log.mergeAppend("t", (301L to 320L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.lastMergeScan === Some((1, 2)), s"${log.lastMergeScan}")
+    // overlap with the legacy segment still dedups correctly
+    log.mergeAppend("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.read("t").get.count() === 220L)
+  }
 }
