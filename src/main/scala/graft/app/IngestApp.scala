@@ -13,7 +13,7 @@ import graft.synth.TranscriptGen
   *   IngestApp <warehouseDir> [--input <parquet-of-transcripts>]
   *             [--input-jsonl <jsonl-of-transcripts>]
   *             [--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]
-  *             [--sorted true] [--fused true]
+  *             [--sorted true] [--fused true] [--incremental true]
   *
   * With --input, reads an (conv_id, turn_idx, role, text, tool, ts) parquet
   * table (the input_hint shape); --input-jsonl reads the same shape as
@@ -27,7 +27,16 @@ import graft.synth.TranscriptGen
   * runs the triples-only pipeline (Ingest.runFused): the fused single-pass
   * extractor feeds the raw-triple table directly and the corpus-sized chunks
   * table is never written — the deployment shape when chunk-text provenance
-  * is not needed.
+  * is not needed. `--incremental true` ingests the input as an ADDITIONAL
+  * corpus into an existing warehouse (Ingest.runIncremental, J4 entity
+  * linking: new entities link against the committed registry, triples and
+  * chunks merge-append idempotently) — the CLI form of the reference's
+  * ingest-more-files-into-a-standing-store flow; fails fast when the
+  * warehouse has no committed entities table yet. `conv_id` is the
+  * STORE-WIDE conversation key (chunk/fact uuids derive from it): an
+  * incremental corpus must bring fresh conv ids for genuinely new
+  * conversations — re-submitting an existing conv_id is treated as
+  * already-ingested content and deduplicates by uuid rather than adding.
   */
 object IngestApp {
   def main(args: Array[String]): Unit = {
@@ -35,7 +44,7 @@ object IngestApp {
       System.err.println(
         "usage: IngestApp <warehouseDir> [--input <parquet>] [--input-jsonl <jsonl>] " +
           "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] " +
-          "[--sorted true] [--fused true]")
+          "[--sorted true] [--fused true] [--incremental true]")
       sys.exit(2)
     }
     val warehouse = args(0)
@@ -43,7 +52,8 @@ object IngestApp {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
     val unknown = opts.keys.filterNot(
-      Set("--input", "--input-jsonl", "--synth", "--master", "--sorted", "--fused"))
+      Set("--input", "--input-jsonl", "--synth", "--master", "--sorted", "--fused",
+        "--incremental"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}")
       sys.exit(2)
@@ -86,14 +96,26 @@ object IngestApp {
 
     val t0 = System.nanoTime()
     val fused = opts.get("--fused").exists(_.toBoolean)
+    val incremental = opts.get("--incremental").exists(_.toBoolean)
+    if (fused && incremental) {
+      System.err.println("--fused and --incremental are mutually exclusive " +
+        "(incremental linking needs the chunk-provenance path)")
+      sys.exit(2)
+    }
     val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
       sortedInput = opts.get("--sorted").exists(_.toBoolean)))
     val result =
-      if (fused) Ingest.runFused(spark, turns, warehouse, icfg)
+      if (incremental) Ingest.runIncremental(spark, turns, warehouse, icfg)
+      else if (fused) Ingest.runFused(spark, turns, warehouse, icfg)
       else Ingest.run(spark, turns, warehouse, icfg)
     val nTriples = result.triples.count()
     val nEntities = result.entities.count()
-    val chunksNote = if (fused) "chunks=skipped(fused)" else s"chunks=${result.chunks.count()}"
+    // incremental: chunks = the NEW corpus's chunks; entity/triple counts are
+    // the LIVE post-merge tables
+    val chunksNote =
+      if (fused) "chunks=skipped(fused)"
+      else if (incremental) s"chunks_new=${result.chunks.count()}"
+      else s"chunks=${result.chunks.count()}"
     val secs = (System.nanoTime() - t0) / 1e9
     jsonlObs.foreach { o =>
       // non-blocking: the metric future is complete iff the pipeline's first

@@ -202,6 +202,11 @@ object Ingest {
     * entities are linked against the committed entity table — matches adopt
     * the existing uuid/name, new ones append (MERGE semantics). New triples
     * append idempotently on fact_uuid.
+    *
+    * `conv_id` is the store-wide conversation key (chunk/fact uuids derive
+    * from it): the additional corpus must carry fresh conv ids for
+    * genuinely new conversations — a re-submitted conv_id deduplicates by
+    * uuid (idempotent re-ingest) rather than storing divergent content.
     */
   def runIncremental(spark: SparkSession, turns: Dataset[Turn], warehouseDir: String,
       cfg: Config = Config()): Result = {
