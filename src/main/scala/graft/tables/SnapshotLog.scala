@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
   *    manifest; `read` then resolves last-writer-wins per key (Iceberg MOR
   *    semantics). Append-only tables skip that window entirely.
   *  - O(delta) merge READS via per-segment key blooms (Iceberg/Delta-style
-  *    file-skipping): every keyed segment write folds a bloom filter over
-  *    the merge-key hash into the same single write pass (an accumulator —
-  *    no second scan) and lands it next to the segment. `mergeAppend`/
+  *    file-skipping): every keyed segment write builds a bloom filter over
+  *    the merge-key hash (a key-column read-back of the just-written
+  *    segment — O(delta) for merge deltas) and lands it next to the
+  *    segment. `mergeAppend`/
   *    `mergeUpsert` then probe the incoming delta against each live
   *    segment's bloom and anti-join/EXCEPT against ONLY the segments that
   *    might contain an incoming key. In the standing regime (increments
@@ -259,22 +260,9 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
 
     val acc = spark.sparkContext
       .collectionAccumulator[(Int, Long, Long)](s"graft-lineage-$name-$id")
-    // key bloom rides the SAME single write pass (a second scan to build it
-    // would cost as much as the write at scale); failed/speculative task
-    // attempts may add extra keys — false positives only, never a miss
-    val bloomAcc =
-      if (keys.nonEmpty) {
-        val a = new BloomAccumulator(bloomExpectedItems, bloomFpp)
-        spark.sparkContext.register(a, s"graft-bloom-$name-$id")
-        Some(a)
-      } else None
-    val enriched0 = df.withColumn("__graft_row_hash", rowHashCol(df.columns))
-    val enriched =
-      if (keys.nonEmpty) enriched0.withColumn("__graft_key_hash", keyHashCol(keys))
-      else enriched0
+    val enriched = df.withColumn("__graft_row_hash", rowHashCol(df.columns))
     val schema = enriched.schema
     val hashIdx = schema.fieldIndex("__graft_row_hash")
-    val keyIdx = if (keys.nonEmpty) schema.fieldIndex("__graft_key_hash") else -1
     val counted = enriched.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       new Iterator[Row] {
@@ -290,15 +278,12 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
           val r = it.next()
           cnt += 1
           if (!r.isNullAt(hashIdx)) xor ^= r.getLong(hashIdx)
-          if (keyIdx >= 0 && !r.isNullAt(keyIdx))
-            bloomAcc.get.add(r.getLong(keyIdx))
           r
         }
       }
     }(Encoders.row(schema))
 
-    val writer = counted.drop("__graft_row_hash", "__graft_key_hash")
-      .write.mode("overwrite")
+    val writer = counted.drop("__graft_row_hash").write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataPath)
 
@@ -322,9 +307,9 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       val s = Files.walk(Paths.get(dataPath))
       try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
     }
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "__graft_row_hash"))
     if (!hasParquet) {
-      val dataSchema = org.apache.spark.sql.types.StructType(schema.fields
-        .filterNot(f => f.name == "__graft_row_hash" || f.name == "__graft_key_hash"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
         .coalesce(1).write.mode("append").parquet(dataPath)
     }
@@ -346,15 +331,40 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
 
     // key bloom lands BEFORE the manifest line makes the segment visible
     // (an EMPTY bloom is still written: it makes a zero-row segment
-    // skippable, whereas a MISSING bloom means "always scan")
-    bloomAcc.foreach { a =>
+    // skippable, whereas a MISSING bloom means "always scan"). Built by a
+    // key-column read-back of the JUST-written segment: a columnar scan of
+    // ONLY the key columns — O(delta) for merge deltas, one extra scan at
+    // compaction — where treeAggregate merges partial blooms executor-side
+    // so the driver receives O(√tasks) partials instead of one full-size
+    // bloom per task (an accumulator-in-the-write-pass build ships
+    // ~bloom-size bytes per task result: fine at 32 tasks, ~36 GB at a
+    // 10k-task cluster write). NOT `stat.bloomFilter`: in Spark 4 that
+    // routes through BloomFilterAggregate, which silently clamps capacity
+    // to the runtime-filter confs (maxNumItems=4M, maxNumBits=64M bits) —
+    // a 5M-row segment's bloom saturates to fpp≈1e-3 and every increment
+    // flags every segment (measured: BloomProbe scan went 0/4 → 4/4).
+    if (keys.nonEmpty) {
+      // zero-row keyed commits (e.g. an empty streaming micro-batch stage)
+      // skip the read job; treeAggregate on the empty frame would also
+      // return the zero bloom, this just avoids scheduling it
+      val bf =
+        if (tuples.map(_._2).sum == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(bloomExpectedItems, bloomFpp)
+        else {
+          val hashes = spark.read.schema(dataSchema).parquet(dataPath)
+            .select(keyHashCol(keys).as("h"))
+            .as(Encoders.scalaLong)
+          hashes.rdd.treeAggregate(
+            org.apache.spark.util.sketch.BloomFilter.create(bloomExpectedItems, bloomFpp))(
+            (b, h) => { b.putLong(h); b },
+            (a, b) => { a.mergeInPlace(b); a },
+            depth = 2)
+        }
       val out = Files.newOutputStream(bloomPath(name, id))
-      try a.value.writeTo(out) finally out.close()
+      try bf.writeTo(out) finally out.close()
     }
 
-    appendManifest(name, id, kind, upsert, keys,
-      org.apache.spark.sql.types.StructType(schema.fields
-        .filterNot(f => f.name == "__graft_row_hash" || f.name == "__graft_key_hash")))
+    appendManifest(name, id, kind, upsert, keys, dataSchema)
     Some(id)
   }
 
@@ -520,37 +530,4 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
         commit(name, f, partitionBy, bloomKeys)
         read(name).get
     }
-}
-
-/** Accumulator folding merge-key hashes into a bloom filter during the
-  * segment write pass (see SnapshotLog.writeSegment). Task-side instances
-  * each build a partial bloom; the driver merges them. Extra adds from
-  * failed/speculative attempts widen the bloom (false positives) but can
-  * never cause a miss.
-  */
-private[tables] class BloomAccumulator(expectedItems: Long, fpp: Double)
-    extends org.apache.spark.util.AccumulatorV2[java.lang.Long,
-      org.apache.spark.util.sketch.BloomFilter] {
-  import org.apache.spark.util.sketch.BloomFilter
-  private var bf: BloomFilter = null
-  private var nonEmpty = false
-  private def ensure(): BloomFilter = {
-    if (bf == null) bf = BloomFilter.create(expectedItems, fpp)
-    bf
-  }
-  override def isZero: Boolean = !nonEmpty
-  override def copy(): BloomAccumulator = {
-    val c = new BloomAccumulator(expectedItems, fpp)
-    if (bf != null) { c.ensure().mergeInPlace(bf); c.nonEmpty = nonEmpty }
-    c
-  }
-  override def reset(): Unit = { bf = null; nonEmpty = false }
-  override def add(v: java.lang.Long): Unit = { ensure().putLong(v); nonEmpty = true }
-  override def merge(other: org.apache.spark.util.AccumulatorV2[java.lang.Long,
-      org.apache.spark.util.sketch.BloomFilter]): Unit = other match {
-    case b: BloomAccumulator =>
-      if (b.bf != null && !b.isZero) { ensure().mergeInPlace(b.bf); nonEmpty = true }
-    case _ =>
-  }
-  override def value: BloomFilter = ensure()
 }
