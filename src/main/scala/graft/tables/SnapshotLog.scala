@@ -82,7 +82,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   @volatile private[graft] var lastMergeScan: Option[(Int, Int)] = None
 
   private case class Entry(id: Long, kind: String, upsert: Boolean, keys: Seq[String],
-      schemaB64: Option[String])
+      schemaB64: Option[String], committedAtMs: Option[Long] = None)
 
   private def tableDir(name: String): Path = Paths.get(baseDir, name)
   private def manifest(name: String): Path = tableDir(name).resolve("_snapshots.json")
@@ -92,6 +92,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   private val upsertRe = """"upsert":\s*(true|false)""".r
   private val keysRe = """"keys":\s*\[([^\]]*)\]""".r
   private val schemaRe = """"schema_b64":\s*"([A-Za-z0-9+/=]*)"""".r
+  private val tsRe = """"committed_at_ms":\s*(\d+)""".r
 
   /** Parsed manifest entries, ascending by snapshot id. Legacy lines without
     * a `kind` field are full snapshots.
@@ -107,7 +108,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
           .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
             .filter(_.nonEmpty))
         val schemaB64 = schemaRe.findFirstMatchIn(line).map(_.group(1))
-        Entry(idm.group(1).toLong, kind, upsert, keys, schemaB64)
+        val ts = tsRe.findFirstMatchIn(line).map(_.group(1).toLong)
+        Entry(idm.group(1).toLong, kind, upsert, keys, schemaB64, ts)
       }
     }.sortBy(_.id)
   }
@@ -152,6 +154,65 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     */
   def read(name: String): Option[DataFrame] =
     resolveSegments(name, liveEntries(name))
+
+  /** TIME TRAVEL: the table as of snapshot `asOf` (the highest committed id
+    * ≤ asOf counts — as-of semantics, like Delta's VERSION AS OF). Works for
+    * every id still in the manifest: compaction writes a NEW full snapshot
+    * without deleting the segments it collapsed, so pre-compaction history
+    * stays readable until `vacuum` reclaims it. None when nothing was
+    * committed at or before `asOf`, or a segment it needs was vacuumed.
+    */
+  def readAt(name: String, asOf: Long): Option[DataFrame] = {
+    val upTo = entries(name).filter(_.id <= asOf)
+    val lastFull = upTo.lastIndexWhere(_.kind == "full")
+    val live = if (lastFull < 0) upTo else upTo.drop(lastFull)
+    if (live.exists(e => !Files.exists(Paths.get(snapshotPath(name, e.id))))) None
+    else resolveSegments(name, live)
+  }
+
+  /** Commit history of a table as a DataFrame (ascending snapshot_id):
+    * id, kind (full|delta), upsert flag, merge keys, commit timestamp, and
+    * whether the segment is part of the CURRENT live read set.
+    */
+  def history(name: String): DataFrame = {
+    val liveIds = liveEntries(name).map(_.id).toSet
+    entries(name).map(e => (e.id, e.kind, e.upsert, e.keys,
+        e.committedAtMs.map(new Timestamp(_)).orNull, liveIds(e.id)))
+      .toDF("snapshot_id", "kind", "upsert", "keys", "committed_at", "live")
+  }
+
+  /** RETENTION: delete every segment older than the last full snapshot (the
+    * set unreachable from `read`, kept only for time travel) — data,
+    * lineage, and bloom — and rewrite the manifest without those entries.
+    * Returns the vacuumed ids. The live read set is never touched, so
+    * `read`/merges are unaffected; `readAt` for vacuumed ids returns None.
+    */
+  def vacuum(name: String): Seq[Long] = {
+    val all = entries(name)
+    val lastFull = all.lastIndexWhere(_.kind == "full")
+    if (lastFull <= 0) return Seq.empty
+    val (dead, live) = all.splitAt(lastFull)
+    // manifest first (atomic rename): a crash between the two steps leaves
+    // orphaned-but-unreferenced files, never a referenced-but-deleted one
+    rewriteManifest(name, live.map(_.id).toSet)
+    dead.map { e =>
+      deleteRecursively(Paths.get(snapshotPath(name, e.id)))
+      deleteRecursively(tableDir(name).resolve(s"snapshot-${e.id}-lineage"))
+      Files.deleteIfExists(bloomPath(name, e.id))
+      e.id
+    }
+  }
+
+  private def rewriteManifest(name: String, keep: Set[Long]): Unit = {
+    val m = manifest(name)
+    if (!Files.exists(m)) return
+    val kept = Files.readAllLines(m, UTF_8).asScala.toSeq.filter { line =>
+      line.isEmpty || idRe.findFirstMatchIn(line).forall(x => keep(x.group(1).toLong))
+    }
+    val tmp = tableDir(name).resolve("_snapshots.json.tmp-vacuum")
+    Files.write(tmp, kept.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** The resolved view of a SUBSET of live segments (same union +
     * last-writer-wins window as `read`). Safe for merge pruning: a key's

@@ -273,4 +273,54 @@ class SnapshotLogSpec extends SparkSpec {
     log.mergeAppend("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
     assert(log.read("t").get.count() === 220L)
   }
+
+  test("time travel: readAt reconstructs each committed state, incl. pre-upsert values") {
+    val dir = Files.createTempDirectory("graft-tt").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeUpsert("t", Seq((1L, "a1"), (2L, "b1")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", Seq((3L, "c1")).toDF("id", "v"), Seq("id"))
+    log.mergeUpsert("t", Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+    assert(log.snapshots("t") === Seq(1L, 2L, 3L))
+
+    def state(asOf: Long) = log.readAt("t", asOf).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(1L) === Map(1L -> "a1", 2L -> "b1"))
+    assert(state(2L) === Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+    assert(state(3L) === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+    // as-of semantics: an id between commits resolves to the floor commit
+    assert(state(99L) === state(3L))
+    assert(log.readAt("t", 0L).isEmpty)
+
+    val hist = log.history("t").orderBy($"snapshot_id").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(hist.map(_.getString(1)).toSeq === Seq("full", "delta", "delta"))
+    assert(hist.forall(_.getBoolean(5)), "all three segments are live (no compaction yet)")
+  }
+
+  test("time travel survives compaction; vacuum reclaims pre-compaction history only") {
+    val dir = Files.createTempDirectory("graft-vac").toString
+    val log = new SnapshotLog(spark, dir, autoCompactSegments = 2)
+    log.mergeAppend("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    // third delta trips autoCompactSegments=2 → segment 3 then full snapshot 4
+    log.mergeAppend("t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(log.snapshots("t") === Seq(1L, 2L, 3L, 4L))
+    assert(log.history("t").filter($"kind" === "full").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 4L))
+
+    // compaction keeps the collapsed segments: pre-compaction reads still work
+    assert(log.readAt("t", 2L).get.count() === 2L)
+
+    val vacuumed = log.vacuum("t")
+    assert(vacuumed === Seq(1L, 2L, 3L))
+    assert(log.snapshots("t") === Seq(4L))
+    assert(!Files.exists(Paths.get(log.snapshotPath("t", 1L))))
+    assert(log.readAt("t", 2L).isEmpty, "vacuumed history must read as absent, not wrong")
+    // the live view and post-vacuum merges are unaffected
+    assert(log.read("t").get.count() === 3L)
+    log.mergeAppend("t", Seq((4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(log.read("t").get.count() === 4L)
+    // nothing older than the last full snapshot → vacuum is a no-op
+    assert(log.vacuum("t") === Seq.empty)
+  }
 }
