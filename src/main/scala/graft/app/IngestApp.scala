@@ -13,7 +13,7 @@ import graft.synth.TranscriptGen
   *   IngestApp <warehouseDir> [--input <parquet-of-transcripts>]
   *             [--input-jsonl <jsonl-of-transcripts>]
   *             [--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]
-  *             [--sorted true] [--fused true] [--incremental true]
+  *             [--sorted true|auto] [--fused true] [--incremental true]
   *
   * With --input, reads an (conv_id, turn_idx, role, text, tool, ts) parquet
   * table (the input_hint shape); --input-jsonl reads the same shape as
@@ -23,7 +23,11 @@ import graft.synth.TranscriptGen
   * within files (each conversation confined to one file or its splits) and
   * routes chunking through the shuffle-free sortedInput fast path — the
   * right call on a standing sorted transcript store; layout violations fail
-  * fast with a pointer back to the default windowed path. `--fused true`
+  * fast with a pointer back to the default windowed path. `--sorted auto`
+  * additionally lets the planner measure the corpus's max-conversation
+  * share first (TurnChunker.preferSorted) and fall back to the
+  * skew-invariant salted windowed plan when a pathological conversation
+  * would starve the sorted path's layout-bound parallelism. `--fused true`
   * runs the triples-only pipeline (Ingest.runFused): the fused single-pass
   * extractor feeds the raw-triple table directly and the corpus-sized chunks
   * table is never written — the deployment shape when chunk-text provenance
@@ -44,7 +48,7 @@ object IngestApp {
       System.err.println(
         "usage: IngestApp <warehouseDir> [--input <parquet>] [--input-jsonl <jsonl>] " +
           "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] " +
-          "[--sorted true] [--fused true] [--incremental true]")
+          "[--sorted true|auto] [--fused true] [--incremental true]")
       sys.exit(2)
     }
     val warehouse = args(0)
@@ -102,8 +106,18 @@ object IngestApp {
         "(incremental linking needs the chunk-provenance path)")
       sys.exit(2)
     }
+    val sortedInput = opts.get("--sorted") match {
+      case Some("auto") =>
+        // input is declared storage-ordered; let the planner decide whether
+        // exploiting that beats the skew-invariant salted windowed plan
+        val (use, frac) = graft.chunk.TurnChunker.preferSorted(turns)
+        println(f"[ingest] sorted=auto: max conversation holds ${frac * 100}%.1f%% " +
+          f"of the corpus -> ${if (use) "sorted fast path" else "salted windowed path"}%s")
+        use
+      case other => other.exists(_.toBoolean)
+    }
     val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
-      sortedInput = opts.get("--sorted").exists(_.toBoolean)))
+      sortedInput = sortedInput))
     val result =
       if (incremental) Ingest.runIncremental(spark, turns, warehouse, icfg)
       else if (fused) Ingest.runFused(spark, turns, warehouse, icfg)

@@ -165,6 +165,34 @@ object TurnChunker {
     if (cfg.sortedInput) chunkSorted(spark, turns, cfg)
     else chunkWindowed(spark, turns, cfg)
 
+  /** Cost-based path choice for storage-ordered input (`--sorted auto`):
+    * ONE column-pruned planning aggregation measures the largest single
+    * conversation's share f of the corpus, and the shuffle-free sorted path
+    * is taken only when that skew cannot starve it. The sorted path inherits
+    * the storage layout's parallelism, so its wall time degrades roughly
+    * linearly in f (measured on the BASELINE.md extreme-skew A/B: 3.9× at
+    * f = 0.333 ⇒ slope k ≈ 8.7) while the salted windowed path is
+    * skew-invariant at ~1.47× the sorted path's un-skewed cost (4.75 s vs
+    * 3.23 s at 32 cores). Crossover: 1 + k·f = 1.47 ⇒ f* ≈ 0.054, rounded
+    * down to the 0.05 default. The planning scan reads only `conv_id` — a
+    * standing transcript store would serve this from table statistics
+    * instead of a scan.
+    *
+    * Returns (useSorted, maxConversationFraction). Empty input prefers the
+    * sorted path (nothing to skew).
+    */
+  def preferSorted(turns: Dataset[Turn], threshold: Double = 0.05): (Boolean, Double) = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val row = turns.groupBy($"conv_id").agg(count(lit(1)).as("n"))
+      .agg(max($"n").as("mx"), sum($"n").as("tot")).first()
+    if (row.isNullAt(1) || row.getLong(1) == 0L) (true, 0.0)
+    else {
+      val frac = row.getLong(0).toDouble / row.getLong(1).toDouble
+      (frac <= threshold, frac)
+    }
+  }
+
   /** General path: arbitrary input order, salted window shuffle. */
   private def chunkWindowed(spark: SparkSession, turns: Dataset[Turn], cfg: Config): Dataset[Chunk] = {
     import spark.implicits._

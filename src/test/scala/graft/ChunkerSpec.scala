@@ -299,4 +299,24 @@ class ChunkerSpec extends SparkSpec {
     }.collect()
     assert(perConv.forall(_._2), "chunk numbering must be dense and ordered per conv")
   }
+
+  test("preferSorted: balanced corpus takes the sorted path, a pathological conversation falls back") {
+    // 50 conversations × 20 turns: max share = 2% ≤ 5% threshold
+    val balanced = (for (c <- 0 until 50; i <- 0 until 20)
+      yield turn(f"c$c%03d", i, longA)).toDS()
+    val (useB, fracB) = TurnChunker.preferSorted(balanced)
+    assert(useB && math.abs(fracB - 0.02) < 1e-9, s"($useB, $fracB)")
+
+    // one conversation holding 40% of the corpus starves the layout-bound
+    // sorted path (BASELINE.md extreme-skew A/B) → windowed
+    val skewed = ((for (i <- 0 until 400) yield turn("giant", i, longA)) ++
+      (for (c <- 0 until 30; i <- 0 until 20) yield turn(f"c$c%03d", i, longA))).toDS()
+    val (useS, fracS) = TurnChunker.preferSorted(skewed)
+    assert(!useS && math.abs(fracS - 0.4) < 1e-9, s"($useS, $fracS)")
+
+    // the crossover threshold is caller-tunable
+    assert(TurnChunker.preferSorted(skewed, threshold = 0.5)._1)
+    // empty input: nothing to skew
+    assert(TurnChunker.preferSorted(spark.emptyDataset[Turn])._1)
+  }
 }
