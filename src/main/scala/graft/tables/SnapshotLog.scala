@@ -56,24 +56,30 @@ import org.apache.spark.sql.functions._
   * (the driver only collects one (partition, count, checksum) tuple per task
   * partition).
   */
-/** @param bloomExpectedItems capacity of each segment's key bloom. Segments
-  *   holding more keys than this saturate their bloom (fpp degrades toward
-  *   always-hit) and simply stop being prunable — correct, just unpruned;
-  *   typical for a giant compacted base snapshot, while the delta segments
-  *   increments produce stay far under capacity.
+/** @param bloomExpectedItems FLOOR capacity of each segment's key bloom.
+  *   The actual capacity is auto-sized to the segment's row count (known
+  *   from the lineage accumulator before the bloom job runs), so a large
+  *   compacted base stays prunable instead of saturating, while small
+  *   deltas never pay for more than the floor.
+  * @param bloomMaxItems capacity CEILING: a segment holding more keys than
+  *   this writes NO bloom (a saturated bloom flags everything anyway —
+  *   "missing = always scan" is the same behavior minus the probe cost).
+  *   Bounds bloom bytes at ~28.8 bits/key × ceiling (≈115 MB at the 32M
+  *   default) — the driver loads every live segment's bloom per merge.
   * @param bloomFpp per-test false-positive rate AT capacity. A merge makes
   *   deltaRows × segments membership tests and scans every segment with ≥ 1
   *   hit, so the expected number of NEEDLESSLY scanned segments is
   *   ≈ deltaRows × fpp × segments — fpp must sit well under 1/deltaRows for
   *   the typical increment, not at the 1-5% of scan-time bloom defaults
   *   (0.03 at a 10k-row delta flags EVERY segment almost surely). 1e-6
-  *   costs ~28.8 bits/key ≈ 3.5 MB per bloom at the 1M default capacity
+  *   costs ~28.8 bits/key ≈ 3.5 MB per bloom at the 1M default floor
   *   and keeps a 10k-row delta's flag-FP chance at ~1% per segment.
   */
 class SnapshotLog(spark: SparkSession, baseDir: String,
     autoCompactSegments: Int = 32,
     bloomExpectedItems: Long = 1L * 1000 * 1000,
-    bloomFpp: Double = 1e-6) {
+    bloomFpp: Double = 1e-6,
+    bloomMaxItems: Long = 32L * 1000 * 1000) {
   import spark.implicits._
 
   /** (segments scanned, segments live) of the most recent merge — a test/
@@ -404,19 +410,25 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     // to the runtime-filter confs (maxNumItems=4M, maxNumBits=64M bits) —
     // a 5M-row segment's bloom saturates to fpp≈1e-3 and every increment
     // flags every segment (measured: BloomProbe scan went 0/4 → 4/4).
-    if (keys.nonEmpty) {
+    // capacity auto-sizes to the segment's row count (already known from
+    // the lineage tuples — an upper bound on distinct keys), floored at
+    // bloomExpectedItems; above bloomMaxItems no bloom is written (missing
+    // = always scan, which is what a saturated bloom degrades to anyway)
+    val segRows = tuples.map(_._2).sum
+    if (keys.nonEmpty && segRows <= bloomMaxItems) {
+      val capacity = math.max(bloomExpectedItems, segRows)
       // zero-row keyed commits (e.g. an empty streaming micro-batch stage)
       // skip the read job; treeAggregate on the empty frame would also
       // return the zero bloom, this just avoids scheduling it
       val bf =
-        if (tuples.map(_._2).sum == 0L)
-          org.apache.spark.util.sketch.BloomFilter.create(bloomExpectedItems, bloomFpp)
+        if (segRows == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(capacity, bloomFpp)
         else {
           val hashes = spark.read.schema(dataSchema).parquet(dataPath)
             .select(keyHashCol(keys).as("h"))
             .as(Encoders.scalaLong)
           hashes.rdd.treeAggregate(
-            org.apache.spark.util.sketch.BloomFilter.create(bloomExpectedItems, bloomFpp))(
+            org.apache.spark.util.sketch.BloomFilter.create(capacity, bloomFpp))(
             (b, h) => { b.putLong(h); b },
             (a, b) => { a.mergeInPlace(b); a },
             depth = 2)

@@ -274,6 +274,29 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.read("t").get.count() === 220L)
   }
 
+  test("bloom capacity auto-sizes to the segment row count; the ceiling writes no bloom") {
+    // floor capacity 100 but 5,000 keys: a FIXED-capacity bloom would
+    // saturate (every probe hits, no pruning); auto-sizing keeps fpp at
+    // spec and the disjoint increment scans ZERO segments
+    val dir = Files.createTempDirectory("graft-bloomsize").toString
+    val log = new SnapshotLog(spark, dir, bloomExpectedItems = 100L)
+    log.mergeAppend("t", (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (9001L to 9100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.lastMergeScan === Some((0, 1)),
+      s"auto-sized bloom must prune the 5000-key base: ${log.lastMergeScan}")
+
+    // above the ceiling no bloom lands (saturated blooms flag everything
+    // anyway); the segment is simply always scanned — and stays correct
+    val dir2 = Files.createTempDirectory("graft-bloomcap").toString
+    val log2 = new SnapshotLog(spark, dir2, bloomExpectedItems = 100L, bloomMaxItems = 1000L)
+    log2.mergeAppend("t", (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(!Files.exists(Paths.get(dir2, "t", "snapshot-1.bloom")))
+    log2.mergeAppend("t", (9001L to 9100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log2.lastMergeScan === Some((1, 1)), s"${log2.lastMergeScan}")
+    log2.mergeAppend("t", (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log2.read("t").get.count() === 5100L)
+  }
+
   test("time travel: readAt reconstructs each committed state, incl. pre-upsert values") {
     val dir = Files.createTempDirectory("graft-tt").toString
     val log = new SnapshotLog(spark, dir)
