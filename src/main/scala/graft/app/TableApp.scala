@@ -1,0 +1,132 @@
+package graft.app
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.tables.SnapshotLog
+
+/** Warehouse maintenance CLI — the operational surface of the table layer
+  * (reference: a standing Neo4j store is administered out-of-band; this
+  * engine's warehouse is plain parquet + manifests, so administration is a
+  * spark-submit main).
+  *
+  * Usage:
+  *   TableApp <warehouseDir> history  [table]          per-segment commit log
+  *   TableApp <warehouseDir> snapshot <table> <asOf>   time-travel row count + schema
+  *   TableApp <warehouseDir> compact  <table>          force-rewrite as ONE full snapshot
+  *   TableApp <warehouseDir> vacuum   [table]          drop pre-compaction history
+  *   TableApp <warehouseDir> verify   [table]          recompute lineage checksums
+  *
+  * `history`/`vacuum`/`verify` default to every table in the warehouse.
+  * `compact` preserves the table's partition layout (detected from the live
+  * segment's directory structure) and merge keys (from the manifest), so the
+  * compacted snapshot stays bloom-prunable and partition-pruned.
+  */
+object TableApp {
+  private def usage(): Nothing = {
+    System.err.println(
+      "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify [table] [asOf]")
+    sys.exit(2)
+  }
+
+  /** Tables = subdirectories of the warehouse holding a snapshot manifest. */
+  private def tables(wh: String): Seq[String] = {
+    val root = Paths.get(wh)
+    if (!Files.isDirectory(root)) Seq.empty
+    else Files.list(root).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_snapshots.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Partition columns of a committed segment, recovered from its hive-style
+    * directory layout (`col=value/...`), outermost first.
+    */
+  private def partitionColumns(segDir: Path): Seq[String] = {
+    def step(dir: Path, acc: Seq[String]): Seq[String] = {
+      if (!Files.isDirectory(dir)) return acc
+      val sub = Files.list(dir).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+      sub.headOption.filter(_.contains("=")) match {
+        case Some(first) => step(dir.resolve(first), acc :+ first.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    step(segDir, Seq.empty)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) usage()
+    val wh = args(0)
+    val cmd = args(1)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-tables")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val log = new SnapshotLog(spark, wh)
+
+    def targets(idx: Int): Seq[String] =
+      if (args.length > idx) Seq(args(idx)) else tables(wh)
+
+    cmd match {
+      case "history" =>
+        for (t <- targets(2)) {
+          println(s"[table] $t")
+          log.history(t).orderBy("snapshot_id").collect().foreach { r =>
+            println(s"  snapshot=${r.getLong(0)} kind=${r.getString(1)}" +
+              s" upsert=${r.getBoolean(2)} keys=${r.getSeq[String](3).mkString(",")}" +
+              s" committed_at=${r.get(4)} live=${r.getBoolean(5)}")
+          }
+        }
+
+      case "snapshot" =>
+        if (args.length < 4) usage()
+        val (t, asOf) = (args(2), args(3).toLong)
+        log.readAt(t, asOf) match {
+          case Some(df) =>
+            println(s"[table] $t@$asOf rows=${df.count()} columns=${df.columns.mkString(",")}")
+          case None =>
+            println(s"[table] $t@$asOf absent (nothing committed yet, or vacuumed)")
+            sys.exit(1)
+        }
+
+      case "compact" =>
+        if (args.length < 3) usage()
+        val t = args(2)
+        val live = log.history(t).filter("live").orderBy("snapshot_id").collect()
+        if (live.isEmpty) { println(s"[table] $t: nothing committed"); sys.exit(1) }
+        if (live.length == 1) { println(s"[table] $t: already one full snapshot"); sys.exit(0) }
+        val keys = live.last.getSeq[String](3)
+        val parts = partitionColumns(Paths.get(log.snapshotPath(t, live.last.getLong(0))))
+        val id = log.commit(t, log.read(t).get, parts, bloomKeys = keys)
+        println(s"[table] $t: compacted ${live.length} live segments -> snapshot $id" +
+          s" (partitionBy=${parts.mkString(",")} bloomKeys=${keys.mkString(",")})")
+
+      case "vacuum" =>
+        for (t <- targets(2)) {
+          val ids = log.vacuum(t)
+          println(s"[table] $t: vacuumed ${ids.size} segment(s)" +
+            (if (ids.nonEmpty) s" [${ids.mkString(",")}]" else ""))
+        }
+
+      case "verify" =>
+        var bad = 0
+        for (t <- targets(2); id <- log.snapshots(t)) {
+          val ok = log.verifyLineage(t, id)
+          if (!ok) bad += 1
+          println(s"[table] $t snapshot=$id lineage=${if (ok) "OK" else "MISMATCH"}")
+        }
+        if (bad > 0) { println(s"[table] $bad snapshot(s) FAILED lineage verification"); sys.exit(1) }
+
+      case other =>
+        System.err.println(s"unknown command: $other"); usage()
+    }
+    spark.stop()
+  }
+}
