@@ -55,6 +55,14 @@ import org.apache.spark.sql.functions._
   * The driver never holds data rows — lineage aggregation happens in Spark
   * (the driver only collects one (partition, count, checksum) tuple per task
   * partition).
+  *
+  * Concurrency contract: SINGLE WRITER per table (the reference pipeline is
+  * likewise one ingest process per store). Readers are safe against a
+  * concurrent writer (manifest renames are atomic; segments are immutable
+  * once listed), but two concurrent writers can both claim the same next
+  * snapshot id, and `vacuum` deletes segment files a concurrently-started
+  * merge may still plan to scan — serialize writes and maintenance
+  * (TableApp) behind whatever job scheduler owns the warehouse.
   */
 /** @param bloomExpectedItems FLOOR capacity of each segment's key bloom.
   *   The actual capacity is auto-sized to the segment's row count (known
