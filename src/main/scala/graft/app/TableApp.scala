@@ -49,7 +49,9 @@ object TableApp {
       if (!Files.isDirectory(dir)) return acc
       val sub = Files.list(dir).iterator().asScala
         .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
-      sub.headOption.filter(_.contains("=")) match {
+      // find, not head: ignore non-partition dirs (e.g. a crashed write's
+      // _temporary) sitting next to hive-style col=value dirs
+      sub.find(_.contains("=")) match {
         case Some(first) => step(dir.resolve(first), acc :+ first.takeWhile(_ != '='))
         case None => acc
       }
