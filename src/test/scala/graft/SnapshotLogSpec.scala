@@ -297,6 +297,54 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log2.read("t").get.count() === 5100L)
   }
 
+  test("hash v1 formula is pinned (legacy warehouses keep verifying/pruning bit-identically)") {
+    // golden values captured from the v1 implementation before the v2
+    // switch; if these move, every pre-v2 warehouse's lineage checksums and
+    // bloom probes silently break
+    val df = Seq((7L, "alpha", "z")).toDF("num", "name", "tag")
+    val v1row = xxhash64(to_json(struct(df.columns.sorted.map(col): _*)))
+    assert(df.select(v1row).first().getLong(0) === -2568080976545920057L)
+    val v1key = xxhash64(to_json(struct(Seq("name").map(col): _*)))
+    assert(df.select(v1key).first().getLong(0) === -7839204850250498293L)
+    val n = Seq((Option.empty[String], "x")).toDF("a", "b")
+    assert(n.select(xxhash64(to_json(struct("a", "b")))).first().getLong(0)
+      === 3103532763444505691L)
+  }
+
+  test("mixed hash versions: a legacy v1 segment's bloom prunes and hits via the v1 probe") {
+    val dir = Files.createTempDirectory("graft-hashv").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeAppend("t", (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (501L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+
+    // hand-craft segment 1 as a LEGACY v1 segment: strip hash_v from its
+    // manifest line and overwrite its bloom with v1-hashed keys
+    val m = Paths.get(dir, "t", "_snapshots.json")
+    val lines = Files.readAllLines(m).toArray.map(_.toString)
+    val rewritten = lines.map(l =>
+      if (l.contains("\"snapshot_id\": 1")) l.replace("\"hash_v\": 2, ", "") else l)
+    assert(rewritten.mkString != lines.mkString, "fixture must actually strip hash_v")
+    Files.write(m, rewritten.mkString("\n").getBytes)
+    val v1Hashes = (1L to 500L).toDF("id")
+      .select(xxhash64(to_json(struct(col("id")))).as("h"))
+      .collect().map(_.getLong(0))
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000000L, 1e-6)
+    v1Hashes.foreach(bf.putLong)
+    val out = Files.newOutputStream(Paths.get(dir, "t", "snapshot-1.bloom"))
+    try bf.writeTo(out) finally out.close()
+
+    // disjoint keys: BOTH segments prune — the v1 segment via the v1 probe
+    log.mergeAppend("t", (9001L to 9100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.lastMergeScan === Some((0, 2)), s"${log.lastMergeScan}")
+    // keys living in the v1 segment: it must HIT (no false negatives across
+    // versions) and the replay stays a no-op
+    val before = log.read("t").get.count()
+    log.mergeAppend("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val (scanned, _) = log.lastMergeScan.get
+    assert(scanned >= 1, s"v1 overlap must scan the legacy segment: ${log.lastMergeScan}")
+    assert(log.read("t").get.count() === before)
+  }
+
   test("time travel: readAt reconstructs each committed state, incl. pre-upsert values") {
     val dir = Files.createTempDirectory("graft-tt").toString
     val log = new SnapshotLog(spark, dir)
