@@ -47,7 +47,12 @@ object PluralGrouping {
       .filter(!col("canonical_name").contains(" ")) // collective = bare plural noun
       .select(col("entity_uuid").as("plural_uuid"),
         col("canonical_name").as("plural_name"),
-        col("entity_type"),
+        // renamed, not just re-selected: both join sides derive from `base`,
+        // and a members("entity_type") === plurals("entity_type") predicate
+        // on a self-join resolves only through the analyzer's dataset-id
+        // disambiguation (and WARNs "trivially true equals predicate");
+        // distinct names make the cross-side condition unambiguous
+        col("entity_type").as("plural_type"),
         singUdf(col("canonical_name")).as("skey"))
       .filter(col("skey").isNotNull)
     val members = base.select(col("entity_uuid").as("member_uuid"),
@@ -55,7 +60,7 @@ object PluralGrouping {
       lastTokenLower(col("canonical_name")).as("mkey"))
     members.join(broadcast(plurals),
         col("mkey") === col("skey") &&
-          members("entity_type") === plurals("entity_type") &&
+          col("entity_type") === col("plural_type") &&
           col("member_uuid") =!= col("plural_uuid"))
       .select(col("plural_uuid"), col("plural_name"),
         lit("INCLUDES").as("predicate"), col("member_uuid"), col("member_name"))
