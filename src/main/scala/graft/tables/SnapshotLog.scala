@@ -268,6 +268,24 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     */
   private val HashVCurrent = 2
 
+  /** The hash version a frame CAN be written with: multi-arg xxhash64 (v2)
+    * rejects MapType anywhere in the schema (Spark disallows hashing maps —
+    * their entry order is undefined), while v1's to_json rendering accepts
+    * them — so map-bearing frames stay on v1 and just keep paying the JSON
+    * cost. One version per segment covers both the row hash and the key
+    * hash (keys are a subset of the columns).
+    */
+  private def writableHashV(schema: org.apache.spark.sql.types.StructType): Int = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    if (schema.fields.exists(f => hasMap(f.dataType))) 1 else HashVCurrent
+  }
+
   /** Merge-key hash (same expression on the segment-write side and the
     * merge-probe side), in the given version.
     */
@@ -289,13 +307,12 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     }
   }
 
-  /** The live segments a merge of `in` (already carrying `__graft_key_hash`
-    * in the CURRENT hash version) must scan: segments whose bloom matches at
-    * least one incoming key hash, plus every segment without a bloom. ONE
-    * aggregation job over the incoming delta decides all segments at once —
-    * legacy segments' blooms are probed with the hash version they were
-    * written under (one extra derived column, only when any is live).
-    * Records `lastMergeScan`.
+  /** The live segments a merge of `in` must scan: segments whose bloom
+    * matches at least one incoming key hash, plus every segment without a
+    * bloom. ONE aggregation job over the incoming delta decides all
+    * segments at once — each segment's bloom is probed with the hash
+    * version IT was written under (one derived column per version present,
+    * usually one). Records `lastMergeScan`.
     */
   private def scannedEntries(name: String, in: DataFrame, keys: Seq[String]): Seq[Entry] = {
     val live = liveEntries(name)
@@ -304,13 +321,11 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     val scanned =
       if (bloomed.isEmpty) live
       else {
-        val probe =
-          if (bloomed.exists(_._1.hashV < HashVCurrent))
-            in.withColumn("__graft_key_hash_v1", keyHashCol(keys, 1))
-          else in
+        def vOf(e: Entry) = if (e.hashV >= 2) 2 else 1
+        val probe = bloomed.map(x => vOf(x._1)).distinct.foldLeft(in)((df, v) =>
+          df.withColumn(s"__graft_key_hash_v$v", keyHashCol(keys, v)))
         val flags = bloomed.map { case (e, b) =>
-          val c = if (e.hashV >= HashVCurrent) col("__graft_key_hash")
-                  else col("__graft_key_hash_v1")
+          val c = col(s"__graft_key_hash_v${vOf(e)}")
           val hit = udf((h: Long) => b.mightContainLong(h))
           max(when(hit(c), 1).otherwise(0)).as(s"s${e.id}")
         }
@@ -359,7 +374,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
 
     val acc = spark.sparkContext
       .collectionAccumulator[(Int, Long, Long)](s"graft-lineage-$name-$id")
-    val enriched = df.withColumn("__graft_row_hash", rowHashCol(df.columns, HashVCurrent))
+    val hashV = writableHashV(df.schema)
+    val enriched = df.withColumn("__graft_row_hash", rowHashCol(df.columns, hashV))
     val schema = enriched.schema
     val hashIdx = schema.fieldIndex("__graft_row_hash")
     val counted = enriched.mapPartitions { it =>
@@ -457,7 +473,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
           org.apache.spark.util.sketch.BloomFilter.create(capacity, bloomFpp)
         else {
           val hashes = spark.read.schema(dataSchema).parquet(dataPath)
-            .select(keyHashCol(keys, HashVCurrent).as("h"))
+            .select(keyHashCol(keys, hashV).as("h"))
             .as(Encoders.scalaLong)
           hashes.rdd.treeAggregate(
             org.apache.spark.util.sketch.BloomFilter.create(capacity, bloomFpp))(
@@ -469,7 +485,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       try bf.writeTo(out) finally out.close()
     }
 
-    appendManifest(name, id, kind, upsert, keys, dataSchema)
+    appendManifest(name, id, kind, upsert, keys, dataSchema, hashV)
     Some(id)
   }
 
@@ -517,7 +533,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   }
 
   private def appendManifest(name: String, id: Long, kind: String, upsert: Boolean,
-      keys: Seq[String], schema: org.apache.spark.sql.types.StructType): Unit = {
+      keys: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      hashV: Int): Unit = {
     Files.createDirectories(tableDir(name))
     val m = manifest(name)
     val existing =
@@ -526,7 +543,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     val schemaB64 = java.util.Base64.getEncoder.encodeToString(schema.json.getBytes(UTF_8))
     val entry =
       s"""{"snapshot_id": $id, "table": "$name", "kind": "$kind", "upsert": $upsert, """ +
-        s""""keys": $keysJson, "schema_b64": "$schemaB64", "hash_v": $HashVCurrent, """ +
+        s""""keys": $keysJson, "schema_b64": "$schemaB64", "hash_v": $hashV, """ +
         s""""committed_at_ms": ${System.currentTimeMillis()}}"""
     val tmp = tableDir(name).resolve(s"_snapshots.json.tmp-$id")
     Files.write(tmp, (existing :+ entry).mkString("\n").getBytes(UTF_8))
@@ -554,15 +571,13 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     // the incoming delta feeds TWO jobs now (the bloom probe + the write):
     // persist so the caller's upstream pipeline computes once
     val in = df.dropDuplicates(keys)
-      .withColumn("__graft_key_hash", keyHashCol(keys, HashVCurrent))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val existing = resolveSegments(name, scannedEntries(name, in, keys))
       val fresh = existing match {
-        case None => in.drop("__graft_key_hash")
+        case None => in
         case Some(ex) =>
-          in.drop("__graft_key_hash")
-            .join(ex.select(keys.map(col): _*), keys, "left_anti")
+          in.join(ex.select(keys.map(col): _*), keys, "left_anti")
       }
       // write-first: the anti-join executes ONCE inside the write pass; a
       // zero-row delta is discarded by writeSegment (skipIfEmpty) instead
@@ -588,18 +603,16 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     if (liveEntries(name).isEmpty)
       return commit(name, df.dropDuplicates(keys), partitionBy, bloomKeys = keys)
     val in0 = df.dropDuplicates(keys)
-    val in = in0.withColumn("__graft_key_hash", keyHashCol(keys, HashVCurrent))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val in = in0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // pruning is key-complete (see resolveSegments), so last-writer-wins
       // over the scanned subset resolves every key the delta could touch
       // exactly as the full view does; EXCEPT rows from unrelated keys can
       // never equal an incoming row (row equality implies key equality)
       val existing = resolveSegments(name, scannedEntries(name, in, keys))
-      val inPlain = in.drop("__graft_key_hash")
       val delta = existing match {
-        case None => inPlain
-        case Some(ex) => inPlain.except(ex.select(in0.columns.map(col): _*))
+        case None => in
+        case Some(ex) => in.except(ex.select(in0.columns.map(col): _*))
       }
       // write-first, as in mergeAppend: EXCEPT executes once, zero-row
       // deltas are discarded inside the single write pass

@@ -345,6 +345,23 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.read("t").get.count() === before)
   }
 
+  test("map-typed columns fall back to hash v1 (xxhash64 can't hash maps) and still prune") {
+    val dir = Files.createTempDirectory("graft-mapv").toString
+    val log = new SnapshotLog(spark, dir)
+    val withMap = (1L to 300L).map(i => (i, Map("k" -> s"v$i"))).toDF("id", "attrs")
+    log.mergeAppend("t", withMap, Seq("id"))
+    assert(Files.readString(Paths.get(dir, "t", "_snapshots.json")).contains("\"hash_v\": 1"),
+      "map-bearing segment must record the v1 hash")
+    assert(log.verifyLineage("t", 1L), "v1 lineage must verify")
+    // disjoint increment prunes through the v1 bloom; overlap dedups
+    log.mergeAppend("t", (901L to 950L).map(i => (i, Map("k" -> s"v$i"))).toDF("id", "attrs"),
+      Seq("id"))
+    assert(log.lastMergeScan === Some((0, 1)), s"${log.lastMergeScan}")
+    log.mergeAppend("t", (1L to 300L).map(i => (i, Map("k" -> s"v$i"))).toDF("id", "attrs"),
+      Seq("id"))
+    assert(log.read("t").get.count() === 350L)
+  }
+
   test("time travel: readAt reconstructs each committed state, incl. pre-upsert values") {
     val dir = Files.createTempDirectory("graft-tt").toString
     val log = new SnapshotLog(spark, dir)
