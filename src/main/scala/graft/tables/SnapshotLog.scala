@@ -186,6 +186,15 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     else resolveSegments(name, live)
   }
 
+  /** TIME TRAVEL by wall clock (Delta's TIMESTAMP AS OF): the state as of
+    * the last snapshot committed at or before `ts`. Entries without a
+    * recorded commit time (legacy manifests) are treated as older than any
+    * timestamp — included, like their ids suggest.
+    */
+  def readAtTime(name: String, ts: Timestamp): Option[DataFrame] =
+    entries(name).filter(_.committedAtMs.forall(_ <= ts.getTime))
+      .lastOption.flatMap(e => readAt(name, e.id))
+
   /** Commit history of a table as a DataFrame (ascending snapshot_id):
     * id, kind (full|delta), upsert flag, merge keys, commit timestamp, and
     * whether the segment is part of the CURRENT live read set.

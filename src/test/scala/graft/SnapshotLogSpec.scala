@@ -383,6 +383,14 @@ class SnapshotLogSpec extends SparkSpec {
     assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     assert(hist.map(_.getString(1)).toSeq === Seq("full", "delta", "delta"))
     assert(hist.forall(_.getBoolean(5)), "all three segments are live (no compaction yet)")
+
+    // timestamp travel: the floor commit at each snapshot's recorded time,
+    // nothing before the first commit, the latest state afterwards
+    val times = hist.map(_.getTimestamp(4))
+    assert(log.readAtTime("t", times(1)).get.count() === 3L)
+    assert(log.readAtTime("t", new java.sql.Timestamp(times(0).getTime - 1)).isEmpty)
+    assert(log.readAtTime("t", new java.sql.Timestamp(times(2).getTime + 60000)).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === state(3L))
   }
 
   test("time travel survives compaction; vacuum reclaims pre-compaction history only") {
