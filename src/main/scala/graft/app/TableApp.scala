@@ -89,12 +89,19 @@ object TableApp {
 
       case "snapshot" =>
         if (args.length < 4) usage()
-        val (t, asOf) = (args(2), args(3).toLong)
-        log.readAt(t, asOf) match {
+        val t = args(2)
+        // numeric = snapshot id (VERSION AS OF); otherwise an ISO-8601
+        // instant, e.g. 2026-08-17T21:00:00Z (TIMESTAMP AS OF)
+        val view = args(3) match {
+          case id if id.forall(_.isDigit) => log.readAt(t, id.toLong)
+          case iso => log.readAtTime(t,
+            java.sql.Timestamp.from(java.time.Instant.parse(iso)))
+        }
+        view match {
           case Some(df) =>
-            println(s"[table] $t@$asOf rows=${df.count()} columns=${df.columns.mkString(",")}")
+            println(s"[table] $t@${args(3)} rows=${df.count()} columns=${df.columns.mkString(",")}")
           case None =>
-            println(s"[table] $t@$asOf absent (nothing committed yet, or vacuumed)")
+            println(s"[table] $t@${args(3)} absent (nothing committed yet, or vacuumed)")
             sys.exit(1)
         }
 
