@@ -153,8 +153,15 @@ object ScalingBench {
     * and return (exit code, stdout). Fresh-JVM isolation is load-bearing for
     * every measurement: a long-lived bench JVM measures the same job 2-3×
     * slower after a few sessions (BASELINE.md §JVM churn).
+    *
+    * `timeoutMs > 0` bounds the child's wall clock: a wedged child is
+    * destroyForcibly'd and the call returns rc=124 with whatever stdout had
+    * drained. Round 4's recorded artifact was EMPTY because the unbounded
+    * `readAllBytes`/`waitFor` here let one bad window consume the driver's
+    * whole bench budget — every caller on the bench path now passes a bound.
     */
-  def forkLines(mainClass: String, args: Seq[String]): (Int, String) = {
+  def forkLines(mainClass: String, args: Seq[String],
+      timeoutMs: Long = 0L): (Int, String) = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
@@ -173,23 +180,49 @@ object ScalingBench {
     })
     errDrain.setDaemon(true)
     errDrain.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val rc = proc.waitFor()
-    (rc, out)
+    // stdout also drains on a thread (readAllBytes on the parent thread
+    // would wait forever on a wedged child even after a timeout fires)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val outDrain = new Thread(() => {
+      val is = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = is.read(buf)
+      while (n >= 0) {
+        outBuf.synchronized { outBuf.write(buf, 0, n) }
+        n = is.read(buf)
+      }
+    })
+    outDrain.setDaemon(true)
+    outDrain.start()
+    val finished =
+      if (timeoutMs > 0)
+        proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      else { proc.waitFor(); true }
+    if (!finished) {
+      proc.destroyForcibly()
+      proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    outDrain.join(2000)
+    val rc = if (finished) proc.exitValue() else 124
+    (rc, new String(outBuf.synchronized(outBuf.toByteArray),
+      java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** One (cores, mode) measurement in a fresh child JVM → best-of-reps
-    * seconds. The child prints one `[measure] <secs>` line.
+    * seconds, or None if the child failed or hit `timeoutMs`. The child
+    * prints one `[measure] <secs>` line. Never throws: the bench must keep
+    * emitting its contract line no matter what a single fork does.
     */
-  def forkMeasure(cores: Int, corpusDir: String, reps: Int, mode: String): Double = {
+  def forkMeasure(cores: Int, corpusDir: String, reps: Int, mode: String,
+      timeoutMs: Long = 0L): Option[Double] = {
     val (rc, out) = forkLines("graft.app.ScalingBench",
-      Seq("--measure", cores.toString, corpusDir, reps.toString, mode))
+      Seq("--measure", cores.toString, corpusDir, reps.toString, mode), timeoutMs)
     val secs = out.linesIterator.collectFirst {
       case l if l.startsWith("[measure] ") => l.stripPrefix("[measure] ").trim.toDouble
     }
-    secs.getOrElse(throw new IllegalStateException(
-      s"forked measurement failed (rc=$rc, cores=$cores, mode=$mode): $out"))
+    if (secs.isEmpty)
+      println(s"[bench] fork_failed rc=$rc cores=$cores mode=$mode")
+    secs
   }
 
   def run(turnsTarget: Long, cores: Seq[Int], reps: Int = 2,
