@@ -111,8 +111,27 @@ object TableApp {
         val live = log.history(t).filter("live").orderBy("snapshot_id").collect()
         if (live.isEmpty) { println(s"[table] $t: nothing committed"); sys.exit(1) }
         if (live.length == 1) { println(s"[table] $t: already one full snapshot"); sys.exit(0) }
-        val keys = live.last.getSeq[String](3)
-        val parts = partitionColumns(Paths.get(log.snapshotPath(t, live.last.getLong(0))))
+        // layout (partition columns + merge keys) comes from the live FULL
+        // (base) segment, falling back to the majority of live segments —
+        // NOT from the newest delta: an unpartitioned or keyless delta
+        // landing last would otherwise silently compact the table without
+        // its partition layout / key bloom, degrading every later read and
+        // merge prune. Empty layouts don't outvote recorded ones.
+        val layouts = live.toSeq.map { r =>
+          (r.getSeq[String](3).toSeq,
+            partitionColumns(Paths.get(log.snapshotPath(t, r.getLong(0)))))
+        }
+        def majority[A](xs: Seq[A]): Option[A] =
+          xs.groupBy(identity).toSeq.sortBy(-_._2.size).headOption.map(_._1)
+        val base = if (live.head.getString(1) == "full") Some(layouts.head) else None
+        val keys = base.map(_._1).filter(_.nonEmpty)
+          .orElse(majority(layouts.map(_._1).filter(_.nonEmpty))).getOrElse(Seq.empty)
+        val parts = base.map(_._2).filter(_.nonEmpty)
+          .orElse(majority(layouts.map(_._2).filter(_.nonEmpty))).getOrElse(Seq.empty)
+        if (layouts.map(_._1).distinct.size > 1 || layouts.map(_._2).distinct.size > 1)
+          println(s"[table] $t: WARNING live segments disagree on layout" +
+            s" (${layouts.distinct.mkString("; ")}) — compacting with" +
+            s" partitionBy=${parts.mkString(",")} keys=${keys.mkString(",")}")
         val id = log.commit(t, log.read(t).get, parts, bloomKeys = keys)
         println(s"[table] $t: compacted ${live.length} live segments -> snapshot $id" +
           s" (partitionBy=${parts.mkString(",")} bloomKeys=${keys.mkString(",")})")

@@ -83,11 +83,24 @@ import org.apache.spark.sql.functions._
   *   costs ~28.8 bits/key ≈ 3.5 MB per bloom at the 1M default floor
   *   and keeps a 10k-row delta's flag-FP chance at ~1% per segment.
   */
+/** @param bloomProbeBudgetBytes cap on the bloom bytes resident on the
+  *   driver (and serialized into one probe job's task closures) at any
+  *   moment during a merge: segments are probed in GROUPS whose summed
+  *   bloom size stays under the budget, each group's blooms dropped before
+  *   the next loads. Worst-case transient driver memory is therefore
+  *   budget + one bloom (≤ budget + ~115 MB at the bloomMaxItems ceiling),
+  *   independent of the live-segment count — without the grouping, a merge
+  *   against 32 live max-size segments held ~3.7 GB of blooms in one task
+  *   binary. A group still probes in ONE aggregation job over the (persisted)
+  *   delta, so the typical table (few live segments, MB-scale blooms) keeps
+  *   paying a single job.
+  */
 class SnapshotLog(spark: SparkSession, baseDir: String,
     autoCompactSegments: Int = 32,
     bloomExpectedItems: Long = 1L * 1000 * 1000,
     bloomFpp: Double = 1e-6,
-    bloomMaxItems: Long = 32L * 1000 * 1000) {
+    bloomMaxItems: Long = 32L * 1000 * 1000,
+    bloomProbeBudgetBytes: Long = 512L << 20) {
   import spark.implicits._
 
   /** (segments scanned, segments live) of the most recent merge — a test/
@@ -318,32 +331,61 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
 
   /** The live segments a merge of `in` must scan: segments whose bloom
     * matches at least one incoming key hash, plus every segment without a
-    * bloom. ONE aggregation job over the incoming delta decides all
-    * segments at once — each segment's bloom is probed with the hash
-    * version IT was written under (one derived column per version present,
-    * usually one). Records `lastMergeScan`.
+    * usable bloom. A bloom is usable only when the segment's RECORDED merge
+    * keys equal the caller's key set (case-insensitive): the bloom hashes
+    * the recorded keys' values, so probing it with a different key set
+    * hashes different values and could prune a segment that DOES contain
+    * the incoming keys — a silent-duplicate/stale-resolution bug for any
+    * external caller that merges a public table on a different key set
+    * than it was committed with. Mismatched segments fall back to
+    * always-scan (correct, just unpruned).
+    *
+    * Segments probe in groups bounded by `bloomProbeBudgetBytes` (each
+    * group = one aggregation job over the persisted delta; blooms load
+    * lazily per group and are dropped before the next group loads), so
+    * driver memory and per-job task-closure size stay bounded regardless
+    * of how many live segments the table has. Each segment's bloom is
+    * probed with the hash version IT was written under (one derived column
+    * per version present, usually one). Records `lastMergeScan`.
     */
   private def scannedEntries(name: String, in: DataFrame, keys: Seq[String]): Seq[Entry] = {
     val live = liveEntries(name)
-    val withBlooms = live.map(e => e -> segBloom(name, e))
-    val bloomed = withBlooms.collect { case (e, Some(b)) => (e, b) }
-    val scanned =
-      if (bloomed.isEmpty) live
-      else {
-        def vOf(e: Entry) = if (e.hashV >= 2) 2 else 1
-        val probe = bloomed.map(x => vOf(x._1)).distinct.foldLeft(in)((df, v) =>
-          df.withColumn(s"__graft_key_hash_v$v", keyHashCol(keys, v)))
-        val flags = bloomed.map { case (e, b) =>
-          val c = col(s"__graft_key_hash_v${vOf(e)}")
-          val hit = udf((h: Long) => b.mightContainLong(h))
-          max(when(hit(c), 1).otherwise(0)).as(s"s${e.id}")
-        }
-        val row = probe.agg(flags.head, flags.tail: _*).first()
-        val hitIds = bloomed.indices.collect {
-          case i if !row.isNullAt(i) && row.getInt(i) == 1 => bloomed(i)._1.id
-        }.toSet
-        withBlooms.collect { case (e, ob) if ob.isEmpty || hitIds(e.id) => e }
+    val keySet = keys.map(_.toLowerCase).sorted
+    val (candidates, unpruned) = live.partition(e =>
+      e.keys.map(_.toLowerCase).sorted == keySet && Files.exists(bloomPath(name, e.id)))
+    val hitIds = scala.collection.mutable.Set[Long]()
+    val noBloom = scala.collection.mutable.ListBuffer[Entry]()
+    def vOf(e: Entry) = if (e.hashV >= 2) 2 else 1
+    def probeGroup(group: Seq[(Entry, org.apache.spark.util.sketch.BloomFilter)]): Unit = {
+      val probe = group.map(x => vOf(x._1)).distinct.foldLeft(in)((df, v) =>
+        df.withColumn(s"__graft_key_hash_v$v", keyHashCol(keys, v)))
+      val flags = group.map { case (e, b) =>
+        val c = col(s"__graft_key_hash_v${vOf(e)}")
+        val hit = udf((h: Long) => b.mightContainLong(h))
+        max(when(hit(c), 1).otherwise(0)).as(s"s${e.id}")
       }
+      val row = probe.agg(flags.head, flags.tail: _*).first()
+      group.indices.foreach { i =>
+        if (!row.isNullAt(i) && row.getInt(i) == 1) hitIds += group(i)._1.id
+      }
+    }
+    var group = List.empty[(Entry, org.apache.spark.util.sketch.BloomFilter)]
+    var groupBytes = 0L
+    candidates.foreach { e =>
+      segBloom(name, e) match {
+        case None => noBloom += e // unreadable bloom file: always scan
+        case Some(b) =>
+          val bytes = b.bitSize() / 8
+          if (group.nonEmpty && groupBytes + bytes > bloomProbeBudgetBytes) {
+            probeGroup(group.reverse)
+            group = Nil; groupBytes = 0L
+          }
+          group ::= (e, b); groupBytes += bytes
+      }
+    }
+    if (group.nonEmpty) probeGroup(group.reverse)
+    val scanned = live.filter(e =>
+      unpruned.contains(e) || noBloom.contains(e) || hitIds(e.id))
     lastMergeScan = Some((scanned.size, live.size))
     scanned
   }
@@ -550,10 +592,18 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       if (Files.exists(m)) Files.readAllLines(m, UTF_8).asScala.toSeq else Seq.empty
     val keysJson = keys.map(k => "\"" + k + "\"").mkString("[", ", ", "]")
     val schemaB64 = java.util.Base64.getEncoder.encodeToString(schema.json.getBytes(UTF_8))
+    // recorded commit time is clamped to be monotone with snapshot id (as
+    // Delta monotonizes commit timestamps): readAtTime picks the highest-id
+    // entry at-or-before ts and readAt then includes ALL lower-id segments,
+    // which is only correct if no lower-id entry carries a LATER timestamp —
+    // an NTP step-back between commits would otherwise break as-of reads
+    val prevTs = existing.reverseIterator
+      .flatMap(l => tsRe.findFirstMatchIn(l).map(_.group(1).toLong))
+      .nextOption().getOrElse(0L)
     val entry =
       s"""{"snapshot_id": $id, "table": "$name", "kind": "$kind", "upsert": $upsert, """ +
         s""""keys": $keysJson, "schema_b64": "$schemaB64", "hash_v": $hashV, """ +
-        s""""committed_at_ms": ${System.currentTimeMillis()}}"""
+        s""""committed_at_ms": ${math.max(System.currentTimeMillis(), prevTs)}}"""
     val tmp = tableDir(name).resolve(s"_snapshots.json.tmp-$id")
     Files.write(tmp, (existing :+ entry).mkString("\n").getBytes(UTF_8))
     Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -259,6 +259,77 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.snapshots("t") === before)
   }
 
+  test("bloom pruning: a bloom built over DIFFERENT merge keys is never trusted") {
+    // a public-API caller can merge a table on a different key set than its
+    // segments were committed with — the blooms then hash different values,
+    // so trusting them could prune a segment that DOES hold incoming keys
+    // (silent duplicates). The guard treats key-set-mismatched blooms as
+    // absent: correct (always scan), just unpruned.
+    val dir = Files.createTempDirectory("graft-bloomkeys").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeAppend("t", (1L to 500L).map(i => (i, s"g${i % 7}", s"v$i"))
+      .toDF("id", "g", "v"), Seq("id", "g"))
+    log.mergeAppend("t", (501L to 1000L).map(i => (i, s"g${i % 7}", s"v$i"))
+      .toDF("id", "g", "v"), Seq("id", "g"))
+    // merge on a SUBSET key (id only) with rows whose (id) exists but whose
+    // (id, g) would hash differently: both segments must be scanned, and the
+    // id-duplicate rows dropped
+    log.mergeAppend("t", Seq((42L, "OTHER", "dup"), (5000L, "g0", "new"))
+      .toDF("id", "g", "v"), Seq("id"))
+    assert(log.lastMergeScan === Some((2, 2)),
+      s"key-set mismatch must disable pruning: ${log.lastMergeScan}")
+    val rows = log.read("t").get.collect()
+    assert(rows.length === 1001)
+    assert(rows.count(_.getLong(0) == 42L) === 1, "id-keyed dedup must hold")
+    // same keys, different order/case: blooms stay trusted (pruning intact)
+    val log2 = new SnapshotLog(spark, Files.createTempDirectory("graft-bk2").toString)
+    log2.mergeAppend("t", (1L to 200L).map(i => (i, s"g${i % 7}", s"v$i"))
+      .toDF("id", "g", "v"), Seq("id", "g"))
+    log2.mergeAppend("t", Seq((9000L, "gX", "new2")).toDF("id", "g", "v"), Seq("G", "ID"))
+    assert(log2.lastMergeScan === Some((0, 1)),
+      s"order/case-insensitive key match must keep pruning: ${log2.lastMergeScan}")
+  }
+
+  test("bloom probing under a tiny driver budget groups correctly and still prunes") {
+    // bloomProbeBudgetBytes=1 forces ONE bloom per probe job — the bounded-
+    // driver-memory path (worst-case resident = budget + one bloom, never
+    // segments × bloom bytes). Semantics must be identical to the one-job
+    // path: disjoint increments scan zero, overlaps scan exactly the hits.
+    val dir = Files.createTempDirectory("graft-bloombudget").toString
+    val log = new SnapshotLog(spark, dir, bloomProbeBudgetBytes = 1L)
+    log.mergeAppend("t", (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (501L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (2001L to 2100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    assert(log.lastMergeScan === Some((0, 2)),
+      s"grouped probing must still prune disjoint merges: ${log.lastMergeScan}")
+    log.mergeAppend("t", Seq((42L, "dup"), (950L, "dup")).toDF("id", "v"), Seq("id"))
+    assert(log.lastMergeScan === Some((2, 3)),
+      s"grouped probing must flag both hit segments: ${log.lastMergeScan}")
+    assert(log.read("t").get.count() === 1100L)
+  }
+
+  test("manifest commit timestamps are monotone even if the wall clock steps back") {
+    val dir = Files.createTempDirectory("graft-monotone").toString
+    val log = new SnapshotLog(spark, dir)
+    log.commit("t", Seq((1L, "a")).toDF("id", "v"))
+    // simulate an NTP step-back: hand-edit snapshot 1's recorded time into
+    // the far future, then commit again — the new entry must clamp to it,
+    // not record an EARLIER time on a LATER snapshot id
+    val m = Paths.get(dir, "t", "_snapshots.json")
+    val future = System.currentTimeMillis() + 10L * 365 * 86400 * 1000
+    val edited = new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8)
+      .replaceAll("\"committed_at_ms\": \\d+", s""""committed_at_ms": $future""")
+    Files.write(m, edited.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    log.mergeAppend("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    val times = log.history("t").orderBy("snapshot_id")
+      .collect().map(_.getTimestamp(4).getTime)
+    assert(times.length === 2 && times(1) >= times(0),
+      s"commit times must be monotone with snapshot id: ${times.toSeq}")
+    // readAtTime at the (clamped) shared instant sees BOTH segments — the
+    // as-of invariant the monotone clamp protects
+    assert(log.readAtTime("t", new java.sql.Timestamp(times(1))).get.count() === 2L)
+  }
+
   test("bloom pruning: a segment without a bloom file is always scanned (legacy safety)") {
     val dir = Files.createTempDirectory("graft-bloomlegacy").toString
     val log = new SnapshotLog(spark, dir)
