@@ -261,6 +261,14 @@ object EntityDedup {
         collect_set($"name").as("aliases"),
         flatten(collect_list($"source_chunks")).as("all_chunks"))
 
+    // dual embeddings (reference nodes.py:44-49): `embedding` stays the
+    // NAME-ONLY vector (name_only_embedding analogue — it is what the
+    // blocking/linking cosine and direct name lookup use); `name_embedding`
+    // is the semantic "{name}: {summary}" vector (pipeline.py:952-965),
+    // computed at CANONICAL cardinality so it always reflects the picked
+    // member's final (name, summary) pair
+    val nameEmbUdf = udf((n: String, s: String) =>
+      Embed.embed(if (s == null || s.isEmpty) n else s"$n: $s"))
     val entities = canon.select(
       $"c.entity_uuid".as("entity_uuid"),
       $"c.name".as("name"),
@@ -270,6 +278,7 @@ object EntityDedup {
       $"aliases",
       array_distinct($"all_chunks").as("source_chunks"),
       $"c.embedding".as("embedding"),
+      nameEmbUdf($"c.name", $"c.summary").as("name_embedding"),
       $"c.group_id".as("group_id")).as[Entity]
 
     val remap = labeled

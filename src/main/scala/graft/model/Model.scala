@@ -55,6 +55,12 @@ case class Mention(
     group_id: String)
 
 /** Canonical (deduplicated) entity — EntityNode analogue. */
+/** `embedding` is the NAME-ONLY vector (reference `name_only_embedding`,
+  * nodes.py:47 — direct name lookup: query→entity traversal, linker/dedup
+  * blocking); `name_embedding` is the semantic vector over
+  * `"{name}: {summary}"` (reference `name_embedding`, nodes.py:44 +
+  * pipeline.py:952-965 — hint resolution / semantic entity matching).
+  */
 case class Entity(
     entity_uuid: String,
     name: String,
@@ -64,6 +70,7 @@ case class Entity(
     aliases: Seq[String],
     source_chunks: Seq[String],
     embedding: Seq[Double],
+    name_embedding: Seq[Double],
     group_id: String)
 
 /** Reified fact — FactNode + hub-edge pair flattened (FIXTURES.md §3). */

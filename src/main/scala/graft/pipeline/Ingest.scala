@@ -272,7 +272,7 @@ object Ingest {
       .select((entityCols.map(col) :+ $"own_summary" :+ $"ex_summary"): _*)
     val scalarCols = entityCols.filterNot(c =>
       Set("entity_uuid", "summary", "aliases", "source_chunks").contains(c))
-    entityRows0.groupBy($"entity_uuid")
+    val folded = entityRows0.groupBy($"entity_uuid")
       .agg(
         max_by(struct(scalarCols.map(col): _*), struct($"name", $"summary")).as("c"),
         // all rows of a matched uuid carry the SAME committed ex summary
@@ -283,5 +283,14 @@ object Ingest {
           .as("source_chunks"))
       .select(entityCols.map(c =>
         if (scalarCols.contains(c)) col(s"c.$c").as(c) else col(c)): _*)
+    // the semantic vector tracks the MERGED (name, summary) pair — recompute
+    // it after the fold (the name-only `embedding` is unchanged by a summary
+    // merge and stays as committed). Guarded: linking against a legacy
+    // warehouse committed before the dual-embedding column keeps its schema.
+    if (entityCols.contains("name_embedding")) {
+      val nameEmbUdf = udf((n: String, s: String) =>
+        graft.functions.Embed.embed(if (s == null || s.isEmpty) n else s"$n: $s"))
+      folded.withColumn("name_embedding", nameEmbUdf($"name", $"summary"))
+    } else folded
   }
 }

@@ -105,7 +105,12 @@ object GraphLookup {
       .select(col("predicate"), col("object").as("neighbor"),
         lit("outgoing").as("direction"), col("embedding"),
         col("date_context"), col("fact_uuid"))
-    val in = factsWithEmb.filter(col("object_uuid") === entityUuid)
+    // self-loop facts (subject_uuid == object_uuid == entity) would enter
+    // the pool once per orientation, survive the per-(predicate, neighbor,
+    // direction) dedup as two rows, and burn two topK slots — keep them on
+    // the outgoing side only
+    val in = factsWithEmb.filter(col("object_uuid") === entityUuid &&
+        col("subject_uuid") =!= entityUuid)
       .select(col("predicate"), col("subject").as("neighbor"),
         lit("incoming").as("direction"), col("embedding"),
         col("date_context"), col("fact_uuid"))

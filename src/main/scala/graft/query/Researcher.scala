@@ -36,6 +36,18 @@ object Researcher {
       topKEvidenceEnumeration: Int = 40,
       refinementTopK: Int = 20) // refinement_search_top_k, researcher.py:703-860
 
+  /** The vector hint/semantic resolution scores against: the reference's
+    * v6 hint resolver queries the `entity_name_embeddings` index, whose
+    * vectors embed `"{name}: {summary}"` (graph_store.py:217,
+    * pipeline.py:952-965) — NOT the name-only vector (that one backs the
+    * deterministic retriever's query→entity traversal,
+    * deterministic_retrieval.py:296; see Retriever.resolveQueryEntities).
+    * Falls back to the name-only `embedding` on minimal/legacy schemas.
+    */
+  private[query] def semanticEmb(entities: DataFrame) =
+    if (entities.columns.contains("name_embedding")) col("name_embedding")
+    else col("embedding")
+
   /** Step 1: resolve entity name hints → entity uuids (exact alias-key match
     * first, else embedding cosine ≥ floor, top-1 per hint).
     */
@@ -52,7 +64,7 @@ object Researcher {
         lower(col("canonical_name")) === col("hint_key") ||
           exists(col("aliases"), a => lower(a) === col("hint_key")))
       .withColumn("sim",
-        graft.functions.expr.CosineSimilarity(col("embedding"), col("hint_emb")))
+        graft.functions.expr.CosineSimilarity(semanticEmb(entities), col("hint_emb")))
       .withColumn("score", when(col("exact"), lit(2.0)).otherwise(col("sim")))
       .filter(col("exact") || col("sim") >= cfg.resolveFloor)
     val top1 = org.apache.spark.sql.expressions.Window
@@ -223,7 +235,7 @@ object Researcher {
         lower(col("canonical_name")) === col("hint_key") ||
           exists(col("aliases"), a => lower(a) === col("hint_key")))
       .withColumn("sim",
-        graft.functions.expr.CosineSimilarity(col("embedding"), col("hint_emb")))
+        graft.functions.expr.CosineSimilarity(semanticEmb(entities), col("hint_emb")))
       .withColumn("r_score", when(col("exact"), lit(2.0)).otherwise(col("sim")))
       .filter(col("exact") || col("sim") >= cfg.resolveFloor)
       .withColumn("rn", row_number().over(resolvedTop)).filter(col("rn") === 1)

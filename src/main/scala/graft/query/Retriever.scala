@@ -225,6 +225,44 @@ object Retriever {
       .limit(topK)
   }
 
+  /** Query→entity resolution for graph traversal — the analogue of the
+    * reference's `entity_name_only_embeddings` vector index query
+    * (deterministic_retrieval.py:285-301: top 5 by cosine against the
+    * NAME-ONLY entity vector, floor 0.5, keyword fallback when the vector
+    * pass finds nothing). The entity table is orders of magnitude smaller
+    * than the fact table, so this is one narrow scan + TakeOrdered; the
+    * returned uuids feed `search`'s anchorEntities / expandOneHop.
+    */
+  def resolveQueryEntities(entities: DataFrame, query: String, topK: Int = 5,
+      floor: Double = 0.5): Seq[String] = {
+    val qv = lit(graft.functions.Embed.embed(query))
+    val hits = entities
+      .withColumn("q_score", graft.functions.expr.CosineSimilarity(col("embedding"), qv))
+      .filter(col("q_score") > floor)
+      .orderBy(col("q_score").desc, col("entity_uuid"))
+      .select(col("entity_uuid")).limit(topK)
+      .collect().map(_.getString(0)).toSeq
+    if (hits.nonEmpty) hits
+    else {
+      // fallback: full-text keyword match on entity names
+      // (deterministic_retrieval.py:303-313)
+      val kws = extractKeywords(query).distinct
+      if (kws.isEmpty) Seq.empty
+      else entities
+        .filter(kws.map(k => lower(col("canonical_name")).contains(k)).reduce(_ || _))
+        .orderBy(col("entity_uuid"))
+        .select(col("entity_uuid")).limit(topK)
+        .collect().map(_.getString(0)).toSeq
+    }
+  }
+
+  /** `search` with the graph-traversal anchors derived FROM the query (the
+    * reference's Strategy 3 end-to-end) instead of caller-supplied.
+    */
+  def searchAuto(facts: DataFrame, entities: DataFrame, query: String,
+      topK: Int = 10, cfg: Config = Config()): DataFrame =
+    search(facts, query, resolveQueryEntities(entities, query), topK, cfg)
+
   /** DeterministicRetriever.search analogue (deterministic_retrieval.py:379-402):
     * vector ∥ keyword ∥ graph → RRF(60) → top-k.
     */

@@ -155,12 +155,14 @@ class IncrementalSpec extends SparkSpec {
     // both link to U (one via alias, one via cosine). The upsert row's
     // summary must contain S once — folding the per-row pre-merged
     // summaries would repeat it per linked row.
+    def nameEmb(n: String, s: String) = graft.functions.Embed.embed(s"$n: $s").toSeq
     val ex = Seq(Entity("U", "Quantum Dynamics", "Quantum Dynamics", "Organization",
       "S existing summary", Seq("Quantum Dynamics"), Seq("c0"),
-      graft.functions.Embed.embed("Quantum Dynamics").toSeq, "default")).toDF()
+      graft.functions.Embed.embed("Quantum Dynamics").toSeq,
+      nameEmb("Quantum Dynamics", "S existing summary"), "default")).toDF()
     def linkedRow(uuid: String, name: String, own: String) =
       Entity(uuid, name, name, "Organization", own, Seq(name), Seq(s"c-$uuid"),
-        graft.functions.Embed.embed(name).toSeq, "default")
+        graft.functions.Embed.embed(name).toSeq, nameEmb(name, own), "default")
     val linked = Seq(linkedRow("A", "Quantum Dynamics Inc", "A summary"),
         linkedRow("B", "Quantum Dynamics Corp", "B summary")).toDF()
       .withColumn("resolved_uuid", lit("U"))
@@ -287,6 +289,27 @@ class IncrementalSpec extends SparkSpec {
 
     // no incident facts → empty (the reference's found:false)
     assert(GraphLookup.exploreNeighborsSemantic(facts, "no-such-uuid", "anything").count() === 0)
+  }
+
+  test("explore_neighbors_semantic: a self-loop fact appears ONCE, not once per direction") {
+    import graft.functions.Embed
+    val selfLoop = "Acme Corp restructured Acme Corp."
+    val other = "Acme Corp acquired Beta LLC."
+    val facts = Seq(
+      ("fs", selfLoop, "eA", "eA", "restructured", "Acme Corp", "Acme Corp",
+        "in 2020", Embed.embed(selfLoop).toSeq),
+      ("f2", other, "eA", "eB", "acquired", "Acme Corp", "Beta LLC",
+        "in 2021", Embed.embed(other).toSeq))
+      .toDF("fact_uuid", "fact", "subject_uuid", "object_uuid", "predicate",
+        "subject", "object", "date_context", "embedding")
+    val rows = GraphLookup.exploreNeighborsSemantic(facts, "eA", selfLoop, topK = 2)
+      .collect()
+    // without the self-loop filter the loop fact enters the pool once per
+    // orientation, survives the (predicate, neighbor, direction) dedup as
+    // two rows, and burns BOTH topK slots — f2's edge would vanish
+    assert(rows.count(_.getString(0) === "restructured") === 1,
+      s"self-loop must appear once: ${rows.mkString(";")}")
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("acquired", "restructured"))
   }
 
   test("get_chunks batch: one equi-join resolves all triplets; misses absent (mcp_server.py:308-361)") {

@@ -26,6 +26,47 @@ class ResearcherSpec extends SparkSpec {
     assert(byHint(name.toUpperCase) === name)
   }
 
+  test("dual embeddings: pipeline entities carry name_embedding = embed(name: summary)") {
+    import graft.functions.Embed
+    val (_, entities, _) = built
+    val rows = entities.select($"canonical_name", $"summary", $"embedding",
+      $"name_embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getString(0), r.getString(1))
+      val expectedSem = Embed.embed(if (s == null || s.isEmpty) n else s"$n: $s").toSeq
+      assert(r.getSeq[Double](3) === expectedSem,
+        s"name_embedding must embed '{name}: {summary}' (pipeline.py:952-965) for $n")
+      assert(r.getSeq[Double](2) === Embed.embed(n).toSeq,
+        s"embedding must stay the name-only vector (nodes.py:47) for $n")
+    }
+  }
+
+  test("hint resolution scores the SEMANTIC vector (entity_name_embeddings analogue)") {
+    import graft.functions.Embed
+    // an entity whose name-only vector is ~orthogonal to the hint but whose
+    // "{name}: {summary}" vector IS the hint's vector: resolution must use
+    // the semantic column (v6 graph_store.py:217) — against the name-only
+    // column the hint would drop below the 0.3 floor and resolve nothing
+    val name = "Alpha Co"
+    val summary = "Alpha Co operates regional freight corridors spanning coastal " +
+      "terminals, inland depots, customs brokerage desks, refrigerated warehousing, " +
+      "rail interchange yards, barge moorings, and seasonal agricultural haulage " +
+      "contracts across three adjacent provinces."
+    val hint = s"$name: $summary"
+    val entities = Seq(("eA", name, "Organization",
+        Embed.embed(name).toSeq, Embed.embed(hint).toSeq,
+        Seq(name), "default"))
+      .toDF("entity_uuid", "canonical_name", "entity_type", "embedding",
+        "name_embedding", "aliases", "group_id")
+    val res = Researcher.resolveHints(entities, Seq(hint)).collect()
+    assert(res.map(_.getString(0)).toSeq === Seq("eA"),
+      s"semantic-vector hint must resolve: ${res.mkString(";")}")
+    val nameOnlySim = Embed.cosine(Embed.embed(hint), Embed.embed(name))
+    assert(nameOnlySim < 0.3,
+      s"fixture assumption: name-only sim must sit under the floor ($nameOnlySim)")
+  }
+
   test("research: dual-path evidence respects threshold, boost, and cap") {
     val (facts, entities, _) = built
     val someFact = facts.select($"fact", $"subject").first()

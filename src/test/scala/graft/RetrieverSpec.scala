@@ -115,4 +115,32 @@ class RetrieverSpec extends SparkSpec {
     val out = Retriever.expandOneHop(facts, Seq(e), maxFacts = 10)
     assert(out.select($"score").distinct().collect().map(_.getDouble(0)).toSeq === Seq(0.45))
   }
+
+  test("query→entity traversal resolves over the NAME-ONLY vector, keyword fallback") {
+    import graft.functions.Embed
+    val entities = Seq(
+      ("e1", "Granite Foods", Embed.embed("Granite Foods").toSeq),
+      ("e2", "Vertex Capital", Embed.embed("Vertex Capital").toSeq))
+      .toDF("entity_uuid", "canonical_name", "embedding")
+    // the query IS an entity name → vector path (cosine 1.0 > 0.5, top 5)
+    assert(Retriever.resolveQueryEntities(entities, "Granite Foods") === Seq("e1"))
+    // vector miss (orthogonal hash vectors) but a name keyword appears in
+    // the query → full-text fallback (deterministic_retrieval.py:303-313)
+    val viaKeyword = Retriever.resolveQueryEntities(entities,
+      "latest disclosures involving vertex subsidiaries")
+    assert(viaKeyword === Seq("e2"), s"keyword fallback must hit e2: $viaKeyword")
+  }
+
+  test("searchAuto derives graph anchors from the query (Strategy 3 end-to-end)") {
+    val row = facts.select($"subject", $"subject_uuid", $"fact").first()
+    val entities = Seq((row.getString(1), row.getString(0),
+        graft.functions.Embed.embed(row.getString(0)).toSeq))
+      .toDF("entity_uuid", "canonical_name", "embedding")
+    // query = the anchor entity's name: the graph path must contribute
+    // (found_by includes "graph") without the caller passing anchors
+    val out = Retriever.searchAuto(facts, entities, row.getString(0), topK = 10).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getAs[scala.collection.Seq[String]]("found_by").contains("graph")),
+      s"graph strategy must fire from auto-resolved anchors: ${out.mkString(";")}")
+  }
 }
