@@ -391,6 +391,24 @@ object SparkEntry {
         .orderBy(col("entity_uuid"))
     }),
 
+    // EXACT empty-relation check for the entity table (the golden-diff
+    // pattern): the pipeline's canonical entities ⊖ the generator-derived
+    // golden entity set (TranscriptGen.goldenEntities — id-level grouping,
+    // longest-form canonical, title-cased aliases, rule types). Any false
+    // merge, missed merge, alias loss, canonical mis-pick, or type drift
+    // lands a row; oracle = empty relation, driver hash-checked.
+    "kg_pipeline_entities_check" -> ((s, dir) => {
+      val r = Ingest.runInMemory(s, TranscriptGen.transcripts(s, smallSynth))
+      def key(df: DataFrame): DataFrame = df.select(col("canonical_name"),
+        col("entity_type"), col("aliases"), col("group_id"))
+      val got = key(r.entities.withColumn("aliases",
+        array_join(array_sort(col("aliases")), "|")))
+      val exp = key(TranscriptGen.goldenEntities(s, smallSynth))
+      got.except(exp).withColumn("side", lit("pipeline_only"))
+        .unionByName(exp.except(got).withColumn("side", lit("golden_only")))
+        .orderBy(col("canonical_name"), col("side"))
+    }),
+
     "kg_retrieval_rrf" -> ((s, dir) => {
       val turns = TranscriptGen.transcripts(s, smallSynth)
       val facts = Retriever.withFactEmbeddings(Ingest.runInMemory(s, turns).triples)
@@ -432,6 +450,35 @@ object SparkEntry {
       graft.query.Researcher.researchQuestion(facts, r.entities, q, TranscriptGen.ontology)
         .withColumn("sources", array_join(array_sort(col("sources")), "|"))
         .orderBy(col("fact_uuid"))
+    }),
+
+    // EXACT empty-relation check for the question-driven e2e flow:
+    // researchQuestion (decompose → hint-resolve → research, the driver
+    // loop formulation) ⊖ researchBatch fed the SAME decomposed hints as a
+    // one-row question table (the partition-by-query_id formulation). The
+    // batch path is already proven ≡ the single `research` path
+    // (kg_research_batch_check), so this transitively oracle-checks the
+    // e2e row's retrieval/boost/cap arithmetic through a genuinely
+    // different implementation. Expected empty; driver hash-checked.
+    "kg_research_e2e_check" -> ((s, dir) => {
+      import s.implicits._
+      val turns = TranscriptGen.transcripts(s, smallSynth)
+      val r = Ingest.runInMemory(s, turns)
+      val facts = Retriever.withFactEmbeddings(r.triples)
+      val q = facts.orderBy(col("fact_uuid")).select(col("fact")).first().getString(0)
+      val d = graft.query.Decomposer.decompose(q, TranscriptGen.ontology)
+      def key(df: DataFrame): DataFrame = df.select(col("fact_uuid"),
+        round(col("final_score"), 9).as("sc"),
+        array_join(array_sort(col("sources")), "|").as("src"))
+      val e2e = key(graft.query.Researcher.researchQuestion(
+        facts, r.entities, q, TranscriptGen.ontology))
+      val qs = Seq((0L, q, d.entityHints, d.topicHints,
+          d.questionType == graft.query.Decomposer.Enumeration))
+        .toDF("query_id", "question", "entity_hints", "topic_hints", "enumeration")
+      val batch = key(graft.query.Researcher.researchBatch(facts, r.entities, qs))
+      e2e.except(batch).withColumn("side", lit("e2e_only"))
+        .unionByName(batch.except(e2e).withColumn("side", lit("batch_only")))
+        .orderBy(col("fact_uuid"), col("side"))
     }),
 
     "kg_research_batch" -> ((s, dir) => {
@@ -1083,6 +1130,16 @@ object SparkEntry {
     "kg_research_batch_check" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, '' AS fact_uuid,
         |  CAST(NULL AS DOUBLE) AS sc, '' AS src, '' AS side
+        |WHERE 1 = 0""".stripMargin,
+
+    "kg_pipeline_entities_check" ->
+      """SELECT '' AS canonical_name, '' AS entity_type, '' AS aliases,
+        |  '' AS group_id, '' AS side
+        |WHERE 1 = 0""".stripMargin,
+
+    "kg_research_e2e_check" ->
+      """SELECT '' AS fact_uuid, CAST(NULL AS DOUBLE) AS sc, '' AS src,
+        |  '' AS side
         |WHERE 1 = 0""".stripMargin,
 
     "kg_extract_fused_check" ->

@@ -259,6 +259,38 @@ object TranscriptGen {
     * corpus (Python-title-cased), predicate = normalized relationship —
     * distinct per (conv, s, p, o, date). Golden fixture for P/R (§5.2).
     */
+  /** Expected canonical ENTITY table, derived independently of the pipeline
+    * from the generator's ground-truth ids: per entity id, canonical name =
+    * the longest alias form appearing anywhere in the corpus (the pipeline's
+    * longest-summary pick, entity_dedup.py:606-609), aliases = every
+    * title-cased form used, entity type from the id class (C = Organization,
+    * P = Person, L = Location — the extractor's rule types). Array columns
+    * are pre-joined to strings (driver-harness comparability).
+    */
+  def goldenEntities(spark: SparkSession, cfg: Config = Config()): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val occ = occurrences(spark, cfg)
+    val names = occ.select($"subj_id".as("id"), $"subj_used".as("used"))
+      .union(occ.select($"obj_id".as("id"), $"obj_used".as("used")))
+      .distinct()
+    val titleUdf = udf((s: String) => Norm.normalizeEntityName(s))
+    names
+      .withColumn("entity_type",
+        when(substring($"id", 1, 1) === "P", "Person")
+          .when(substring($"id", 1, 1) === "L", "Location")
+          .otherwise("Organization"))
+      .groupBy($"id", $"entity_type")
+      .agg(
+        max_by($"used", struct(length($"used"), $"used")).as("canonical"),
+        array_sort(collect_set(titleUdf($"used"))).as("aliases"))
+      .select(
+        titleUdf($"canonical").as("canonical_name"),
+        $"entity_type",
+        array_join($"aliases", "|").as("aliases"),
+        lit(cfg.groupId).as("group_id"))
+  }
+
   def goldenTriples(spark: SparkSession, cfg: Config = Config()): Dataset[GoldenTriple] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
