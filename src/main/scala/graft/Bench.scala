@@ -20,7 +20,7 @@ import graft.app.ScalingBench
   *     anomaly, below the VM's shared-memory-bus ceiling; 8→32 reported
   *     too), so a budget cut truncates the ladder, not the contract numbers.
   *
-  * Wall-clock budget: `SPARK_GRAFT_BENCH_BUDGET_SECS` (default 900). The
+  * Wall-clock budget: `SPARK_GRAFT_BENCH_BUDGET_SECS` (default 1200). The
   * budget is checked before every fork/section; on breach the bench stops
   * measuring and emits the final line from whatever is pooled with
   * `"truncated":true` and per-section completion flags. Every child fork
@@ -138,7 +138,12 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "900").toDouble
+    // 1200 s default: r3's recorded run consumed 1,986 s without the driver
+    // killing it, so 20 min sits safely inside the driver's tolerance while
+    // leaving room for the deferred clean-window draws a noisy window needs
+    // (a 900 s budget was observed cutting them exactly when the headline
+    // minimum was starved — the one case they exist for)
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "1200").toDouble
     val forkTimeout =
       sys.env.getOrElse("SPARK_GRAFT_FORK_TIMEOUT_SECS", "240").toDouble
     // seconds held back for the final emission + temp cleanup
@@ -358,11 +363,17 @@ object Bench {
       mark("scaling corpus_done")
       // each fork = one uncounted real-job warmup pass (C2 JIT is
       // volume-triggered; without it a fresh fork records compiler time as
-      // engine time) + 1 measured rep
-      def pairOnce(dir: String, mode: String): Option[(Double, Double)] = for {
-        tN <- ScalingBench.forkMeasure(headlinePair._1, dir, reps = 1, mode,
+      // engine time) + `reps` measured reps, best-of. Headline pairs run
+      // reps=2: the second rep costs ~60% less wall than a whole extra fork
+      // (startup + warmup amortize) and rep-2-of-a-warmed-fork agrees with a
+      // long-warm JVM (r3 measurement), so each pair contributes a cheaper
+      // second draw to the per-level minimum without losing the fresh-JVM
+      // isolation between pairs. Transparency measurements (windowed/fused)
+      // stay at reps=1.
+      def pairOnce(dir: String, mode: String, reps: Int = 2): Option[(Double, Double)] = for {
+        tN <- ScalingBench.forkMeasure(headlinePair._1, dir, reps, mode,
           timeoutMs = forkMs)
-        t4N <- ScalingBench.forkMeasure(headlinePair._2, dir, reps = 1, mode,
+        t4N <- ScalingBench.forkMeasure(headlinePair._2, dir, reps, mode,
           timeoutMs = forkMs)
       } yield (tN, t4N)
       def defendedPair(dir: String, mode: String): Seq[(Double, Double)] = {
@@ -371,7 +382,7 @@ object Bench {
         while (tries < 2 && acc.headOption.exists { case (tN, t4N) =>
           tN > floor(s"${mode}_${headlinePair._1}") * floorTol ||
             t4N > floor(s"${mode}_${headlinePair._2}") * floorTol
-        } && afford(55, "pair_retry")) {
+        } && afford(85, "pair_retry")) {
           tries += 1; retries += 1
           acc = pairOnce(dir, mode).toList ::: acc
         }
@@ -386,35 +397,35 @@ object Bench {
       // statistic lands ≥0.81 with 4-5 pairs but swung 0.68-0.91 with 3
       // (each level's min needs enough draws to sample a quiet second)
       (1 to 5).foreach { i =>
-        if (afford(55, s"pair_$i"))
+        if (afford(85, s"pair_$i"))
           sortedPairs = sortedPairs ++ defendedPair(scalingDir, "extract_sorted")
       }
       var extraPairs = 0
-      while (extraPairs < 3 && headlineMinBreach && afford(55, "extension_pair")) {
+      while (extraPairs < 3 && headlineMinBreach && afford(85, "extension_pair")) {
         extraPairs += 1; retries += 1
         sortedPairs = sortedPairs ++ defendedPair(scalingDir, "extract_sorted")
       }
       if (sortedPairs.nonEmpty) sections += ("scaling" -> true)
       emit(provisional = true) // headline pair statistic is now on record
       def defended32(): Seq[Double] = {
-        var acc = ScalingBench.forkMeasure(32, scalingDir, reps = 1,
+        var acc = ScalingBench.forkMeasure(32, scalingDir, reps = 2,
           mode = "extract_sorted", timeoutMs = forkMs).toList
         var tries = 0
         while (tries < 2 &&
             acc.headOption.exists(_ > floor("extract_sorted_32") * floorTol) &&
-            afford(25, "t32_retry")) {
+            afford(30, "t32_retry")) {
           tries += 1; retries += 1
-          acc = ScalingBench.forkMeasure(32, scalingDir, reps = 1,
+          acc = ScalingBench.forkMeasure(32, scalingDir, reps = 2,
             mode = "extract_sorted", timeoutMs = forkMs).toList ::: acc
         }
         acc
       }
-      if (afford(50, "t32")) t32Samples = defended32() ++ defended32()
+      if (afford(60, "t32")) t32Samples = defended32() ++ defended32()
       // windowed (salted-shuffle) path over the SAME bytes: one pair for
       // transparency (the sorted/windowed contrast is fully quantified in
       // BASELINE.md; re-measuring it 2× per round added 10+ min of noise
       // exposure in round 3)
-      if (afford(90, "windowed_pair")) pairOnce(scalingDir, "extract").foreach { p =>
+      if (afford(90, "windowed_pair")) pairOnce(scalingDir, "extract", reps = 1).foreach { p =>
         windowedSamples = Map(
           headlinePair._1 -> Seq(p._1), headlinePair._2 -> Seq(p._2))
       }
@@ -423,7 +434,7 @@ object Bench {
       // throughput (its ratio statistic is noisier: the pass is so cheap
       // that the ~0.5 s fixed cost dominates t8; BASELINE.md)
       if (afford(50, "fused_pair")) {
-        val fPair = pairOnce(scalingDir, "extract_fused")
+        val fPair = pairOnce(scalingDir, "extract_fused", reps = 1)
         val f32 = if (afford(20, "fused_32"))
           ScalingBench.forkMeasure(32, scalingDir, reps = 1, "extract_fused",
             timeoutMs = forkMs)
@@ -442,7 +453,7 @@ object Bench {
       // drift regime. Same continuation test (floor breach only, never the
       // ratio), same pooled per-level minima.
       var deferred = 0
-      while (deferred < 3 && headlineMinBreach && afford(55, "deferred_pair")) {
+      while (deferred < 3 && headlineMinBreach && afford(85, "deferred_pair")) {
         deferred += 1; retries += 1
         sortedPairs = sortedPairs ++ defendedPair(scalingDir, "extract_sorted")
       }
