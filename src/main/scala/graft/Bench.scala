@@ -111,9 +111,11 @@ object Bench {
     // classes (cwd-independent fallback for ad-hoc launchers)
     val candidates = sys.env.get("SPARK_GRAFT_BENCH_FLOORS").toSeq ++
       Seq("BENCH_FLOORS.json") ++
-      Option(getClass.getProtectionDomain.getCodeSource).map(cs =>
-        Paths.get(cs.getLocation.toURI).getParent.getParent.getParent
-          .resolve("BENCH_FLOORS.json").toString)
+      scala.util.Try { // a shallow code-source path (e.g. a jar at /tmp)
+        // has < 3 parents → null; degrade to "no floors", never a crash
+        Paths.get(getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+          .getParent.getParent.getParent.resolve("BENCH_FLOORS.json").toString
+      }.toOption
     candidates.filter(p => Files.exists(Paths.get(p))).headOption match {
       case Some(path) =>
         try {
@@ -242,10 +244,13 @@ object Bench {
           ((w8 / w2) / 4.0, w2, w8)
         }
       val _ = (wTps2, wTps8) // windowed throughputs live in BASELINE.md
-      val (fTps2, fTps8, fTps32) =
-        if (fusedSecs.isEmpty) (0.0, 0.0, 0.0)
-        else (scalingTurns / fusedSecs(2), scalingTurns / fusedSecs(8),
-          scalingTurns / fusedSecs(32))
+      // a level whose fork was budget-cut or timed out records 0.0 seconds —
+      // dividing would print Infinity and break the JSON contract line
+      def fusedTps(c: Int): Double = {
+        val s = fusedSecs.getOrElse(c, 0.0)
+        if (s > 0) scalingTurns / s else 0.0
+      }
+      val (fTps2, fTps8, fTps32) = (fusedTps(2), fusedTps(8), fusedTps(32))
       // line-size bound: retries + clean-window extension can grow a level
       // to 20+ draws, and an oversized line is how round 3 lost its
       // artifact — emit the 10 smallest per level (the min statistic's
@@ -315,9 +320,13 @@ object Bench {
     // as they finish, so even a timed-out fork yields its completed queries.
     if (afford(60, "queries_fork")) {
       mark("section=queries start")
+      // one fork runs all 13 queries, so its bound is the larger of the
+      // per-fork timeout and 300 s (still clamped to the remaining budget) —
+      // a raised SPARK_GRAFT_FORK_TIMEOUT_SECS governs this fork too
       val (qrc, qout) = ScalingBench.forkLines("graft.Bench",
         Seq("--queries", cpus.toString, sfDir, "2"),
-        timeoutMs = (math.max(math.min(300.0, remaining), 5.0) * 1000).toLong)
+        timeoutMs =
+          (math.max(math.min(math.max(300.0, forkTimeout), remaining), 5.0) * 1000).toLong)
       queryTimes = headline.map { name =>
         name -> qout.linesIterator.collectFirst {
           case l if l.startsWith(s"[query] $name ") => l.split("\\s+").last.toDouble

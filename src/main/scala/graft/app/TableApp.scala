@@ -122,7 +122,12 @@ object TableApp {
             partitionColumns(Paths.get(log.snapshotPath(t, r.getLong(0)))))
         }
         def majority[A](xs: Seq[A]): Option[A] =
-          xs.groupBy(identity).toSeq.sortBy(-_._2.size).headOption.map(_._1)
+          // secondary key = the layout itself: a tied vote (e.g. live deltas
+          // split 2-2 with no full base) must pick deterministically, not by
+          // HashMap iteration order
+          xs.groupBy(identity).toSeq
+            .sortBy { case (k, g) => (-g.size, k.toString) }
+            .headOption.map(_._1)
         val base = if (live.head.getString(1) == "full") Some(layouts.head) else None
         val keys = base.map(_._1).filter(_.nonEmpty)
           .orElse(majority(layouts.map(_._1).filter(_.nonEmpty))).getOrElse(Seq.empty)

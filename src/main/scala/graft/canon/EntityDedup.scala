@@ -267,8 +267,7 @@ object EntityDedup {
     // is the semantic "{name}: {summary}" vector (pipeline.py:952-965),
     // computed at CANONICAL cardinality so it always reflects the picked
     // member's final (name, summary) pair
-    val nameEmbUdf = udf((n: String, s: String) =>
-      Embed.embed(if (s == null || s.isEmpty) n else s"$n: $s"))
+    val nameEmbUdf = udf((n: String, s: String) => Embed.semantic(n, s))
     val entities = canon.select(
       $"c.entity_uuid".as("entity_uuid"),
       $"c.name".as("name"),

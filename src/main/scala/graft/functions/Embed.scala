@@ -16,6 +16,15 @@ object Embed {
 
   val Dim = 64
 
+  /** The SEMANTIC entity vector: embeds `"{name}: {summary}"` (reference
+    * pipeline.py:952-965; name alone when the summary is absent). The ONE
+    * definition of the format — the batch dedup path, the incremental link
+    * fold, and the parity specs all call this, so the vector cannot drift
+    * between the paths that must agree on it.
+    */
+  def semantic(name: String, summary: String): Array[Double] =
+    embed(if (summary == null || summary.isEmpty) name else s"$name: $summary")
+
   /** Signed hashed char-trigram embedding, L2-normalized. */
   def embed(text: String, dim: Int = Dim): Array[Double] = {
     val v = new Array[Double](dim)

@@ -289,7 +289,7 @@ object Ingest {
     // warehouse committed before the dual-embedding column keeps its schema.
     if (entityCols.contains("name_embedding")) {
       val nameEmbUdf = udf((n: String, s: String) =>
-        graft.functions.Embed.embed(if (s == null || s.isEmpty) n else s"$n: $s"))
+        graft.functions.Embed.semantic(n, s))
       folded.withColumn("name_embedding", nameEmbUdf($"name", $"summary"))
     } else folded
   }

@@ -309,11 +309,21 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   }
 
   /** Merge-key hash (same expression on the segment-write side and the
-    * merge-probe side), in the given version.
+    * merge-probe side), in the given version. Keys order CASE-INSENSITIVELY
+    * (ties broken case-sensitively for totality): the key-set guard in
+    * `scannedEntries` accepts a caller key set that matches the recorded one
+    * case-insensitively, so the hash's column order must be identical for
+    * e.g. Seq("ID","g") vs Seq("id","g") — a case-SENSITIVE sort would order
+    * those differently ("I" < "g" but "g" < "i"), hash different values, and
+    * falsely prune a segment that does hold the incoming keys. (For
+    * all-lowercase key sets — every in-repo table — this order equals the
+    * old case-sensitive one, so existing segment blooms stay valid.)
     */
-  private def keyHashCol(keys: Seq[String], v: Int) =
-    if (v >= 2) xxhash64(keys.sorted.map(col): _*)
-    else xxhash64(to_json(struct(keys.sorted.map(col): _*)))
+  private def keyHashCol(keys: Seq[String], v: Int) = {
+    val ordered = keys.sortBy(k => (k.toLowerCase(java.util.Locale.ROOT), k))
+    if (v >= 2) xxhash64(ordered.map(col): _*)
+    else xxhash64(to_json(struct(ordered.map(col): _*)))
+  }
 
   private def bloomPath(name: String, id: Long): Path =
     tableDir(name).resolve(s"snapshot-$id.bloom")

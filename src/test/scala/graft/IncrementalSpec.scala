@@ -155,7 +155,7 @@ class IncrementalSpec extends SparkSpec {
     // both link to U (one via alias, one via cosine). The upsert row's
     // summary must contain S once — folding the per-row pre-merged
     // summaries would repeat it per linked row.
-    def nameEmb(n: String, s: String) = graft.functions.Embed.embed(s"$n: $s").toSeq
+    def nameEmb(n: String, s: String) = graft.functions.Embed.semantic(n, s).toSeq
     val ex = Seq(Entity("U", "Quantum Dynamics", "Quantum Dynamics", "Organization",
       "S existing summary", Seq("Quantum Dynamics"), Seq("c0"),
       graft.functions.Embed.embed("Quantum Dynamics").toSeq,

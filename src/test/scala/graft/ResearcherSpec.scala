@@ -34,7 +34,7 @@ class ResearcherSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (n, s) = (r.getString(0), r.getString(1))
-      val expectedSem = Embed.embed(if (s == null || s.isEmpty) n else s"$n: $s").toSeq
+      val expectedSem = Embed.semantic(n, s).toSeq
       assert(r.getSeq[Double](3) === expectedSem,
         s"name_embedding must embed '{name}: {summary}' (pipeline.py:952-965) for $n")
       assert(r.getSeq[Double](2) === Embed.embed(n).toSeq,

@@ -290,6 +290,29 @@ class SnapshotLogSpec extends SparkSpec {
       s"order/case-insensitive key match must keep pruning: ${log2.lastMergeScan}")
   }
 
+  test("bloom key hash orders columns case-insensitively (mixed-case keys never false-prune)") {
+    // keys whose case-SENSITIVE sort differs from the case-insensitive one:
+    // ("ID","g") sorts (ID,g) case-sensitively ('I' < 'g') but (g, id)
+    // case-insensitively. The key-set guard accepts Seq("id","g") as the
+    // same set, so the probe hash MUST order columns identically to the
+    // bloom-build hash or an overlapping segment gets falsely pruned and
+    // the duplicate key lands silently.
+    val dir = Files.createTempDirectory("graft-bloomcase").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeAppend("t", (1L to 300L).map(i => (i, s"g${i % 5}", s"v$i"))
+      .toDF("ID", "g", "v"), Seq("ID", "g"))
+    // overlapping row, lowercase caller keys → MUST flag + dedup
+    log.mergeAppend("t", Seq((42L, s"g${42 % 5}", "dup"), (9000L, "g0", "new"))
+      .toDF("ID", "g", "v"), Seq("id", "g"))
+    assert(log.lastMergeScan === Some((1, 1)),
+      s"overlap must be flagged through the mixed-case hash: ${log.lastMergeScan}")
+    assert(log.read("t").get.count() === 301L, "duplicate (ID,g) key must be dropped")
+    // and disjoint keys still prune to zero through the same path
+    log.mergeAppend("t", Seq((9500L, "gZ", "new2")).toDF("ID", "g", "v"), Seq("id", "g"))
+    assert(log.lastMergeScan.get._1 === 0,
+      s"disjoint mixed-case merge must still prune: ${log.lastMergeScan}")
+  }
+
   test("bloom probing under a tiny driver budget groups correctly and still prunes") {
     // bloomProbeBudgetBytes=1 forces ONE bloom per probe job — the bounded-
     // driver-memory path (worst-case resident = budget + one bloom, never
