@@ -14,6 +14,7 @@ import graft.synth.TranscriptGen
   *             [--input-jsonl <jsonl-of-transcripts>]
   *             [--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]
   *             [--sorted true|auto] [--fused true] [--incremental true]
+  *             [--ontology <topics.json>]
   *
   * With --input, reads an (conv_id, turn_idx, role, text, tool, ts) parquet
   * table (the input_hint shape); --input-jsonl reads the same shape as
@@ -48,7 +49,8 @@ object IngestApp {
       System.err.println(
         "usage: IngestApp <warehouseDir> [--input <parquet>] [--input-jsonl <jsonl>] " +
           "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] " +
-          "[--sorted true|auto] [--fused true] [--incremental true]")
+          "[--sorted true|auto] [--fused true] [--incremental true] " +
+          "[--ontology <topics.json>]")
       sys.exit(2)
     }
     val warehouse = args(0)
@@ -57,7 +59,7 @@ object IngestApp {
     }.toMap
     val unknown = opts.keys.filterNot(
       Set("--input", "--input-jsonl", "--synth", "--master", "--sorted", "--fused",
-        "--incremental"))
+        "--incremental", "--ontology"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}")
       sys.exit(2)
@@ -116,8 +118,18 @@ object IngestApp {
         use
       case other => other.exists(_.toBoolean)
     }
+    // --ontology: the reference's curated topic file (financial_topics.json
+    // format) as the resolver's dimension table; default = the synthetic
+    // 10-topic ontology
+    val ontology = opts.get("--ontology") match {
+      case Some(path) =>
+        val o = graft.sources.OntologyLoader.load(spark, path)
+        println(s"[ingest] ontology: ${o.size} topics from $path")
+        o
+      case None => TranscriptGen.ontology
+    }
     val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
-      sortedInput = sortedInput))
+      sortedInput = sortedInput), ontology = ontology)
     val result =
       if (incremental) Ingest.runIncremental(spark, turns, warehouse, icfg)
       else if (fused) Ingest.runFused(spark, turns, warehouse, icfg)
