@@ -1,0 +1,125 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query.{GraphLookup, Researcher, Retriever}
+import graft.tables.SnapshotLog
+
+/** spark-submit QUERY entry point over a committed warehouse — the
+  * counterpart of IngestApp, so a reference user has the full
+  * construct-then-query loop on the command line (the reference exposes
+  * this surface through its MCP server, mcp_server.py, and the v6
+  * researcher; every subcommand here maps onto one of those operations).
+  *
+  * Usage:
+  *   QueryApp <warehouseDir> research  "<question>" [--topk N] [--ontology <topics.json>]
+  *   QueryApp <warehouseDir> search    "<query>"    [--topk N]
+  *   QueryApp <warehouseDir> entity    "<name>"
+  *   QueryApp <warehouseDir> neighbors "<name>" [--hint "<free text>"]
+  *
+  *  - research: the v6 flow end-to-end from a bare question (decompose →
+  *    hint-resolve → dual-path retrieve → boost → cap) — evidence rows;
+  *  - search: the deterministic retriever (vector ∥ keyword ∥ graph → RRF),
+  *    graph anchors auto-resolved from the query (Strategy 3);
+  *  - entity: get_entity_info (canonical row + summary);
+  *  - neighbors: explore_neighbors / explore_neighbors_semantic when a
+  *    --hint ranks the incident edges.
+  *
+  * Fact embeddings are derived deterministically from fact text at read
+  * time (Retriever.withFactEmbeddings) — the committed triples table stays
+  * embedding-free and the query side needs no extra state.
+  */
+object QueryApp {
+  private def usage(): Nothing = {
+    System.err.println(
+      "usage: QueryApp <warehouseDir> research|search|entity|neighbors <text> " +
+        "[--topk N] [--hint text] [--ontology topics.json] [--master local[N]]")
+    sys.exit(2)
+  }
+
+  private def show(df: DataFrame, n: Int): Unit = {
+    val rows = df.limit(n).collect()
+    val cols = df.columns
+    println(cols.mkString(" | "))
+    rows.foreach { r =>
+      println(cols.indices.map { i =>
+        r.get(i) match {
+          case null => ""
+          case s: scala.collection.Seq[_] => s.mkString(",")
+          case d: Double => f"$d%.4f"
+          case v => v.toString
+        }
+      }.mkString(" | "))
+    }
+    println(s"[query] ${rows.length} row(s)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) usage()
+    val Array(wh, cmd, text) = args.take(3)
+    val opts = args.drop(3).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val unknown = opts.keys.filterNot(Set("--topk", "--hint", "--ontology", "--master"))
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown option(s): ${unknown.mkString(", ")}"); sys.exit(2)
+    }
+    val topK = opts.get("--topk").map(_.toInt).getOrElse(15)
+
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("--master", sys.env.getOrElse("SPARK_MASTER", "local[8]")))
+      .appName("graft-query")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val log = new SnapshotLog(spark, wh)
+    def table(name: String): DataFrame = log.read(name).getOrElse {
+      System.err.println(s"warehouse $wh has no committed '$name' table — run IngestApp first")
+      sys.exit(1)
+    }
+
+    cmd match {
+      case "research" =>
+        val facts = Retriever.withFactEmbeddings(table("triples"))
+        val ontology = opts.get("--ontology")
+          .map(p => graft.sources.OntologyLoader.load(spark, p))
+          .getOrElse(graft.synth.TranscriptGen.ontology)
+        val out = Researcher.researchQuestion(facts, table("entities"), text, ontology)
+        show(out.select(col("final_score"), col("sources"), col("fact")), topK)
+
+      case "search" =>
+        val facts = Retriever.withFactEmbeddings(table("triples"))
+        val out = Retriever.searchAuto(facts, table("entities"), text, topK)
+          .join(table("triples").select(col("fact_uuid"), col("fact")), Seq("fact_uuid"))
+        show(out.select(col("rrf_score"), col("found_by"), col("fact"))
+          .orderBy(col("rrf_score").desc, col("fact")), topK)
+
+      case "entity" =>
+        show(GraphLookup.getEntityInfo(table("entities"), text), 1)
+
+      case "neighbors" =>
+        val entities = table("entities")
+        val resolved = GraphLookup.resolveEntity(entities, text).collect()
+        if (resolved.isEmpty) {
+          System.err.println(s"no entity matching '$text'"); sys.exit(1)
+        }
+        val uuid = resolved.head.getString(0)
+        opts.get("--hint") match {
+          case Some(hint) =>
+            val facts = Retriever.withFactEmbeddings(table("triples"))
+            show(GraphLookup.exploreNeighborsSemantic(facts, uuid, hint, topK), topK)
+          case None =>
+            show(GraphLookup.exploreNeighbors(table("triples"), uuid)
+              .orderBy(col("direction"), col("predicate"), col("neighbor")), topK)
+        }
+
+      case other =>
+        System.err.println(s"unknown command: $other"); usage()
+    }
+    spark.stop()
+  }
+}
