@@ -148,6 +148,38 @@ class IncrementalSpec extends SparkSpec {
     assert(log.snapshots("entities") === segsBefore, "no-op rerun must write no segment")
   }
 
+  test("incremental into a PRE-dual-embedding warehouse keeps its committed schema") {
+    import java.sql.Timestamp
+    import graft.functions.Embed
+    def t(conv: String, idx: Int, text: String) =
+      graft.model.Turn(conv, idx, "user", text, "", new Timestamp(1704067200000L + idx * 60000L))
+    val filler = " extra filler text so the chunk clears the minimum length filter."
+    val dir = Files.createTempDirectory("graft-legacy-ent").toString
+    val log = new SnapshotLog(spark, dir)
+    // a warehouse committed by the pre-r5 engine: entities WITHOUT the
+    // name_embedding column (foldLinkedEntities pins the upsert schema to
+    // the COMMITTED columns, so an r5 increment must neither fail the
+    // merge's EXCEPT nor silently widen the table's schema)
+    val legacy = Seq(("u-apex", "Apex Systems", "Apex Systems", "Organization",
+        "Apex Systems is an entity observed in transcripts.",
+        Seq("Apex Systems"), Seq("c-legacy"),
+        Embed.embed("Apex Systems").toSeq, "default"))
+      .toDF("entity_uuid", "name", "canonical_name", "entity_type", "summary",
+        "aliases", "source_chunks", "embedding", "group_id")
+    log.commit("entities", legacy, Seq("group_id"), bloomKeys = Seq("entity_uuid"))
+
+    Ingest.runIncremental(spark, Seq(
+      t("l1", 0, "Apex Systems partnered with Granite Foods LLC." + filler)).toDS(), dir)
+    val after = log.read("entities").get
+    assert(!after.columns.contains("name_embedding"),
+      "legacy schema must stay pinned — no silent column widening")
+    val apex = after.filter(lower($"canonical_name").contains("apex")).collect()
+    assert(apex.length === 1 && apex.head.getAs[String]("entity_uuid") === "u-apex",
+      "the increment must link against the legacy row")
+    assert(after.filter(lower($"canonical_name").contains("granite")).count() === 1,
+      "the new entity appends on the legacy schema")
+  }
+
   test("fold of several linked rows merges the existing summary exactly ONCE") {
     import graft.link.EntityLinker
     import graft.model.Entity
