@@ -14,7 +14,7 @@ import graft.synth.TranscriptGen
   *             [--input-jsonl <jsonl-of-transcripts>]
   *             [--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]]
   *             [--sorted true|auto] [--fused true] [--incremental true]
-  *             [--ontology <topics.json>]
+  *             [--ontology <topics.json>] [--fact-embeddings true]
   *
   * With --input, reads an (conv_id, turn_idx, role, text, tool, ts) parquet
   * table (the input_hint shape); --input-jsonl reads the same shape as
@@ -50,7 +50,7 @@ object IngestApp {
         "usage: IngestApp <warehouseDir> [--input <parquet>] [--input-jsonl <jsonl>] " +
           "[--synth convs=N,turns=M,skew=S,seed=K] [--master local[N]] " +
           "[--sorted true|auto] [--fused true] [--incremental true] " +
-          "[--ontology <topics.json>]")
+          "[--ontology <topics.json>] [--fact-embeddings true]")
       sys.exit(2)
     }
     val warehouse = args(0)
@@ -59,7 +59,7 @@ object IngestApp {
     }.toMap
     val unknown = opts.keys.filterNot(
       Set("--input", "--input-jsonl", "--synth", "--master", "--sorted", "--fused",
-        "--incremental", "--ontology"))
+        "--incremental", "--ontology", "--fact-embeddings"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}")
       sys.exit(2)
@@ -128,8 +128,13 @@ object IngestApp {
         o
       case None => TranscriptGen.ontology
     }
+    // --fact-embeddings: persist fact vectors in the committed triples table
+    // (the reference's fact_embeddings sink); retrieval reads the column
+    // instead of re-deriving. Incremental runs follow the committed layout
+    // automatically.
     val icfg = Ingest.Config(chunker = graft.chunk.TurnChunker.Config(
-      sortedInput = sortedInput), ontology = ontology)
+      sortedInput = sortedInput), ontology = ontology,
+      factEmbeddings = opts.get("--fact-embeddings").exists(_.toBoolean))
     val result =
       if (incremental) Ingest.runIncremental(spark, turns, warehouse, icfg)
       else if (fused) Ingest.runFused(spark, turns, warehouse, icfg)

@@ -37,6 +37,13 @@ object Ingest {
       topics: TopicResolver.Config = TopicResolver.Config(),
       assembler: TripleAssembler.Config = TripleAssembler.Config(),
       ontology: Seq[OntologyTopic] = TranscriptGen.ontology,
+      // persist fact vectors in the committed triples table (the reference
+      // ingests fact embeddings into its vector store, pipeline.py:974-1005
+      // + the fact_embeddings index) — retrieval then reads the committed
+      // column instead of re-deriving per read. Default off: the embedder
+      // is deterministic, so derive-at-read is value-identical and the
+      // table stays 64 doubles/row slimmer.
+      factEmbeddings: Boolean = false,
       groupId: String = "default")
 
   /** Run without the table layer (used by tests/bench). Only the raw-triple
@@ -190,7 +197,8 @@ object Ingest {
 
     val triplesDf = log.computeIfAbsent("triples", Seq("group_id"),
         bloomKeys = Seq("fact_uuid")) {
-      TripleAssembler.assemble(spark, raw, remapDf, topicsDf, cfg.assembler).toDF()
+      val t = TripleAssembler.assemble(spark, raw, remapDf, topicsDf, cfg.assembler).toDF()
+      if (cfg.factEmbeddings) graft.query.Retriever.withFactEmbeddings(t) else t
     }
 
     (entitiesDf, triplesDf)
@@ -232,11 +240,18 @@ object Ingest {
 
     val topicNames = raw.toDF().select(explode($"topics").as("name"), $"group_id").distinct()
     val topics = TopicResolver.resolve(spark, topicNames, cfg.ontology, cfg.topics)
-    val triples = TripleAssembler.assemble(spark, raw, finalRemap, topics, cfg.assembler)
+    val triples0 = TripleAssembler.assemble(spark, raw, finalRemap, topics, cfg.assembler).toDF()
+    // segment schemas must agree across increments: follow the COMMITTED
+    // table's layout (persisted vectors iff the base run persisted them),
+    // regardless of this run's flag
+    val triples =
+      if (log.read("triples").exists(_.columns.contains("embedding")))
+        graft.query.Retriever.withFactEmbeddings(triples0)
+      else triples0
 
     val entityRows = foldLinkedEntities(spark, linked, existing.columns)
     log.mergeUpsert("entities", entityRows, Seq("entity_uuid"), Seq("group_id"))
-    log.mergeAppend("triples", triples.toDF(), Seq("fact_uuid"), Seq("group_id"))
+    log.mergeAppend("triples", triples, Seq("fact_uuid"), Seq("group_id"))
     log.mergeAppend("chunks", chunks.toDF(), Seq("chunk_uuid"), Seq("group_id"))
 
     Result(chunks.toDF(), raw.toDF(), log.read("entities").get, log.read("triples").get)

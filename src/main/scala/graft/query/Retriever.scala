@@ -73,10 +73,17 @@ object Retriever {
   /** Triples table augmented with a deterministic fact embedding. Callers
     * should persist this (it is the "vector index").
     */
-  def withFactEmbeddings(triples: DataFrame): DataFrame = {
-    val embedUdf = udf((s: String) => Embed.embed(s))
-    triples.withColumn("embedding", embedUdf(col("fact")))
-  }
+  def withFactEmbeddings(triples: DataFrame): DataFrame =
+    // a table ingested with persisted fact vectors (IngestApp
+    // --fact-embeddings, the reference's fact_embeddings sink) already
+    // carries the column — the committed vectors feed retrieval directly,
+    // no per-read re-derivation. The embedder is deterministic, so the two
+    // paths are value-identical (specced).
+    if (triples.columns.contains("embedding")) triples
+    else {
+      val embedUdf = udf((s: String) => Embed.embed(s))
+      triples.withColumn("embedding", embedUdf(col("fact")))
+    }
 
   /** Global vector search: score > floor, top k (v6 global path). */
   def globalSearch(facts: DataFrame, query: String, cfg: Config = Config()): DataFrame = {

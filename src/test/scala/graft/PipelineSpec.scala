@@ -127,6 +127,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("persisted fact vectors (factEmbeddings): committed == derived; increments follow the layout") {
+    import graft.query.Retriever
+    val small = TranscriptGen.Config(numConvs = 5, turnsPerConv = 25, skew = 3)
+    val turns = TranscriptGen.transcripts(spark, small)
+    val dir = Files.createTempDirectory("graft-factemb").toString
+    val r = Ingest.run(spark, turns, dir, Ingest.Config(factEmbeddings = true))
+    assert(r.triples.columns.contains("embedding"),
+      "the committed triples table must carry the fact vectors")
+    // committed vectors are value-identical to the derive-at-read path
+    val committed = r.triples.select($"fact_uuid", $"embedding").collect()
+      .map(x => x.getString(0) -> x.getSeq[Double](1)).toMap
+    val derived = Retriever.withFactEmbeddings(r.triples.drop("embedding"))
+      .select($"fact_uuid", $"embedding").collect()
+    assert(derived.nonEmpty)
+    derived.foreach(x => assert(committed(x.getString(0)) === x.getSeq[Double](1)))
+    // read path SKIPS re-derivation when the column is already present
+    // (same plan object back, no added projection)
+    assert(Retriever.withFactEmbeddings(r.triples) eq r.triples)
+    // an increment ingested WITHOUT the flag still follows the committed
+    // layout (segment schemas must agree for the merge-on-read union)
+    val inc = TranscriptGen.Config(numConvs = 3, turnsPerConv = 25, skew = 1, seed = 99L)
+    val r2 = Ingest.runIncremental(spark, TranscriptGen.transcripts(spark, inc), dir)
+    assert(r2.triples.columns.contains("embedding"))
+    assert(r2.triples.filter($"embedding".isNull).count() === 0,
+      "every segment, including the increment's, carries vectors")
+    // and retrieval runs straight off the committed column
+    val q = r2.triples.orderBy($"fact_uuid").select($"fact").first().getString(0)
+    val hits = Retriever.search(Retriever.withFactEmbeddings(r2.triples), q,
+      Seq.empty, topK = 5).collect()
+    assert(hits.nonEmpty)
+  }
+
   test("partial resume: killing after chunks commit resumes from raw_triples") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     val small = TranscriptGen.Config(numConvs = 3, turnsPerConv = 15, skew = 2)
