@@ -26,9 +26,13 @@ import graft.tables.SnapshotLog
   *  - neighbors: explore_neighbors / explore_neighbors_semantic when a
   *    --hint ranks the incident edges.
   *
-  * Fact embeddings are derived deterministically from fact text at read
-  * time (Retriever.withFactEmbeddings) — the committed triples table stays
-  * embedding-free and the query side needs no extra state.
+  * Fact embeddings come from the committed triples table when the warehouse
+  * was ingested with --fact-embeddings, and are otherwise derived
+  * deterministically from fact text at read time
+  * (Retriever.withFactEmbeddings) — both paths are value-identical.
+  * Point lookups (neighbors) read through the bloom index
+  * (SnapshotLog.readForAnyKeys): only segments incident to the requested
+  * entity are opened.
   */
 object QueryApp {
   private def usage(): Nothing = {
@@ -108,12 +112,20 @@ object QueryApp {
           System.err.println(s"no entity matching '$text'"); sys.exit(1)
         }
         val uuid = resolved.head.getString(0)
+        // bloom-indexed point lookup: open only the triples segments that
+        // might contain facts incident to this entity
+        val incident = log.readForAnyKeys("triples",
+            Seq(Seq("subject_uuid") -> Seq(Seq(uuid)),
+              Seq("object_uuid") -> Seq(Seq(uuid))))
+          .getOrElse(table("triples"))
+        log.lastLookupScan.foreach { case (s, n) =>
+          System.err.println(s"[query] bloom index: scanning $s of $n triples segment(s)") }
         opts.get("--hint") match {
           case Some(hint) =>
-            val facts = Retriever.withFactEmbeddings(table("triples"))
-            show(GraphLookup.exploreNeighborsSemantic(facts, uuid, hint, topK), topK)
+            show(GraphLookup.exploreNeighborsSemantic(
+              Retriever.withFactEmbeddings(incident), uuid, hint, topK), topK)
           case None =>
-            show(GraphLookup.exploreNeighbors(table("triples"), uuid)
+            show(GraphLookup.exploreNeighbors(incident, uuid)
               .orderBy(col("direction"), col("predicate"), col("neighbor")), topK)
         }
 

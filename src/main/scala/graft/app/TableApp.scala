@@ -121,6 +121,9 @@ object TableApp {
           (r.getSeq[String](3).toSeq,
             partitionColumns(Paths.get(log.snapshotPath(t, r.getLong(0)))))
         }
+        // aux lookup-bloom column sets follow the same base/majority rule
+        val auxLayouts = live.toSeq.map(
+          _.getSeq[scala.collection.Seq[String]](6).toSeq.map(_.toSeq))
         def majority[A](xs: Seq[A]): Option[A] =
           // secondary key = the layout itself: a tied vote (e.g. live deltas
           // split 2-2 with no full base) must pick deterministically, not by
@@ -133,13 +136,18 @@ object TableApp {
           .orElse(majority(layouts.map(_._1).filter(_.nonEmpty))).getOrElse(Seq.empty)
         val parts = base.map(_._2).filter(_.nonEmpty)
           .orElse(majority(layouts.map(_._2).filter(_.nonEmpty))).getOrElse(Seq.empty)
+        val auxBase = if (live.head.getString(1) == "full") Some(auxLayouts.head) else None
+        val aux = auxBase.filter(_.nonEmpty)
+          .orElse(majority(auxLayouts.filter(_.nonEmpty))).getOrElse(Seq.empty)
         if (layouts.map(_._1).distinct.size > 1 || layouts.map(_._2).distinct.size > 1)
           println(s"[table] $t: WARNING live segments disagree on layout" +
             s" (${layouts.distinct.mkString("; ")}) — compacting with" +
             s" partitionBy=${parts.mkString(",")} keys=${keys.mkString(",")}")
-        val id = log.commit(t, log.read(t).get, parts, bloomKeys = keys)
+        val id = log.commit(t, log.read(t).get, parts, bloomKeys = keys,
+          auxBloomKeys = aux)
         println(s"[table] $t: compacted ${live.length} live segments -> snapshot $id" +
-          s" (partitionBy=${parts.mkString(",")} bloomKeys=${keys.mkString(",")})")
+          s" (partitionBy=${parts.mkString(",")} bloomKeys=${keys.mkString(",")}" +
+          (if (aux.nonEmpty) s" auxBlooms=${aux.map(_.mkString("|")).mkString(",")}" else "") + ")")
 
       case "vacuum" =>
         for (t <- targets(2)) {

@@ -24,6 +24,16 @@ import graft.tables.SnapshotLog
   */
 object Ingest {
 
+  /** Aux lookup blooms committed with every triples segment: the 1-hop
+    * adjacency surface (explore_neighbors, get_chunks_by_edge, entity
+    * provenance) is point lookups by subject/object uuid, which are NOT the
+    * table's merge key — these let `SnapshotLog.readForAnyKeys` open only
+    * the segments incident to the requested entity. Built in the same
+    * single key-column read-back pass as the fact_uuid merge bloom.
+    */
+  val TripleLookupBlooms: Seq[Seq[String]] =
+    Seq(Seq("subject_uuid"), Seq("object_uuid"))
+
   case class Result(
       chunks: DataFrame,
       rawTriples: DataFrame,
@@ -196,7 +206,7 @@ object Ingest {
     }
 
     val triplesDf = log.computeIfAbsent("triples", Seq("group_id"),
-        bloomKeys = Seq("fact_uuid")) {
+        bloomKeys = Seq("fact_uuid"), auxBloomKeys = TripleLookupBlooms) {
       val t = TripleAssembler.assemble(spark, raw, remapDf, topicsDf, cfg.assembler).toDF()
       if (cfg.factEmbeddings) graft.query.Retriever.withFactEmbeddings(t) else t
     }
@@ -251,7 +261,8 @@ object Ingest {
 
     val entityRows = foldLinkedEntities(spark, linked, existing.columns)
     log.mergeUpsert("entities", entityRows, Seq("entity_uuid"), Seq("group_id"))
-    log.mergeAppend("triples", triples, Seq("fact_uuid"), Seq("group_id"))
+    log.mergeAppend("triples", triples, Seq("fact_uuid"), Seq("group_id"),
+      auxBloomKeys = TripleLookupBlooms)
     log.mergeAppend("chunks", chunks.toDF(), Seq("chunk_uuid"), Seq("group_id"))
 
     Result(chunks.toDF(), raw.toDF(), log.read("entities").get, log.read("triples").get)

@@ -7,7 +7,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,8 +108,15 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     */
   @volatile private[graft] var lastMergeScan: Option[(Int, Int)] = None
 
+  /** (segments scanned, segments live) of the most recent point-lookup read
+    * (`readForKeys`/`readForAnyKeys`) — the diagnostics hook for the
+    * read-side bloom index.
+    */
+  @volatile private[graft] var lastLookupScan: Option[(Int, Int)] = None
+
   private case class Entry(id: Long, kind: String, upsert: Boolean, keys: Seq[String],
-      schemaB64: Option[String], committedAtMs: Option[Long] = None, hashV: Int = 1)
+      schemaB64: Option[String], committedAtMs: Option[Long] = None, hashV: Int = 1,
+      auxKeys: Seq[Seq[String]] = Nil)
 
   private def tableDir(name: String): Path = Paths.get(baseDir, name)
   private def manifest(name: String): Path = tableDir(name).resolve("_snapshots.json")
@@ -121,6 +128,9 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   private val schemaRe = """"schema_b64":\s*"([A-Za-z0-9+/=]*)"""".r
   private val tsRe = """"committed_at_ms":\s*(\d+)""".r
   private val hashVRe = """"hash_v":\s*(\d+)""".r
+  // aux bloom column sets, flat-encoded (multi-column sets joined by "|")
+  // so the single-level-array regex style above keeps working
+  private val auxKeysRe = """"aux_keys":\s*\[([^\]]*)\]""".r
 
   /** Parsed manifest entries, ascending by snapshot id. Legacy lines without
     * a `kind` field are full snapshots.
@@ -138,7 +148,10 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
         val schemaB64 = schemaRe.findFirstMatchIn(line).map(_.group(1))
         val ts = tsRe.findFirstMatchIn(line).map(_.group(1).toLong)
         val hashV = hashVRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(1)
-        Entry(idm.group(1).toLong, kind, upsert, keys, schemaB64, ts, hashV)
+        val auxKeys = auxKeysRe.findFirstMatchIn(line).map(_.group(1)).toSeq
+          .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).map(_.split("\\|").toSeq))
+        Entry(idm.group(1).toLong, kind, upsert, keys, schemaB64, ts, hashV, auxKeys)
       }
     }.sortBy(_.id)
   }
@@ -208,6 +221,134 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     entries(name).filter(_.committedAtMs.forall(_ <= ts.getTime))
       .lastOption.flatMap(e => readAt(name, e.id))
 
+  /** BLOOM-INDEXED POINT LOOKUP: the resolved table filtered to rows whose
+    * `keys` tuple is one of `values`, scanning ONLY the live segments whose
+    * key bloom (merge-key or aux) might contain one of the literal tuples.
+    * The graph-query surface (get_chunk(s), get_entity_info,
+    * explore_neighbors) is point lookups by uuid — without this every MCP
+    * call reads O(table); with it a lookup into a standing 100 TB table
+    * opens only the segments that can hold the key. Blooms have no false
+    * negatives, so pruning never hides a row; segments without a usable
+    * bloom (legacy, ceiling-skipped, different column set) always scan.
+    * None only when the table has no committed state at all.
+    */
+  def readForKeys(name: String, keys: Seq[String], values: Seq[Seq[Any]]): Option[DataFrame] =
+    readForAnyKeys(name, Seq(keys -> values))
+
+  /** Single-column convenience form of `readForKeys`. */
+  def readForKey(name: String, key: String, values: Seq[Any]): Option[DataFrame] =
+    readForKeys(name, Seq(key), values.map(Seq(_)))
+
+  /** Disjunctive point lookup: rows matching ANY (columns, literal tuples)
+    * probe — the 1-hop adjacency shape (`subject_uuid = u OR object_uuid
+    * = u` over a triples table carrying aux blooms on both columns). A
+    * segment is pruned only when EVERY probe has a usable bloom there and
+    * none of its literals hit.
+    *
+    * Upsert (merge-on-read) tables prune only when every probe's column set
+    * IS the merge key set: a row's newer version can move any non-key
+    * column's value, so pruning by a non-key probe could hide the segment
+    * holding the LATEST version of a matching key and resurface a stale
+    * row. Mismatched probes on upsert tables fall back to scanning every
+    * live segment (correct, just unpruned). Literal values must match the
+    * committed column types (uuids here are strings).
+    *
+    * The literal hashes are computed with the SAME Catalyst expression the
+    * segment writes used (`keyHashCol`, per segment hash version) over a
+    * local relation — the optimizer's ConvertToLocalRelation folds that
+    * projection on the driver, so probing schedules no cluster job; the
+    * blooms themselves load and probe driver-side one at a time (a lookup
+    * carries a handful of literals, unlike a merge's delta-side probe job).
+    */
+  def readForAnyKeys(name: String,
+      probes: Seq[(Seq[String], Seq[Seq[Any]])]): Option[DataFrame] = {
+    val live = liveEntries(name)
+    if (live.isEmpty) return None
+    val active = probes.filter(_._2.nonEmpty)
+    if (active.isEmpty) {
+      lastLookupScan = Some((0, live.size))
+      return read(name).map(_.filter(lit(false)))
+    }
+    val pred = active.map { case (k, vs) => probePredicate(k, vs) }.reduce(_ || _)
+    def ci(s: Seq[String]) = s.map(_.toLowerCase(java.util.Locale.ROOT)).sorted
+    val mergeKeysCI = live.filter(_.upsert).lastOption.map(e => ci(e.keys))
+    val upsertSafe = mergeKeysCI.forall(mk => active.forall(p => ci(p._1) == mk))
+    if (!upsertSafe) {
+      // non-merge-key probe on a merge-on-read table: neither pruning NOR a
+      // per-segment filter is sound — a key's newer version can change any
+      // non-key column, so filtering before the last-writer-wins window
+      // would let a STALE row (whose newer version no longer matches the
+      // predicate) win the window and resurface. Resolve fully, then filter.
+      lastLookupScan = Some((live.size, live.size))
+      return read(name).map(_.filter(pred))
+    }
+    val scanned = {
+        // literal hashes are computed against each segment's PINNED key
+        // column types (a type change between segments would change the
+        // hash), cached by (probe, version, key types) — one entry in
+        // practice. A segment without a pinned schema always scans.
+        val hashCache = scala.collection.mutable
+          .Map[(Int, Int, Seq[org.apache.spark.sql.types.DataType]), Option[Array[Long]]]()
+        live.filter { e =>
+          val v = if (e.hashV >= 2) 2 else 1
+          pinnedSchemaOf(e) match {
+            case None => true // no pinned schema: must scan
+            case Some(schema) =>
+              active.indices.exists { pi =>
+                lookupBloomPath(name, e, active(pi)._1).flatMap(loadBloom) match {
+                  case None => true // no usable bloom: must scan
+                  case Some(bf) =>
+                    val types = active(pi)._1.map(k =>
+                      schema.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType))
+                    if (types.exists(_.isEmpty)) true // column absent: scan
+                    else hashCache.getOrElseUpdate((pi, v, types.map(_.get)),
+                        literalHashes(schema, active(pi)._1, active(pi)._2, v)) match {
+                      case None => true
+                      case Some(hs) => hs.exists(bf.mightContainLong)
+                    }
+                }
+              }
+          }
+        }
+      }
+    lastLookupScan = Some((scanned.size, live.size))
+    resolveSegments(name, scanned, _.filter(pred))
+      .orElse(read(name).map(_.filter(lit(false))))
+  }
+
+  /** Pinned read schema of a segment, when the manifest recorded one. */
+  private def pinnedSchemaOf(e: Entry): Option[org.apache.spark.sql.types.StructType] =
+    e.schemaB64.map { b64 =>
+      val json = new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** The lookup filter itself: IN for single-column probes (pushes down as
+    * parquet IN), OR-of-AND for composite tuples (also pushdown-eligible).
+    */
+  private def probePredicate(keys: Seq[String], values: Seq[Seq[Any]]): Column =
+    if (keys.size == 1) col(keys.head).isin(values.map(_.head): _*)
+    else values.map(t => keys.zip(t).map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)).reduce(_ || _)
+
+  /** xxhash64 of each literal key tuple, via the same `keyHashCol`
+    * expression the write side used, evaluated over a local relation
+    * (driver-only after ConvertToLocalRelation). None when a requested
+    * column is absent from the pinned schema — the caller then scans.
+    */
+  private def literalHashes(pinned: org.apache.spark.sql.types.StructType,
+      keys: Seq[String], values: Seq[Seq[Any]], v: Int): Option[Array[Long]] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val fields = keys.map(k => pinned.fields.find(_.name.equalsIgnoreCase(k)))
+    if (fields.exists(_.isEmpty)) return None
+    val st = StructType(keys.zip(fields).map { case (k, f) =>
+      StructField(k, f.get.dataType) })
+    val rows: java.util.List[Row] = values.map(t => Row.fromSeq(t)).asJava
+    val df = spark.createDataFrame(rows, st)
+    Some(df.select(keyHashCol(keys, v).as("h")).as(Encoders.scalaLong).collect())
+  }
+
   /** Commit history of a table as a DataFrame (ascending snapshot_id):
     * id, kind (full|delta), upsert flag, merge keys, commit timestamp, and
     * whether the segment is part of the CURRENT live read set.
@@ -215,8 +356,8 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   def history(name: String): DataFrame = {
     val liveIds = liveEntries(name).map(_.id).toSet
     entries(name).map(e => (e.id, e.kind, e.upsert, e.keys,
-        e.committedAtMs.map(new Timestamp(_)).orNull, liveIds(e.id)))
-      .toDF("snapshot_id", "kind", "upsert", "keys", "committed_at", "live")
+        e.committedAtMs.map(new Timestamp(_)).orNull, liveIds(e.id), e.auxKeys))
+      .toDF("snapshot_id", "kind", "upsert", "keys", "committed_at", "live", "aux_keys")
   }
 
   /** RETENTION: delete every segment older than the last full snapshot (the
@@ -237,6 +378,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       deleteRecursively(Paths.get(snapshotPath(name, e.id)))
       deleteRecursively(tableDir(name).resolve(s"snapshot-${e.id}-lineage"))
       Files.deleteIfExists(bloomPath(name, e.id))
+      e.auxKeys.foreach(s => Files.deleteIfExists(auxBloomPath(name, e.id, s)))
       e.id
     }
   }
@@ -257,18 +399,23 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * rows hash into the bloom of EVERY segment that holds them, so a
     * key-complete subset resolves those keys exactly as the full view does.
     */
-  private def resolveSegments(name: String, live: Seq[Entry]): Option[DataFrame] = {
+  private def resolveSegments(name: String, live: Seq[Entry],
+      perSegment: DataFrame => DataFrame = identity): Option[DataFrame] = {
     if (live.isEmpty) None
-    else if (live.size == 1) Some(segDf(name, live.head))
+    else if (live.size == 1) Some(perSegment(segDf(name, live.head)))
     else {
       val anyUpsert = live.exists(_.upsert)
       if (!anyUpsert)
-        Some(live.map(e => segDf(name, e))
+        Some(live.map(e => perSegment(segDf(name, e)))
           .reduce(_ unionByName _))
       else {
+        // perSegment is applied BEFORE the last-writer-wins window, so a
+        // point-lookup filter shrinks every segment scan first; callers must
+        // only pass key-complete filters (all rows of a key pass or none) —
+        // readForAnyKeys' upsert guard enforces that
         val keys = live.filter(_.upsert).last.keys
         val tagged = live.map(e =>
-          segDf(name, e).withColumn("_seg", lit(e.id)))
+          perSegment(segDf(name, e)).withColumn("_seg", lit(e.id)))
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_seg").desc)
         Some(tagged.reduce(_ unionByName _)
           .withColumn("_rn", row_number().over(w))
@@ -328,8 +475,14 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   private def bloomPath(name: String, id: Long): Path =
     tableDir(name).resolve(s"snapshot-$id.bloom")
 
-  private def segBloom(name: String, e: Entry): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val p = bloomPath(name, e.id)
+  /** AUX bloom file for a non-merge-key column set (named by the sorted
+    * column list, so lookups find it regardless of the caller's key order).
+    */
+  private def auxBloomPath(name: String, id: Long, keySet: Seq[String]): Path =
+    tableDir(name).resolve(s"snapshot-$id.bloom-" +
+      keySet.map(_.toLowerCase(java.util.Locale.ROOT)).sorted.mkString("+"))
+
+  private def loadBloom(p: Path): Option[org.apache.spark.util.sketch.BloomFilter] =
     if (!Files.exists(p)) None
     else {
       val in = Files.newInputStream(p)
@@ -337,6 +490,19 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       catch { case _: java.io.IOException => None }
       finally in.close()
     }
+
+  private def segBloom(name: String, e: Entry): Option[org.apache.spark.util.sketch.BloomFilter] =
+    loadBloom(bloomPath(name, e.id))
+
+  /** The bloom file covering a requested column set on a segment, if any:
+    * the merge-key bloom when the sets match (case-insensitively), else a
+    * matching aux bloom. None = no usable bloom = the segment must scan.
+    */
+  private def lookupBloomPath(name: String, e: Entry, req: Seq[String]): Option[Path] = {
+    val reqCI = req.map(_.toLowerCase(java.util.Locale.ROOT)).sorted
+    def ci(s: Seq[String]) = s.map(_.toLowerCase(java.util.Locale.ROOT)).sorted
+    if (e.keys.nonEmpty && ci(e.keys) == reqCI) Some(bloomPath(name, e.id))
+    else e.auxKeys.find(s => ci(s) == reqCI).map(s => auxBloomPath(name, e.id, s))
   }
 
   /** The live segments a merge of `in` must scan: segments whose bloom
@@ -406,9 +572,9 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * them) makes the snapshot carry a key bloom so later merges can skip it.
     */
   def commit(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-      bloomKeys: Seq[String] = Nil): Long =
+      bloomKeys: Seq[String] = Nil, auxBloomKeys: Seq[Seq[String]] = Nil): Long =
     writeSegment(name, df, partitionBy, kind = "full", upsert = false,
-      keys = bloomKeys).get
+      keys = bloomKeys, auxKeys = auxBloomKeys).get
 
   /** One write pass that streams rows to parquet while folding per-partition
     * lineage (row count + xor-of-row-hash checksum) into a collection
@@ -429,7 +595,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     */
   private def writeSegment(name: String, df: DataFrame, partitionBy: Seq[String],
       kind: String, upsert: Boolean, keys: Seq[String],
-      skipIfEmpty: Boolean = false): Option[Long] = {
+      skipIfEmpty: Boolean = false, auxKeys: Seq[Seq[String]] = Nil): Option[Long] = {
     val id = latestSnapshot(name).getOrElse(0L) + 1L
     val dataPath = snapshotPath(name, id)
 
@@ -524,29 +690,50 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     // bloomExpectedItems; above bloomMaxItems no bloom is written (missing
     // = always scan, which is what a saturated bloom degrades to anyway)
     val segRows = tuples.map(_._2).sum
-    if (keys.nonEmpty && segRows <= bloomMaxItems) {
+    // every requested bloom (the merge-key one plus any AUX lookup-column
+    // ones) builds in the SAME single key-column read-back pass: one
+    // columnar scan of the union of bloom columns, one treeAggregate over
+    // an array of filters — adding a lookup index costs hash CPU, not an
+    // extra scan
+    val bloomSpecs = (if (keys.nonEmpty) Seq(keys) else Nil) ++ auxKeys
+    if (bloomSpecs.nonEmpty && segRows <= bloomMaxItems) {
       val capacity = math.max(bloomExpectedItems, segRows)
+      def fresh() = Array.fill(bloomSpecs.size)(
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, bloomFpp))
       // zero-row keyed commits (e.g. an empty streaming micro-batch stage)
       // skip the read job; treeAggregate on the empty frame would also
-      // return the zero bloom, this just avoids scheduling it
-      val bf =
-        if (segRows == 0L)
-          org.apache.spark.util.sketch.BloomFilter.create(capacity, bloomFpp)
+      // return the zero blooms, this just avoids scheduling it
+      val bfs =
+        if (segRows == 0L) fresh()
         else {
-          val hashes = spark.read.schema(dataSchema).parquet(dataPath)
-            .select(keyHashCol(keys, hashV).as("h"))
-            .as(Encoders.scalaLong)
-          hashes.rdd.treeAggregate(
-            org.apache.spark.util.sketch.BloomFilter.create(capacity, bloomFpp))(
-            (b, h) => { b.putLong(h); b },
-            (a, b) => { a.mergeInPlace(b); a },
+          val hashed = spark.read.schema(dataSchema).parquet(dataPath)
+            .select(bloomSpecs.zipWithIndex.map { case (s, i) =>
+              keyHashCol(s, hashV).as(s"h$i") }: _*)
+          hashed.rdd.treeAggregate(fresh())(
+            (arr, row) => {
+              var i = 0
+              while (i < arr.length) { arr(i).putLong(row.getLong(i)); i += 1 }
+              arr
+            },
+            (a, b) => {
+              var i = 0
+              while (i < a.length) { a(i).mergeInPlace(b(i)); i += 1 }
+              a
+            },
             depth = 2)
         }
-      val out = Files.newOutputStream(bloomPath(name, id))
-      try bf.writeTo(out) finally out.close()
+      bloomSpecs.indices.foreach { i =>
+        val p = if (keys.nonEmpty && i == 0) bloomPath(name, id)
+          else auxBloomPath(name, id, bloomSpecs(i))
+        val out = Files.newOutputStream(p)
+        try bfs(i).writeTo(out) finally out.close()
+      }
     }
 
-    appendManifest(name, id, kind, upsert, keys, dataSchema, hashV)
+    // aux key sets are recorded even when the row count exceeded the bloom
+    // ceiling (like `keys`): a missing bloom FILE means "always scan", and
+    // compaction derives the intended layout from the manifest
+    appendManifest(name, id, kind, upsert, keys, auxKeys, dataSchema, hashV)
     Some(id)
   }
 
@@ -594,13 +781,19 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
   }
 
   private def appendManifest(name: String, id: Long, kind: String, upsert: Boolean,
-      keys: Seq[String], schema: org.apache.spark.sql.types.StructType,
-      hashV: Int): Unit = {
+      keys: Seq[String], auxKeys: Seq[Seq[String]],
+      schema: org.apache.spark.sql.types.StructType, hashV: Int): Unit = {
     Files.createDirectories(tableDir(name))
     val m = manifest(name)
     val existing =
       if (Files.exists(m)) Files.readAllLines(m, UTF_8).asScala.toSeq else Seq.empty
     val keysJson = keys.map(k => "\"" + k + "\"").mkString("[", ", ", "]")
+    // flat-encoded (see auxKeysRe); only appended when present so legacy
+    // manifest lines stay byte-identical in format
+    val auxJson =
+      if (auxKeys.isEmpty) ""
+      else auxKeys.map(s => "\"" + s.mkString("|") + "\"")
+        .mkString(""", "aux_keys": [""", ", ", "]")
     val schemaB64 = java.util.Base64.getEncoder.encodeToString(schema.json.getBytes(UTF_8))
     // recorded commit time is clamped to be monotone with snapshot id (as
     // Delta monotonizes commit timestamps): readAtTime picks the highest-id
@@ -612,7 +805,7 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       .nextOption().getOrElse(0L)
     val entry =
       s"""{"snapshot_id": $id, "table": "$name", "kind": "$kind", "upsert": $upsert, """ +
-        s""""keys": $keysJson, "schema_b64": "$schemaB64", "hash_v": $hashV, """ +
+        s""""keys": $keysJson$auxJson, "schema_b64": "$schemaB64", "hash_v": $hashV, """ +
         s""""committed_at_ms": ${math.max(System.currentTimeMillis(), prevTs)}}"""
     val tmp = tableDir(name).resolve(s"_snapshots.json.tmp-$id")
     Files.write(tmp, (existing :+ entry).mkString("\n").getBytes(UTF_8))
@@ -634,9 +827,10 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * (or the current one when nothing new arrived).
     */
   def mergeAppend(name: String, df: DataFrame, keys: Seq[String],
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, auxBloomKeys: Seq[Seq[String]] = Nil): Long = {
     if (liveEntries(name).isEmpty)
-      return commit(name, df.dropDuplicates(keys), partitionBy, bloomKeys = keys)
+      return commit(name, df.dropDuplicates(keys), partitionBy, bloomKeys = keys,
+        auxBloomKeys = auxBloomKeys)
     // the incoming delta feeds TWO jobs now (the bloom probe + the write):
     // persist so the caller's upstream pipeline computes once
     val in = df.dropDuplicates(keys)
@@ -652,11 +846,11 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       // zero-row delta is discarded by writeSegment (skipIfEmpty) instead
       // of being probed with a second isEmpty execution
       writeSegment(name, fresh, partitionBy, kind = "delta",
-          upsert = false, keys, skipIfEmpty = true) match {
+          upsert = false, keys, skipIfEmpty = true, auxKeys = auxBloomKeys) match {
         case None => latestSnapshot(name).get
         case Some(id) =>
-          compactIfFragmented(name, autoCompactSegments, partitionBy, keys)
-            .getOrElse(id)
+          compactIfFragmented(name, autoCompactSegments, partitionBy, keys,
+            auxBloomKeys).getOrElse(id)
       }
     } finally in.unpersist(blocking = false)
   }
@@ -668,9 +862,10 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * detection null-safely. Idempotent on content.
     */
   def mergeUpsert(name: String, df: DataFrame, keys: Seq[String],
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, auxBloomKeys: Seq[Seq[String]] = Nil): Long = {
     if (liveEntries(name).isEmpty)
-      return commit(name, df.dropDuplicates(keys), partitionBy, bloomKeys = keys)
+      return commit(name, df.dropDuplicates(keys), partitionBy, bloomKeys = keys,
+        auxBloomKeys = auxBloomKeys)
     val in0 = df.dropDuplicates(keys)
     val in = in0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -686,11 +881,11 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       // write-first, as in mergeAppend: EXCEPT executes once, zero-row
       // deltas are discarded inside the single write pass
       writeSegment(name, delta, partitionBy, kind = "delta",
-          upsert = true, keys, skipIfEmpty = true) match {
+          upsert = true, keys, skipIfEmpty = true, auxKeys = auxBloomKeys) match {
         case None => latestSnapshot(name).get
         case Some(id) =>
-          compactIfFragmented(name, autoCompactSegments, partitionBy, keys)
-            .getOrElse(id)
+          compactIfFragmented(name, autoCompactSegments, partitionBy, keys,
+            auxBloomKeys).getOrElse(id)
       }
     } finally in.unpersist(blocking = false)
   }
@@ -703,9 +898,10 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * segment union stays bounded no matter how many increments land.
     */
   def compactIfFragmented(name: String, maxSegments: Int,
-      partitionBy: Seq[String] = Nil, bloomKeys: Seq[String] = Nil): Option[Long] =
+      partitionBy: Seq[String] = Nil, bloomKeys: Seq[String] = Nil,
+      auxBloomKeys: Seq[Seq[String]] = Nil): Option[Long] =
     if (liveEntries(name).size > maxSegments)
-      read(name).map(df => commit(name, df, partitionBy, bloomKeys))
+      read(name).map(df => commit(name, df, partitionBy, bloomKeys, auxBloomKeys))
     else None
 
   /** Read a stage if committed, else compute + commit it (resume semantics).
@@ -713,11 +909,12 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     * into it (the initial full snapshot then carries a skippable key bloom).
     */
   def computeIfAbsent(name: String, partitionBy: Seq[String] = Nil,
-      bloomKeys: Seq[String] = Nil)(f: => DataFrame): DataFrame =
+      bloomKeys: Seq[String] = Nil,
+      auxBloomKeys: Seq[Seq[String]] = Nil)(f: => DataFrame): DataFrame =
     read(name) match {
       case Some(df) => df
       case None =>
-        commit(name, f, partitionBy, bloomKeys)
+        commit(name, f, partitionBy, bloomKeys, auxBloomKeys)
         read(name).get
     }
 }

@@ -456,6 +456,133 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.read("t").get.count() === 350L)
   }
 
+  test("point lookup (readForKeys): scans only bloom-hit segments, rows equal full-read filter") {
+    val dir = Files.createTempDirectory("graft-lookup").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeAppend("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (1001L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeAppend("t", (2001L to 3000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+
+    // keys living only in segment 2 → exactly that segment opens
+    val hit = log.readForKey("t", "id", Seq(1500L, 1600L)).get
+    val got = hit.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(log.lastLookupScan === Some((1, 3)),
+      s"two segment-2 keys must open 1 of 3 segments: ${log.lastLookupScan}")
+    assert(got === Seq((1500L, "v1500"), (1600L, "v1600")))
+
+    // absent key: ZERO segments open; empty result, schema intact
+    val miss = log.readForKey("t", "id", Seq(99999L)).get
+    assert(miss.count() === 0L)
+    assert(log.lastLookupScan === Some((0, 3)))
+    assert(miss.columns.toSeq === log.read("t").get.columns.toSeq)
+
+    // empty probe: nothing matches, nothing scans
+    assert(log.readForKey("t", "id", Seq.empty).get.count() === 0L)
+    assert(log.lastLookupScan === Some((0, 3)))
+
+    // keys across two segments: both (and only both) open; parity with the
+    // unpruned read's filter
+    val multi = log.readForKey("t", "id", Seq(10L, 2999L)).get
+    val expect = log.read("t").get.filter($"id".isin(10L, 2999L))
+      .collect().map(_.toString).sorted
+    assert(multi.collect().map(_.toString).sorted === expect)
+    assert(log.lastLookupScan === Some((2, 3)))
+
+    // a probe on a column with NO bloom anywhere must scan everything and
+    // still answer correctly
+    val byV = log.readForKey("t", "v", Seq("v42")).get.collect()
+    assert(log.lastLookupScan === Some((3, 3)))
+    assert(byV.map(_.getLong(0)).toSeq === Seq(42L))
+  }
+
+  test("aux lookup blooms: non-merge-column point lookups prune (1-hop adjacency shape)") {
+    val dir = Files.createTempDirectory("graft-auxbloom").toString
+    val log = new SnapshotLog(spark, dir)
+    val aux = Seq(Seq("subject_uuid"), Seq("object_uuid"))
+    def seg(tag: String) = (1 to 400).map(i =>
+      (s"$tag-f$i", s"$tag-s${i % 20}", s"$tag-o${i % 20}", s"fact $tag $i"))
+      .toDF("fact_uuid", "subject_uuid", "object_uuid", "fact")
+    log.mergeAppend("t", seg("a"), Seq("fact_uuid"), Nil, auxBloomKeys = aux)
+    log.mergeAppend("t", seg("b"), Seq("fact_uuid"), Nil, auxBloomKeys = aux)
+    log.mergeAppend("t", seg("c"), Seq("fact_uuid"), Nil, auxBloomKeys = aux)
+    // aux bloom files land next to the merge-key bloom
+    assert(Files.exists(Paths.get(dir, "t", "snapshot-1.bloom")))
+    assert(Files.exists(Paths.get(dir, "t", "snapshot-1.bloom-subject_uuid")))
+    assert(Files.exists(Paths.get(dir, "t", "snapshot-1.bloom-object_uuid")))
+
+    // the explore_neighbors shape: subject = e OR object = e — entity b-s3
+    // lives only in segment 2
+    val out = log.readForAnyKeys("t", Seq(
+      Seq("subject_uuid") -> Seq(Seq("b-s3")),
+      Seq("object_uuid") -> Seq(Seq("b-s3")))).get
+    assert(log.lastLookupScan === Some((1, 3)),
+      s"an entity of one segment must open 1 of 3: ${log.lastLookupScan}")
+    val expect = log.read("t").get
+      .filter($"subject_uuid" === "b-s3" || $"object_uuid" === "b-s3")
+      .collect().map(_.toString).sorted
+    assert(out.collect().map(_.toString).sorted === expect)
+    assert(expect.nonEmpty)
+
+    // merge pruning is unaffected by the aux blooms (fact_uuid bloom intact)
+    log.mergeAppend("t", seg("z"), Seq("fact_uuid"), Nil, auxBloomKeys = aux)
+    assert(log.lastMergeScan === Some((0, 3)),
+      s"disjoint merge must still scan 0: ${log.lastMergeScan}")
+
+    // a table committed WITHOUT aux blooms (legacy) scans everything for the
+    // same probe — correct, just unpruned
+    val log2 = new SnapshotLog(spark, Files.createTempDirectory("graft-aux2").toString)
+    log2.mergeAppend("t", seg("a"), Seq("fact_uuid"))
+    log2.mergeAppend("t", seg("b"), Seq("fact_uuid"))
+    val legacy = log2.readForAnyKeys("t", Seq(
+      Seq("subject_uuid") -> Seq(Seq("b-s3")),
+      Seq("object_uuid") -> Seq(Seq("b-s3")))).get
+    assert(log2.lastLookupScan === Some((2, 2)))
+    assert(legacy.count() === log2.read("t").get
+      .filter($"subject_uuid" === "b-s3" || $"object_uuid" === "b-s3").count())
+  }
+
+  test("point lookup on upsert tables: merge-key probes prune and resolve LWW; others scan all") {
+    val dir = Files.createTempDirectory("graft-lookupup").toString
+    val log = new SnapshotLog(spark, dir)
+    log.mergeUpsert("t", (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeUpsert("t", (501L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    log.mergeUpsert("t", Seq((42L, "CHANGED")).toDF("id", "v"), Seq("id"))
+    assert(log.snapshots("t") === Seq(1L, 2L, 3L))
+
+    // key 42 lives in segments 1 (original) and 3 (updated): both open,
+    // last-writer-wins resolves to the update — never the stale row
+    val r = log.readForKey("t", "id", Seq(42L)).get.collect()
+    assert(log.lastLookupScan === Some((2, 3)), s"${log.lastLookupScan}")
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq === Seq((42L, "CHANGED")))
+
+    // a non-merge-key probe on an upsert table must NOT prune: a newer
+    // version of a key can change any non-key column, so bloom-pruning by
+    // value could resurface a stale row — the guard scans every segment
+    val byV = log.readForKey("t", "v", Seq("v43")).get.collect()
+    assert(log.lastLookupScan === Some((3, 3)),
+      s"non-key probe on an upsert table must scan all: ${log.lastLookupScan}")
+    assert(byV.map(_.getLong(0)).toSeq === Seq(43L))
+    // and the updated key's OLD value finds nothing (the stale row resolved away)
+    assert(log.readForKey("t", "v", Seq("v42")).get.count() === 0L)
+  }
+
+  test("point lookup probes legacy v1 segments with v1 literal hashes (mixed versions)") {
+    val dir = Files.createTempDirectory("graft-lookupv1").toString
+    val log = new SnapshotLog(spark, dir)
+    // map-typed column forces hash v1 (see writableHashV)
+    val v1seg = (1L to 300L).map(i => (i, Map("k" -> s"v$i"))).toDF("id", "attrs")
+    log.mergeAppend("t", v1seg, Seq("id"))
+    log.mergeAppend("t", (1001L to 1300L).map(i => (i, Map("k" -> s"v$i")))
+      .toDF("id", "attrs"), Seq("id"))
+    assert(Files.readString(Paths.get(dir, "t", "_snapshots.json")).contains("\"hash_v\": 1"))
+    val hit = log.readForKey("t", "id", Seq(1100L)).get.collect()
+    assert(log.lastLookupScan === Some((1, 2)),
+      s"v1 blooms must prune v1-hashed literals: ${log.lastLookupScan}")
+    assert(hit.map(_.getLong(0)).toSeq === Seq(1100L))
+    assert(log.readForKey("t", "id", Seq(9999L)).get.count() === 0L)
+    assert(log.lastLookupScan === Some((0, 2)))
+  }
+
   test("time travel: readAt reconstructs each committed state, incl. pre-upsert values") {
     val dir = Files.createTempDirectory("graft-tt").toString
     val log = new SnapshotLog(spark, dir)
