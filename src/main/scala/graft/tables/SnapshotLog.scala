@@ -625,7 +625,36 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
       }
     }(Encoders.row(schema))
 
-    val writer = counted.drop("__graft_row_hash").write.mode("overwrite")
+    // PARQUET COLUMN BLOOM FILTERS on the merge-key + aux lookup columns of
+    // FULL segments: the pruning level BELOW the segment blooms. Once
+    // readForKeys/scannedEntries has resolved which segments might hold a
+    // key, the parquet reader's row-group filter (parquet.filter.bloom
+    // .enabled — on by default under spark.sql.parquet.filterPushdown)
+    // skips the row groups inside a surviving segment whose column bloom
+    // rejects the pushed literal, so a point lookup into a multi-row-group
+    // base reads only the groups that can hold the key (uuid keys are
+    // unsorted, so min/max stats never prune them; low-cardinality chunks
+    // stay fully dictionary-encoded and parquet-mr then drops the bloom
+    // because dictionary row-group filtering is already exact).
+    // FULL segments only, by design: adaptive sizing (the only mode that
+    // works without a pre-write NDV, which the write-first single-pass
+    // design cannot know) floors at maxBytes/16 = 64 KB per column chunk —
+    // nothing against a compacted multi-GB base, but it would break the
+    // "append cost ∝ new rows" invariant on small delta segments. Deltas
+    // don't need it: the per-segment key blooms already prune them
+    // wholesale per lookup, and auto-compaction folds delta history into a
+    // bloom-bearing full segment anyway.
+    val bloomCols =
+      if (kind != "full") Nil
+      else (keys ++ auxKeys.flatten)
+        .flatMap(k => df.schema.fields.find(_.name.equalsIgnoreCase(k)).map(_.name))
+        .distinct
+    val writer0 = counted.drop("__graft_row_hash").write.mode("overwrite")
+    val writer =
+      if (bloomCols.isEmpty) writer0
+      else bloomCols.foldLeft(
+          writer0.option("parquet.bloom.filter.adaptive.enabled", "true"))(
+          (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataPath)
 

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 
@@ -539,6 +541,90 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log2.lastLookupScan === Some((2, 2)))
     assert(legacy.count() === log2.read("t").get
       .filter($"subject_uuid" === "b-s3" || $"object_uuid" === "b-s3").count())
+  }
+
+  test("keyed segments carry parquet column bloom filters on key + aux columns") {
+    // the pruning level BELOW the segment blooms: inside a surviving
+    // segment, the parquet reader's row-group filter uses these column
+    // blooms to skip row groups that can't hold a pushed key literal
+    // (uuid columns are unsorted, so min/max stats never prune them)
+    val dir = Files.createTempDirectory("graft-pqbloom").toString
+    val log = new SnapshotLog(spark, dir)
+    // fact_uuid: unique 36-char strings at a volume that overflows the 1 MB
+    // dictionary page (the real uuid regime — plain-encoded, NEEDS a bloom).
+    // subject/object: low-cardinality, fully dictionary-encoded — parquet-mr
+    // intentionally drops the bloom there (PARQUET-2069) because the
+    // dictionary already row-group-filters exactly.
+    val df = (1 to 40000).map(i =>
+        (f"$i%08d-aaaa-5bbb-8ccc-dddddddd$i%04d", s"s${i % 50}", s"o${i % 50}", i))
+      .toDF("fact_uuid", "subject_uuid", "object_uuid", "n")
+      .coalesce(1)
+    log.commit("t", df, bloomKeys = Seq("fact_uuid"),
+      auxBloomKeys = Seq(Seq("subject_uuid"), Seq("object_uuid")))
+
+    val files = Files.walk(Paths.get(log.snapshotPath("t", 1)))
+      .filter(p => p.toString.endsWith(".parquet")).iterator()
+    var bloomChecked = 0
+    val conf = spark.sparkContext.hadoopConfiguration
+    while (files.hasNext) {
+      val f = files.next()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          if (block.getRowCount > 0) {
+            val byCol = block.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c).toMap
+            // the high-cardinality key column MUST carry a readable bloom
+            val fu = byCol("fact_uuid")
+            assert(fu.getBloomFilterOffset >= 0,
+              s"$f: fact_uuid has no parquet bloom filter")
+            assert(reader.readBloomFilter(fu) != null)
+            bloomChecked += 1
+            // every bloom-requested column is row-group-filterable: a bloom,
+            // or full dictionary encoding (which filters exactly)
+            for (colName <- Seq("subject_uuid", "object_uuid")) {
+              val cc = byCol(colName)
+              val dictOnly = !cc.getEncodingStats.hasNonDictionaryEncodedPages
+              assert(cc.getBloomFilterOffset >= 0 || dictOnly,
+                s"$f: $colName has neither bloom nor full dictionary encoding")
+            }
+            // non-key columns carry no bloom (no wasted footer bytes)
+            assert(byCol("n").getBloomFilterOffset < 0)
+          }
+        }
+      } finally reader.close()
+    }
+    assert(bloomChecked > 0, "no parquet files with rows found")
+
+    // and the pushed point-lookup still answers exactly
+    val hit = log.readForAnyKeys("t", Seq(
+      Seq("subject_uuid") -> Seq(Seq("s7")),
+      Seq("object_uuid") -> Seq(Seq("s7")))).get
+    assert(hit.count() === df.filter(
+      $"subject_uuid" === "s7" || $"object_uuid" === "s7").count())
+
+    // DELTA segments stay bloom-free by design (adaptive's 64 KB/chunk
+    // floor would break append-cost ∝ new rows; the segment-level key
+    // bloom already prunes small deltas wholesale)
+    val incr = Seq(("zz-new-fact", "s1", "o1", 99999))
+      .toDF("fact_uuid", "subject_uuid", "object_uuid", "n")
+    log.mergeAppend("t", incr, Seq("fact_uuid"),
+      auxBloomKeys = Seq(Seq("subject_uuid"), Seq("object_uuid")))
+    val deltaFiles = Files.walk(Paths.get(log.snapshotPath("t", 2)))
+      .filter(p => p.toString.endsWith(".parquet")).iterator()
+    while (deltaFiles.hasNext) {
+      val f = deltaFiles.next()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf))
+      try reader.getFooter.getBlocks.forEach { block =>
+        block.getColumns.asScala.foreach(cc =>
+          assert(cc.getBloomFilterOffset < 0,
+            s"$f: delta segment must not carry parquet column blooms"))
+      } finally reader.close()
+    }
   }
 
   test("point lookup on upsert tables: merge-key probes prune and resolve LWW; others scan all") {
