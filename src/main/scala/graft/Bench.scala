@@ -284,6 +284,15 @@ object Bench {
       println(json)
     }
 
+    // Zero-state line FIRST: round 4's artifact held nothing but Spark
+    // startup logs because the run was killed before the old bench's single
+    // end-of-run println — the per-section provisional lines fixed kills
+    // between sections, but a kill during the first corpus materialization
+    // (minutes of silent work) would still leave zero parseable lines in
+    // the driver's tail capture. This line guarantees the artifact parses
+    // no matter when the run dies.
+    emit(provisional = true)
+
     // ================= SECTION 1: full pipeline (contract) =================
     // Sorted (deployment-layout) corpus; TWO forks with the floor defense —
     // a single fork in a bad host-drift window inflated the pipeline number
