@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.Ingest
 import graft.query.Retriever
 import graft.synth.TranscriptGen
@@ -264,6 +264,20 @@ object SparkEntry {
           TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ---- deterministic sampling / split assignment (oracle-checked) ----
+
+    "text_dataset_split" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"), Sampling.datasetSplit(col("doc_id")).as("split"))
+        .orderBy(col("doc_id"))),
+
+    "text_stratified_sample" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("source"),
+          Map("src1" -> 0.5, "src7" -> 0.25), defaultRate = 0.1))
+        .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
     // ---- similarity search (oracle-checked, ids-only for fp safety) ----
@@ -1160,6 +1174,28 @@ object SparkEntry {
       """SELECT '' AS fact_uuid WHERE 1 = 0""".stripMargin,
 
     "text_rolling_hash_check" ->
-      """SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0""".stripMargin
+      """SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0""".stripMargin,
+
+    // md5-hex → 16-bit bucket: ('0x' || first-4-hex)::INT in DuckDB ==
+    // conv(substring(md5, 1, 4), 16, 10) in Spark; thresholds are the same
+    // integer literals Sampling.pctThreshold / stratifiedKeep embed
+    "text_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 52428 THEN 'train'
+        |       WHEN b < 58982 THEN 'valid' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 4))::INT AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('graft-mix' || CAST(doc_id AS VARCHAR)), 1, 4))::INT AS b
+        |  FROM documents)
+        |WHERE b < CASE source WHEN 'src1' THEN 32768
+        |                      WHEN 'src7' THEN 16384 ELSE 6553 END
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split-assignment operators for training-data
+  * pipelines: stable train/valid/test assignment and per-source mixture
+  * downsampling.
+  *
+  * Everything here is a pure column expression over a salted md5 of the row
+  * key, which buys three properties `rand()`-based sampling cannot give at
+  * 100 TB:
+  *  - DETERMINISTIC: re-running the job (or re-reading after a lost
+  *    executor's task retry) assigns every row the same split. A `rand()`
+  *    split silently re-rolls on task retry — rows can land in BOTH train
+  *    and test across attempts.
+  *  - PARTITIONING-INDEPENDENT: assignment depends only on the key bytes,
+  *    never on row order, partition count, or cluster size, so a 1000-executor
+  *    run and a laptop run produce byte-identical splits.
+  *  - PORTABLE: md5 is engine-universal, so the split can be recomputed (and
+  *    audited) by any other system that reads the same table — the driver's
+  *    DuckDB oracle checks exactly this.
+  *
+  * The hash domain is the first 4 hex chars of the md5 → a uniform bucket in
+  * [0, 65536). 16 bits keeps threshold arithmetic exact in every engine's
+  * 32-bit integer math while bounding the largest-stratum quantization error
+  * at 1/65536 ≈ 0.0015% — negligible against the sampling noise of any real
+  * corpus.
+  */
+object Sampling {
+
+  val Buckets = 65536
+
+  /** Uniform bucket in [0, 65536) from a salted md5 of the key. The salt
+    * decorrelates independent sampling decisions over the same key (a doc
+    * held out of training by one salt is not systematically held out of
+    * every other hash-gated decision).
+    */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
+      .cast("int")
+
+  /** Integer threshold for a percentage of the bucket domain (floor — the
+    * same integer the oracle SQL embeds as a literal).
+    */
+  def pctThreshold(pct: Int): Int = pct * Buckets / 100
+
+  /** Deterministic train/valid/test assignment: train gets `trainPct`%,
+    * valid the next `validPct`%, test the rest.
+    */
+  def datasetSplit(key: Column, salt: String = "graft-split",
+      trainPct: Int = 80, validPct: Int = 10): Column = {
+    require(trainPct + validPct <= 100, "split percentages exceed 100")
+    val b = hashBucket(key, salt)
+    when(b < pctThreshold(trainPct), lit("train"))
+      .when(b < pctThreshold(trainPct + validPct), lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  /** Keep-gate for per-stratum mixture downsampling: true iff the row's
+    * bucket falls under its stratum's rate. `rates` maps stratum value →
+    * keep fraction in [0,1]; unlisted strata fall back to `defaultRate`.
+    * Upsampling (rate > 1) is out of scope for a filter gate — repeat-read
+    * the kept stratum instead.
+    */
+  def stratifiedKeep(key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "graft-mix"): Column = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "keep rates must be fractions in [0,1]")
+    val b = hashBucket(key, salt)
+    val threshold = rates.foldLeft(lit((defaultRate * Buckets).toInt)) {
+      case (acc, (value, rate)) =>
+        when(stratum === lit(value), lit((rate * Buckets).toInt)).otherwise(acc)
+    }
+    b < threshold
+  }
+}
