@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontam, Dedup, Multimodal, Packing, Pii, Sampling, Similarity, TextAnalysis, TrainingMix}
 import graft.pipeline.Ingest
 import graft.query.Retriever
 import graft.synth.TranscriptGen
@@ -278,6 +278,51 @@ object SparkEntry {
         .filter(Sampling.stratifiedKeep(col("doc_id"), col("source"),
           Map("src1" -> 0.5, "src7" -> 0.25), defaultRate = 0.1))
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // ---- decontamination / repetition / PII / packing (oracle-checked) ----
+
+    "text_decontam" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      Decontam.contaminationReport(train, evalDocs, n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(read(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "text_pii_redact" -> ((s, dir) => {
+      val contact = read(s, dir, "customer").select(col("c_custkey"),
+        concat(col("c_name"), lit(" <"), lower(col("c_name")), lit("@corp.example> tel "),
+          format_string("%02d-%03d-%03d-%04d",
+            col("c_custkey") % 90 + 10, col("c_custkey") * 7 % 900 + 100,
+            col("c_custkey") * 13 % 900 + 100, col("c_custkey") * 37 % 9000 + 1000))
+          .as("contact"))
+      contact.select(col("c_custkey"),
+          Pii.countEmails(col("contact")).cast("long").as("n_emails"),
+          Pii.countPhones(col("contact")).cast("long").as("n_phones"),
+          Pii.redact(col("contact")).as("redacted"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "text_training_mix" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      TrainingMix.prepare(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          mixtureRates = Map("src1" -> 0.5, "src7" -> 0.25), defaultRate = 1.0)
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_packing" -> ((s, dir) =>
+      Packing.packSequences(
+          read(s, dir, "documents")
+            .select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          windowTokens = 256)
         .orderBy(col("doc_id"))),
 
     // ---- similarity search (oracle-checked, ids-only for fp safety) ----
@@ -1196,6 +1241,154 @@ object SparkEntry {
         |  FROM documents)
         |WHERE b < CASE source WHEN 'src1' THEN 32768
         |                      WHEN 'src7' THEN 16384 ELSE 6553 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // eval split = doc_id % 50 == 0; 5-gram overlap, distinct shared grams
+    "text_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+        |                          i -> array_to_string(t[i : i + 4], ' '))) AS g
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g5 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(t) - 3, 1)),
+        |                   i -> array_to_string(t[i : i + 4], ' ')) AS g
+        |  FROM toks),
+        |dup AS (
+        |  SELECT doc_id,
+        |    round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+        |          / greatest(len(g), 1), 4) AS dup_ngram_frac
+        |  FROM g5),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)),
+        |                          i -> array_to_string(t[i : i + 1], ' '))) AS g
+        |  FROM toks),
+        |cnts AS (SELECT doc_id, g, count(*) AS cnt FROM big GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS tbf
+        |  FROM cnts GROUP BY 1)
+        |SELECT dup.doc_id, dup.dup_ngram_frac,
+        |  coalesce(top.tbf, 0.0) AS top_bigram_frac
+        |FROM dup LEFT JOIN top ON dup.doc_id = top.doc_id
+        |ORDER BY dup.doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <' || lower(c_name) || '@corp.example> tel ' ||
+        |    printf('%02d-%03d-%03d-%04d',
+        |           c_custkey % 90 + 10, c_custkey * 7 % 900 + 100,
+        |           c_custkey * 13 % 900 + 100, c_custkey * 37 % 9000 + 1000) AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
+    // full mix-prep composition: quality/lang/token gates -> exact dedup
+    // (min-id per md5(text)) -> 5-gram decontam vs the doc_id%50=0 eval
+    // split -> mixture gates (src1 50%, src7 25%, default keep-all) ->
+    // split assignment; every stage reuses an already-proven oracle fragment
+    "text_training_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |lid AS (
+        |  SELECT doc_id, sc.hits AS hits, sc.lang AS lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sc.hits DESC, sc.lang DESC) AS rn
+        |  FROM (
+        |    SELECT doc_id, unnest([
+        |      {'hits': len(list_intersect(toks, ['the','and','of','to','is','in','that','for','with','on'])), 'lang': 'en'},
+        |      {'hits': len(list_intersect(toks, ['el','la','de','que','y','en','los','del','las','por'])), 'lang': 'es'},
+        |      {'hits': len(list_intersect(toks, ['der','die','und','das','ist','nicht','mit','ein','für','auf'])), 'lang': 'de'},
+        |      {'hits': len(list_intersect(toks, ['le','la','les','des','est','dans','pour','que','une','sur'])), 'lang': 'fr'},
+        |      {'hits': len(list_intersect(toks, ['的','是','在','了','和','有','我','不','这','中'])), 'lang': 'zh'}
+        |    ]) AS sc FROM base) s0),
+        |lp AS (SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+        |       FROM lid WHERE rn = 1),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS nchar,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS nalpha,
+        |    CAST(len(list_intersect(toks, ['the','and','of','to','is','in','a','that'])) AS DOUBLE) AS stophits,
+        |    COALESCE(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE), 0.0) AS sumlen
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |    CAST(round(((CASE WHEN ntok BETWEEN 20 AND 5000 THEN 1.0
+        |                      WHEN ntok BETWEEN 5 AND 20000 THEN 0.5 ELSE 0.0 END)
+        |      + (nalpha / greatest(nchar, 1.0)) + least(stophits / 4.0, 1.0)
+        |      + (CASE WHEN (sumlen / greatest(ntok, 1.0)) BETWEEN 2.5 AND 10.0
+        |              THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS DOUBLE) AS quality
+        |  FROM m),
+        |f AS (
+        |  SELECT b.doc_id, b.source, b.text, b.toks, lp.lang_pred, q.n_tokens, q.quality
+        |  FROM base b JOIN lp USING (doc_id) JOIN q USING (doc_id)
+        |  WHERE q.n_tokens >= 20 AND q.quality >= 0.5
+        |    AND lp.lang_pred IN ('en','es','de','fr','zh')),
+        |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM f GROUP BY 1),
+        |d AS (SELECT f.* FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep_id),
+        |evg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(toks2) - 3, 1)),
+        |      i -> array_to_string(toks2[i : i + 4], ' '))) AS g
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS toks2
+        |        FROM documents WHERE doc_id % 50 = 0) e0),
+        |cont AS (
+        |  SELECT DISTINCT dg.doc_id
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+        |          i -> array_to_string(toks[i : i + 4], ' '))) AS g FROM d) dg
+        |  JOIN evg USING (g)),
+        |c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |s AS (SELECT *,
+        |    ('0x' || substr(md5('graft-mix' || CAST(doc_id AS VARCHAR)), 1, 4))::INT AS mb,
+        |    ('0x' || substr(md5('graft-split' || CAST(doc_id AS VARCHAR)), 1, 4))::INT AS sb
+        |  FROM c)
+        |SELECT doc_id, source, lang_pred, n_tokens, quality,
+        |  CASE WHEN sb < 52428 THEN 'train'
+        |       WHEN sb < 58982 THEN 'valid' ELSE 'test' END AS split
+        |FROM s
+        |WHERE mb < CASE source WHEN 'src1' THEN 32768
+        |                       WHEN 'src7' THEN 16384 ELSE 65536 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, token_offset,
+        |  token_offset // 256 AS first_bin,
+        |  (token_offset + greatest(n_tokens, 1) - 1) // 256 AS last_bin
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }

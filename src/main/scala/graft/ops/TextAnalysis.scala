@@ -78,6 +78,54 @@ object TextAnalysis {
     aggregate(tokens(textCol), lit(0L),
       (acc, w) => xxhash64(acc, w))
 
+  /** Array of word `n`-grams (space-joined), over [[tokens]]. Empty array when
+    * the document has fewer than `n` tokens. Pure expression (codegen).
+    */
+  def ngrams(textCol: Column, n: Int): Column = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val t = tokens(textCol)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals per document:
+    * `dup_ngram_frac`  = fraction of n-gram instances that are repeats of an
+    *                     earlier instance ((total − distinct) / total), and
+    * `top_bigram_frac` = occurrences of the most frequent 2-gram / total
+    *                     2-grams — the "fraction of characters in the most
+    *                     common n-gram" family of quality filters from the
+    *                     Gopher/MassiveText rules, on token counts.
+    * Both rounded to 4 dp; 0.0 for documents too short to form a gram.
+    *
+    * Scale shape: the dup fraction is a pure expression fused into the scan;
+    * the top-bigram mode runs explode → two-level aggregation keyed by
+    * (id, gram) — partial aggregation combines map-side, the shuffle key is
+    * the doc id + gram, and no per-doc state exceeds its distinct-gram count
+    * (never O(corpus)). An expression-only mode (filter-count per distinct
+    * gram) would be O(grams²) per document and melt on a 1M-token doc.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 5): DataFrame = {
+    val g5 = ngrams(col(textCol), n)
+    val base = docs.select(
+      col(idCol),
+      round((size(g5) - size(array_distinct(g5))).cast("double") /
+        greatest(size(g5), lit(1)).cast("double"), 4).as("dup_ngram_frac"),
+      ngrams(col(textCol), 2).as("g2"))
+    val topBigram = base
+      .select(col(idCol), explode(col("g2")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("tot_cnt"))
+    base.drop("g2")
+      .join(topBigram, Seq(idCol), "left")
+      .select(col(idCol), col("dup_ngram_frac"),
+        round(coalesce(col("max_cnt").cast("double") / col("tot_cnt"), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Convenience: annotate a documents DataFrame with all analysis columns. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

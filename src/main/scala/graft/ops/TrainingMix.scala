@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-mix preparation: the composition a pretraining data
+  * pipeline actually runs over a raw document table —
+  *
+  *   1. quality gates (token count, quality score, language) — pure
+  *      expressions, fused into the scan, so the corpus shrinks BEFORE the
+  *      first shuffle;
+  *   2. exact dedup (keep the min-id representative per md5(text) group);
+  *   3. benchmark decontamination ([[Decontam]], n-gram overlap against the
+  *      held-out eval set, broadcast on the eval side);
+  *   4. deterministic mixture downsampling per source ([[Sampling]] salted
+  *      hash gates — task-retry-safe, partitioning-independent);
+  *   5. deterministic train/valid/test split assignment.
+  *
+  * Shuffle budget at 100 TB: one groupBy(md5) + one semi-join keyed by id
+  * (dedup), one broadcast semi-join (decontam); every filter and the split
+  * assignment ride along as expressions. Nothing is O(corpus) on the driver.
+  */
+object TrainingMix {
+
+  def prepare(docs: DataFrame, evalDocs: DataFrame,
+              minTokens: Int = 20, minQuality: Double = 0.5,
+              allowedLangs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+              decontamN: Int = 5,
+              mixtureRates: Map[String, Double] = Map.empty,
+              defaultRate: Double = 1.0,
+              idCol: String = "doc_id", textCol: String = "text",
+              sourceCol: String = "source"): DataFrame = {
+    val annotated = docs.select(
+      col(idCol), col(sourceCol), col(textCol),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val gated = annotated
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("quality") >= minQuality)
+      .filter(col("lang_pred").isin(allowedLangs: _*))
+
+    val keepIds = gated
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val deduped = gated.join(keepIds, Seq(idCol), "left_semi")
+
+    val clean = Decontam.decontaminate(deduped, evalDocs, decontamN, idCol, textCol)
+
+    clean
+      .filter(Sampling.stratifiedKeep(col(idCol), col(sourceCol),
+        mixtureRates, defaultRate))
+      .select(col(idCol), col(sourceCol), col("lang_pred"),
+        col("n_tokens"), col("quality"),
+        Sampling.datasetSplit(col(idCol)).as("split"))
+  }
+}

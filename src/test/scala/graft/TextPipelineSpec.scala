@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Decontam, Packing, Pii, TextAnalysis}
+
+/** Decontamination, repetition signals, PII redaction, sequence packing. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams: sliding word windows; short docs yield empty") {
+    val df = Seq((0L, "a b c d"), (1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val g = df.select(col("doc_id"), TextAnalysis.ngrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(0L) === Seq("a b c", "b c d"))
+    assert(g(1L) === Seq.empty)
+    assert(g(2L) === Seq.empty)
+  }
+
+  test("repetitionSignals: dup-gram and top-bigram fractions, short-doc zeros") {
+    val df = Seq(
+      (0L, "a b a b a b"),          // bigrams: ab,ba,ab,ba,ab → top 3/5
+      (1L, "x x x x x x x x"),      // 4 identical 5-grams → dup 3/4; bigram 7/7
+      (2L, "hi"),                   // too short for any gram
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r(0L) === ((0.0, 0.6)))
+    assert(r(1L) === ((0.75, 1.0)))
+    assert(r(2L) === ((0.0, 0.0)))
+    assert(r(3L) === ((0.0, 0.2)))  // 5 distinct bigrams, top 1/5
+  }
+
+  private lazy val trainDocs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta"),    // shares 5-grams with eval 100
+    (1L, "one two three four five six seven"),       // clean
+    (2L, "alpha beta gamma delta epsilon other")).toDF("doc_id", "text")
+  private lazy val evalDocs = Seq(
+    (100L, "prefix alpha beta gamma delta epsilon zeta suffix")).toDF("doc_id", "text")
+
+  test("contaminationReport counts distinct shared n-grams; decontaminate drops them") {
+    val rep = Decontam.contaminationReport(trainDocs, evalDocs, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: grams "alpha beta gamma delta epsilon" and "beta gamma delta epsilon zeta"
+    assert(rep === Map(0L -> 2L, 2L -> 1L))
+    val kept = Decontam.decontaminate(trainDocs, evalDocs, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("pii: counts and redaction") {
+    val df = Seq(
+      (0L, "mail a.user+tag@sub.example.org or ring 12-345-678-9012 now"),
+      (1L, "no pii here, just 123-45 and a-b@c")).toDF("id", "text")
+    val r = df.select(col("id"), Pii.countEmails(col("text")).as("e"),
+        Pii.countPhones(col("text")).as("p"), Pii.redact(col("text")).as("t"))
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getString(3)))).toMap
+    assert(r(0L) === ((1, 1, "mail [EMAIL] or ring [PHONE] now")))
+    assert(r(1L) === ((0, 0, "no pii here, just 123-45 and a-b@c")))
+  }
+
+  test("packSequences: global offsets = sequential cumsum, bucket-count invariant") {
+    val docs = (0L until 100L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "n_tokens")
+    val expected = {
+      var off = 0L
+      (0L until 100L).map { i =>
+        val len = (i % 7) + 1
+        val row = (i, len, off, off / 10, (off + len - 1) / 10)
+        off += len
+        row
+      }
+    }
+    for (nb <- Seq(1, 7)) {
+      val got = Packing.packSequences(docs, windowTokens = 10, numBuckets = nb)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.toSeq === expected, s"numBuckets=$nb")
+    }
+  }
+
+  test("packSequences plan has no single-partition exchange (distributed scan)") {
+    val docs = (0L until 50L).map(i => (i, 3L)).toDF("doc_id", "n_tokens")
+    val plan = Packing.packSequences(docs, windowTokens = 16, numBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("packSequences on empty input returns empty") {
+    val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Packing.packSequences(docs, windowTokens = 8).isEmpty)
+  }
+}
