@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Decontam, Packing, Pii, TextAnalysis}
+import graft.ops.{Decontam, Packing, Pii, TextAnalysis, TrainingMix}
 
 /** Decontamination, repetition signals, PII redaction, sequence packing. */
 class TextPipelineSpec extends SparkSpec {
@@ -88,5 +88,36 @@ class TextPipelineSpec extends SparkSpec {
   test("packSequences on empty input returns empty") {
     val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     assert(Packing.packSequences(docs, windowTokens = 8).isEmpty)
+  }
+
+  test("decontam plan: eval grams broadcast, no shuffle of the training side") {
+    val plan = Decontam.contaminationReport(trainDocs, evalDocs, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // gram-keyed shuffles: exactly one, the tiny eval side's distinct before
+    // its broadcast — the exploded TRAINING grams reach the join unshuffled
+    // (their only later exchange is the post-join doc-id-keyed aggregation
+    // over the contaminated subset)
+    assert("hashpartitioning\\(gram".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("TrainingMix.prepare: gates, dedup, decontam, mixture, split compose") {
+    val docs = Seq(
+      // two long clean English docs with identical text -> dedup keeps min id
+      (1L, "srcA", ("the cat sat on the mat and looked at the dog " * 3).trim),
+      (2L, "srcA", ("the cat sat on the mat and looked at the dog " * 3).trim),
+      // contaminated: shares a 5-gram with the eval doc
+      (3L, "srcA", ("alpha beta gamma delta epsilon " +
+        "the quick brown fox jumps over the lazy dog again and again for length " * 2).trim),
+      // too short -> token gate drops it
+      (4L, "srcA", "tiny doc")).toDF("doc_id", "source", "text")
+    val evalDocs = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon suffix")).toDF("doc_id", "text")
+    val out = TrainingMix.prepare(docs, evalDocs, minTokens = 10,
+        minQuality = 0.3, decontamN = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out.keySet === Set(1L), out.toString)
+    assert(Set("train", "valid", "test").contains(out(1L)))
   }
 }
