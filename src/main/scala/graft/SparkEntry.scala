@@ -250,6 +250,16 @@ object SparkEntry {
           n = 1, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // pairs → transitive closure → one canonical survivor per cluster:
+    // exact Jaccard pairs feed ConnectedComponents (the same operator the
+    // entity-canonicalization path runs), oracle = recursive reachability
+    "dedup_doc_clusters" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 100)
+      Dedup.dedupClusters(docs,
+          Dedup.ngramJaccardPairs(docs, n = 1, threshold = 0.8))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis (oracle-checked) ----
 
     "text_langid" -> ((s, dir) =>
@@ -1016,6 +1026,26 @@ object SparkEntry {
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_doc_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM p
+        |        UNION SELECT id_b, id_a FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT w.id, s.d FROM walk w JOIN sym s ON w.reach = s.s)
+        |SELECT id AS doc_id, min(reach) AS cluster_id,
+        |  id = min(reach) AS keep
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (

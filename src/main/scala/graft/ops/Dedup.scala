@@ -311,4 +311,41 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // ---------- cluster-level dedup (pairs → components → canonical) ----------
+
+  /** Collapse a near-dup PAIR relation into duplicate clusters: every doc
+    * gets the cluster's minimum member id as `cluster_id`, and `keep` marks
+    * the one canonical representative per cluster (singletons keep
+    * themselves). Near-duplication is transitive in practice (a~b, b~c ⇒ one
+    * cluster {a,b,c}) — pair-at-a-time dropping would keep one doc per PAIR,
+    * not per cluster, and over-retain chains.
+    *
+    * Scale shape: `pairs` comes from any bucketed candidate generator
+    * ([[minhashLshPairs]] at corpus scale; [[ngramJaccardPairs]] for exact
+    * small-N work), so the edge relation is O(near-dup pairs), not O(n²);
+    * the transitive closure reuses [[graft.canon.ConnectedComponents]]
+    * (driver union-find under 100k edges, pointer-jumping loop above). Ids
+    * are zero-padded for the label ordering because CC min()s its string
+    * labels lexicographically.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val pad = (c: org.apache.spark.sql.Column) => format_string("%012d", c)
+    val edges = pairs.select(pad(col("id_a")).as("src"), pad(col("id_b")).as("dst"))
+    val cc = graft.canon.ConnectedComponents.run(docs.sparkSession, edges)
+    docs.select(col(idCol))
+      .join(cc.select(col("id").cast("long").as(idCol),
+        col("component").cast("long").as("cluster_id")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col(idCol))
+  }
+
+  /** `docs` with every non-canonical near-dup cluster member dropped. */
+  def dedupFuzzy(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      dedupClusters(docs, pairs, idCol).filter(col("keep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
 }

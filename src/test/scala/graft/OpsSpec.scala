@@ -29,6 +29,19 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupClusters: transitive chain collapses to one cluster; singleton keeps itself") {
+    import spark.implicits._
+    val d = Seq((10L, ""), (11L, ""), (12L, ""), (20L, "")).toDF("doc_id", "text")
+    // chain 10~11, 11~12 (10 and 12 never paired directly) + singleton 20
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val c = Dedup.dedupClusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(c === Map(10L -> ((10L, true)), 11L -> ((10L, false)),
+      12L -> ((10L, false)), 20L -> ((20L, true))))
+    assert(Dedup.dedupFuzzy(d, pairs).select("doc_id").as[Long].collect().toSet
+      === Set(10L, 20L))
+  }
+
   test("minhash-LSH recalls the exact-dup pair and the near-dup pair") {
     val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 32, bands = 8, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
