@@ -131,4 +131,32 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("n_turns")).sum === 25L)
     } finally q.stop()
   }
+
+  test("streaming corpus gate+dedup: bounded-state exact dedup drops in-horizon replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val longA = "the quick brown fox jumps over the lazy dog and keeps running " +
+      "through the wide open field for a very long time indeed today"
+    val longB = "a completely different document about shipping container logistics " +
+      "moving freight across the harbor with tugboats and cranes all afternoon"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDS().toDF("doc_id", "text", "ts")
+    val out = graft.streaming.StreamingCorpus.dedupedWithinWatermark(
+      graft.streaming.StreamingCorpus.gated(docs, minTokens = 10, minQuality = 0.3))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_clean").start()
+    try {
+      val t0 = new Timestamp(1704067200000L)
+      mem.addData((1L, longA, t0), (2L, "tiny", t0))
+      q.processAllAvailable()
+      // same content replayed within the horizon + one genuinely new doc
+      mem.addData((3L, longA, new Timestamp(t0.getTime + 60000L)),
+        (4L, longB, new Timestamp(t0.getTime + 60000L)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, lang_pred FROM corpus_clean").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // 2 fails the token gate; 3 is an in-horizon duplicate of 1
+      assert(rows.keySet === Set(1L, 4L))
+      assert(rows(1L) === "en")
+    } finally q.stop()
+  }
 }
