@@ -141,4 +141,69 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("score"))
   }
+
+  // ---------- persisted IVF index (train once, serve + extend forever) ----
+
+  /** Materialize an IVF index as two DataFrames ready to commit to a
+    * [[graft.tables.SnapshotLog]] warehouse: a tiny `centroids` relation
+    * (cell, cvec — nCentroids rows) and the cell-exploded `assignments`
+    * relation (cell, id, vec — ×multiAssign the corpus). At serving scale
+    * the training cost (Lloyd rounds over 100 TB) and the assignment pass
+    * amortize across every later query session instead of re-running per
+    * session; committing `assignments` partitioned BY `cell` makes a probe
+    * read only its nprobe partitions (partition pruning on the cell join).
+    */
+  def buildIvfIndex(corpus: DataFrame, nCentroids: Int = 16,
+      kmeansIters: Int = 0, multiAssign: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+    val centroidsDf = centroids.toDF("cell", "cvec")
+    (centroidsDf, assignToIndex(centroidsDf, corpus, multiAssign, idCol, vecCol))
+  }
+
+  /** Assign (new) corpus rows to an EXISTING index's cells — the incremental
+    * path: a corpus increment is assigned against the committed centroids
+    * and merge-appended to the assignments table; no retraining, no touch of
+    * the standing assignment rows. Row shape matches [[buildIvfIndex]]'s
+    * assignments relation.
+    */
+  def assignToIndex(centroidsDf: DataFrame, corpus: DataFrame,
+      multiAssign: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assign = nearestCells(collectCentroids(centroidsDf), take = multiAssign)
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("cell", explode(assign(col(vecCol))))
+      .select(col("cell"), col(idCol), col(vecCol))
+  }
+
+  /** ANN top-k served FROM a persisted index (the read side of
+    * [[buildIvfIndex]]): identical semantics and output shape to [[ivfTopK]]
+    * with the same parameters — proven by spec — but the corpus-side work is
+    * a pruned scan of the probed cells' rows instead of a fresh train+assign.
+    */
+  def ivfTopKIndexed(centroidsDf: DataFrame, assignments: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4, multiAssign: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val assignP = nearestCells(collectCentroids(centroidsDf), take = nprobe)
+    val probed = queries
+      .withColumn("cell", explode(assignP(col(qvecCol).cast("array<double>"))))
+    val joined0 = probed.join(assignments, Seq("cell"))
+    val joined = if (multiAssign > 1) joined0.dropDuplicates(qidCol, idCol) else joined0
+    val scored = joined
+      .withColumn("score", VectorOps.cosine(col(qvecCol), col(vecCol)))
+      .filter(col(qidCol) =!= col(idCol))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+  }
+
+  /** Driver-side fetch of a centroid relation (bounded: nCentroids rows). */
+  private def collectCentroids(centroidsDf: DataFrame): Seq[(Int, Seq[Double])] =
+    centroidsDf.select(col("cell").cast("int"), col("cvec").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
 }

@@ -114,6 +114,38 @@ class OpsSpec extends SparkSpec {
     assert(recall(2) >= recall(1))
   }
 
+  test("persisted IVF index: committed round-trip serves identically; increments extend it") {
+    val queries = vecs.filter($"vec_id" % 8 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val adHoc = Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 8,
+      nprobe = 2, kmeansIters = 2, multiAssign = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // build → commit (assignments partitioned by cell) → read back → serve
+    val (cents, assigned) = Similarity.buildIvfIndex(vecs, nCentroids = 8,
+      kmeansIters = 2, multiAssign = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val log = new graft.tables.SnapshotLog(spark, dir)
+    log.commit("ann_centroids", cents)
+    log.commit("ann_assignments", assigned, partitionBy = Seq("cell"))
+    val served = Similarity.ivfTopKIndexed(
+        log.read("ann_centroids").get, log.read("ann_assignments").get,
+        queries, k = 3, nprobe = 2, multiAssign = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served === adHoc)
+
+    // incremental: assigning the corpus in two halves against the SAME
+    // committed centroids unions to exactly the full assignment relation
+    val half1 = vecs.filter($"vec_id" < 20)
+    val half2 = vecs.filter($"vec_id" >= 20)
+    val inc = Similarity.assignToIndex(cents, half1, multiAssign = 2)
+      .union(Similarity.assignToIndex(cents, half2, multiAssign = 2))
+      .select($"cell", $"vec_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val fullAssign = assigned.select($"cell", $"vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(inc === fullAssign)
+  }
+
   test("IVF with trained centroids (Lloyd) matches or beats untrained recall; deterministic") {
     val queries = vecs.filter($"vec_id" % 8 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
