@@ -19,6 +19,8 @@ import graft.tables.SnapshotLog
   *   TableApp <warehouseDir> compact  <table>          force-rewrite as ONE full snapshot
   *   TableApp <warehouseDir> vacuum   [table]          drop pre-compaction history
   *   TableApp <warehouseDir> verify   [table]          recompute lineage checksums
+  *   TableApp <warehouseDir> ann-index <table> [nCentroids] [vecCol] [idCol]
+  *                                   train + commit the persisted IVF index
   *
   * `history`/`vacuum`/`verify` default to every table in the warehouse.
   * `compact` preserves the table's partition layout (detected from the live
@@ -28,7 +30,7 @@ import graft.tables.SnapshotLog
 object TableApp {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify [table] [asOf]")
+      "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index [table] [asOf|nCentroids ...]")
     sys.exit(2)
   }
 
@@ -164,6 +166,33 @@ object TableApp {
           println(s"[table] $t snapshot=$id lineage=${if (ok) "OK" else "MISMATCH"}")
         }
         if (bad > 0) { println(s"[table] $bad snapshot(s) FAILED lineage verification"); sys.exit(1) }
+
+      // ann-index <table> [nCentroids] [vecCol] [idCol]: train + commit the
+      // persisted IVF index for a committed table's vector column; serving
+      // reads <table>_ann_{centroids,assignments} via Similarity.ivfTopKIndexed
+      case "ann-index" =>
+        if (args.length < 3) usage()
+        val t = args(2)
+        val nCentroids = args.lift(3).map(_.toInt).getOrElse(64)
+        val src = log.read(t).getOrElse {
+          System.err.println(s"no committed table: $t"); sys.exit(2)
+        }
+        val vecCol = args.lift(4).getOrElse("embedding")
+        val idCol = args.lift(5).orElse(
+          Seq("fact_uuid", "vec_id", "doc_id").find(src.columns.contains)).getOrElse {
+          System.err.println(s"no id column found in $t (pass one explicitly)"); sys.exit(2)
+        }
+        if (!src.columns.contains(vecCol)) {
+          System.err.println(s"table $t has no '$vecCol' column"); sys.exit(2)
+        }
+        val (cents, assigned) = graft.ops.Similarity.buildIvfIndex(
+          src, nCentroids = nCentroids, kmeansIters = 2,
+          idCol = idCol, vecCol = vecCol)
+        log.commit(s"${t}_ann_centroids", cents)
+        log.commit(s"${t}_ann_assignments", assigned, partitionBy = Seq("cell"))
+        println(s"[table] $t: IVF index committed " +
+          s"(${t}_ann_centroids n=$nCentroids, ${t}_ann_assignments " +
+          s"rows=${log.read(s"${t}_ann_assignments").get.count()} idCol=$idCol)")
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()

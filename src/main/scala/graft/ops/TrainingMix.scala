@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality gates (token count, quality score, language) — pure
   *      expressions, fused into the scan, so the corpus shrinks BEFORE the
-  *      first shuffle;
+  *      first shuffle — plus optional Gopher-style repetition ceilings
+  *      (dup-n-gram / top-bigram fractions) applied to the survivors;
   *   2. exact dedup (keep the min-id representative per md5(text) group);
   *   3. benchmark decontamination ([[Decontam]], n-gram overlap against the
   *      held-out eval set, broadcast on the eval side);
@@ -28,6 +29,8 @@ object TrainingMix {
               decontamN: Int = 5,
               mixtureRates: Map[String, Double] = Map.empty,
               defaultRate: Double = 1.0,
+              maxDupNgramFrac: Option[Double] = None,
+              maxTopBigramFrac: Option[Double] = None,
               idCol: String = "doc_id", textCol: String = "text",
               sourceCol: String = "source"): DataFrame = {
     val annotated = docs.select(
@@ -35,10 +38,23 @@ object TrainingMix {
       TextAnalysis.langId(col(textCol)).as("lang_pred"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextAnalysis.qualityScore(col(textCol)).as("quality"))
-    val gated = annotated
+    val cheapGated = annotated
       .filter(col("n_tokens") >= minTokens)
       .filter(col("quality") >= minQuality)
       .filter(col("lang_pred").isin(allowedLangs: _*))
+    // Gopher-style repetition gates ride AFTER the cheap expression gates
+    // (the top-bigram mode is the one aggregation in the gate stack — run it
+    // over the already-shrunk survivor set, not the raw corpus) and only
+    // when a ceiling is configured.
+    val gated =
+      if (maxDupNgramFrac.isEmpty && maxTopBigramFrac.isEmpty) cheapGated
+      else {
+        val rep = TextAnalysis.repetitionSignals(cheapGated, idCol, textCol)
+        cheapGated.join(rep, Seq(idCol))
+          .filter(maxDupNgramFrac.map(col("dup_ngram_frac") <= _).getOrElse(lit(true)))
+          .filter(maxTopBigramFrac.map(col("top_bigram_frac") <= _).getOrElse(lit(true)))
+          .drop("dup_ngram_frac", "top_bigram_frac")
+      }
 
     val keepIds = gated
       .groupBy(md5(col(textCol)).as("_h"))

@@ -119,5 +119,17 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
     assert(out.keySet === Set(1L), out.toString)
     assert(Set("train", "valid", "test").contains(out(1L)))
+
+    // the surviving doc is a 3× repeat of one sentence — a dup-5-gram
+    // ceiling kicks it out; a permissive ceiling keeps the result unchanged
+    val gatedOut = TrainingMix.prepare(docs, evalDocs, minTokens = 10,
+        minQuality = 0.3, decontamN = 5, maxDupNgramFrac = Some(0.2))
+      .collect()
+    assert(gatedOut.isEmpty, gatedOut.mkString(","))
+    val permissive = TrainingMix.prepare(docs, evalDocs, minTokens = 10,
+        minQuality = 0.3, decontamN = 5, maxDupNgramFrac = Some(0.99),
+        maxTopBigramFrac = Some(0.99))
+      .collect().map(_.getLong(0)).toSet
+    assert(permissive === Set(1L))
   }
 }
