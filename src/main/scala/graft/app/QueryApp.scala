@@ -97,7 +97,18 @@ object QueryApp {
 
       case "search" =>
         val facts = Retriever.withFactEmbeddings(table("triples"))
-        val out = Retriever.searchAuto(facts, table("entities"), text, topK)
+        // a committed ANN index (TableApp ann-index triples) serves the
+        // global vector strategy from its pruned cell partitions; without
+        // one the exact brute-force scan runs (small-warehouse default)
+        val anchors = Retriever.resolveQueryEntities(table("entities"), text)
+        val fused = (log.read("triples_ann_centroids"), log.read("triples_ann_assignments")) match {
+          case (Some(cents), Some(assigned)) =>
+            System.err.println("[query] ANN index: serving global strategy from committed cells")
+            Retriever.searchIndexed(facts, cents, assigned, text, anchors, topK)
+          case _ =>
+            Retriever.search(facts, text, anchors, topK)
+        }
+        val out = fused
           .join(table("triples").select(col("fact_uuid"), col("fact")), Seq("fact_uuid"))
         show(out.select(col("rrf_score"), col("found_by"), col("fact"))
           .orderBy(col("rrf_score").desc, col("fact")), topK)

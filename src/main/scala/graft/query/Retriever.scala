@@ -284,4 +284,51 @@ object Retriever {
         .select("fact_uuid", "score", "source")
     rrfFuse(vector.union(keyword).union(graph), topK, cfg)
   }
+
+  /** [[globalSearch]]'s vector strategy served from a PERSISTED IVF index
+    * ([[graft.ops.Similarity.buildIvfIndex]]'s committed relations): the
+    * query ranks the bounded centroid relation on the driver, reads ONLY its
+    * `nprobe` cells from the cell-partitioned assignments table (a
+    * partition-pruned scan — never a full pass over the fact vectors), and
+    * re-scores the candidates with the exact codegen dot product. Emitted
+    * scores are exact; only RECALL is approximate — probing every cell
+    * reproduces [[globalSearch]] bit-for-bit (specced), and the recall/scan
+    * frontier is the committed IvfRecallProbe curve.
+    */
+  def globalSearchIndexed(centroids: DataFrame, assignments: DataFrame,
+      query: String, nprobe: Int = 4, cfg: Config = Config(),
+      idCol: String = "fact_uuid"): DataFrame = {
+    val qv = Embed.embed(query)
+    val cells = centroids
+      .select(col("cell").cast("int"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy { case (cid, c) => (-Embed.cosine(qv, c.toArray), cid) }
+      .take(nprobe).map(_._1)
+    assignments
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .withColumn("score", scoreCol(qv))
+      .filter(col("score") > cfg.globalFloor)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(cfg.globalTopK)
+      .select(col(idCol).as("fact_uuid"), col("score"))
+      .withColumn("source", lit("global"))
+  }
+
+  /** [[search]] with the global vector strategy served from the persisted
+    * index; the keyword and graph strategies are equi-join/filter paths that
+    * never needed the full-scan cosine, so they run on `facts` unchanged.
+    */
+  def searchIndexed(facts: DataFrame, centroids: DataFrame,
+      assignments: DataFrame, query: String, anchorEntities: Seq[String],
+      topK: Int = 10, nprobe: Int = 4, cfg: Config = Config()): DataFrame = {
+    val vector = globalSearchIndexed(centroids, assignments, query, nprobe, cfg)
+    val keyword = keywordSearch(facts, query).select("fact_uuid", "score", "source")
+    val graph =
+      if (anchorEntities.isEmpty)
+        vector.limit(0)
+      else expandOneHop(facts, anchorEntities, cfg.scopedTopK, cfg)
+        .select("fact_uuid", "score", "source")
+    rrfFuse(vector.union(keyword).union(graph), topK, cfg)
+  }
 }

@@ -110,6 +110,28 @@ class RetrieverSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("fact_uuid", "rrf_score", "found_by"))
   }
 
+  test("index-served search: full probe reproduces brute-force search exactly; pruned probe subsets it") {
+    val (cents, assigned) = graft.ops.Similarity.buildIvfIndex(facts,
+      nCentroids = 6, kmeansIters = 1, idCol = "fact_uuid", vecCol = "embedding")
+    val q = "Quantum Dynamics acquisitions"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val brute = rows(Retriever.search(facts, q, Seq.empty, topK = 5))
+    val fullProbe = rows(Retriever.searchIndexed(facts, cents, assigned, q,
+      Seq.empty, topK = 5, nprobe = 6))
+    assert(fullProbe === brute)
+    // pruned probe: every emitted (fact, score) matches the brute-force
+    // scoring of that same fact exactly (approximation is in recall only)
+    val bruteScores = Retriever.globalSearch(facts, q, Retriever.Config(globalTopK = Int.MaxValue))
+      .select("fact_uuid", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pruned = Retriever.globalSearchIndexed(cents, assigned, q, nprobe = 2)
+      .select("fact_uuid", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (id, s) => assert(bruteScores(id) === s, id) }
+  }
+
   test("1-hop expansion has fixed score 0.45 (v6/graph_store.py:549-602)") {
     val e = facts.select($"subject_uuid").first().getString(0)
     val out = Retriever.expandOneHop(facts, Seq(e), maxFacts = 10)
