@@ -37,6 +37,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("group_id"), plan)
   }
 
+  test("index-served global search reads only the probed cells (partition pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-prune").toString
+    val vecs = (0L until 64L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i / 16 * 17 + d)))).toDF("vec_id", "embedding")
+    val (cents, assigned) = graft.ops.Similarity.buildIvfIndex(vecs, nCentroids = 4)
+    val log = new graft.tables.SnapshotLog(spark, dir)
+    log.commit("ann_centroids", cents)
+    log.commit("ann_assignments", assigned, partitionBy = Seq("cell"))
+    val served = graft.query.Retriever.globalSearchIndexed(
+      log.read("ann_centroids").get, log.read("ann_assignments").get,
+      "anything", nprobe = 2, idCol = "vec_id")
+    val plan = served.queryExecution.executedPlan.toString
+    // the cell IN (...) filter must land as a PartitionFilter on the
+    // assignments scan — the probe reads nprobe partitions, not the table
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    assert(!plan.toLowerCase.contains("partitionfilters: []"), plan)
+  }
+
   test("fact-resolution join is a broadcast hash join, and no cartesian product in the pipeline") {
     val turns = TranscriptGen.transcripts(spark, TranscriptGen.Config(4, 20, 2))
     val triples = Ingest.runInMemory(spark, turns).triples
