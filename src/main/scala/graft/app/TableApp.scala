@@ -21,6 +21,8 @@ import graft.tables.SnapshotLog
   *   TableApp <warehouseDir> verify   [table]          recompute lineage checksums
   *   TableApp <warehouseDir> ann-index <table> [nCentroids] [vecCol] [idCol]
   *                                   train + commit the persisted IVF index
+  *   TableApp <warehouseDir> ann-refresh <table> [vecCol]
+  *                                   assign index-unseen rows, merge-append
   *
   * `history`/`vacuum`/`verify` default to every table in the warehouse.
   * `compact` preserves the table's partition layout (detected from the live
@@ -30,7 +32,7 @@ import graft.tables.SnapshotLog
 object TableApp {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index [table] [asOf|nCentroids ...]")
+      "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]")
     sys.exit(2)
   }
 
@@ -189,10 +191,37 @@ object TableApp {
           src, nCentroids = nCentroids, kmeansIters = 2,
           idCol = idCol, vecCol = vecCol)
         log.commit(s"${t}_ann_centroids", cents)
-        log.commit(s"${t}_ann_assignments", assigned, partitionBy = Seq("cell"))
+        log.mergeAppend(s"${t}_ann_assignments", assigned,
+          keys = Seq("cell", idCol), partitionBy = Seq("cell"))
         println(s"[table] $t: IVF index committed " +
           s"(${t}_ann_centroids n=$nCentroids, ${t}_ann_assignments " +
           s"rows=${log.read(s"${t}_ann_assignments").get.count()} idCol=$idCol)")
+
+      // ann-refresh <table> [vecCol]: assign rows the committed index has
+      // not seen (e.g. after an incremental ingest) against the STANDING
+      // centroids and merge-append them — O(new rows), no retraining, no
+      // touch of the existing assignment segments
+      case "ann-refresh" =>
+        if (args.length < 3) usage()
+        val t = args(2)
+        val vecCol = args.lift(3).getOrElse("embedding")
+        val (src, cents, assignedT) = (log.read(t), log.read(s"${t}_ann_centroids"),
+            log.read(s"${t}_ann_assignments")) match {
+          case (Some(a), Some(b), Some(c)) => (a, b, c)
+          case _ =>
+            System.err.println(s"$t needs a committed table + ann-index first"); sys.exit(2)
+        }
+        val idCol = Seq("fact_uuid", "vec_id", "doc_id").find(src.columns.contains)
+          .getOrElse { System.err.println(s"no id column in $t"); sys.exit(2) }
+        val unseen = src.join(assignedT.select(idCol), Seq(idCol), "left_anti")
+        val delta = graft.ops.Similarity.assignToIndex(cents, unseen, idCol = idCol,
+          vecCol = vecCol).persist()
+        val nNew = delta.count()
+        val snap = log.mergeAppend(s"${t}_ann_assignments", delta,
+          keys = Seq("cell", idCol), partitionBy = Seq("cell"))
+        delta.unpersist()
+        println(s"[table] $t: ann-refresh appended $nNew assignment row(s)" +
+          s" (snapshot $snap)")
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()
