@@ -190,9 +190,13 @@ object TableApp {
         val (cents, assigned) = graft.ops.Similarity.buildIvfIndex(
           src, nCentroids = nCentroids, kmeansIters = 2,
           idCol = idCol, vecCol = vecCol)
+        // a (re)build pairs fresh centroids with a FULL assignment snapshot —
+        // merge-appending into an older build would mix rows keyed to the
+        // previous centroids' cells; only ann-refresh (same centroids)
+        // appends. bloomKeys keep the refresh deltas prunable.
         log.commit(s"${t}_ann_centroids", cents)
-        log.mergeAppend(s"${t}_ann_assignments", assigned,
-          keys = Seq("cell", idCol), partitionBy = Seq("cell"))
+        log.commit(s"${t}_ann_assignments", assigned, partitionBy = Seq("cell"),
+          bloomKeys = Seq("cell", idCol))
         println(s"[table] $t: IVF index committed " +
           s"(${t}_ann_centroids n=$nCentroids, ${t}_ann_assignments " +
           s"rows=${log.read(s"${t}_ann_assignments").get.count()} idCol=$idCol)")
