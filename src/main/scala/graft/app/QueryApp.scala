@@ -104,6 +104,17 @@ object QueryApp {
         val fused = (log.read("triples_ann_centroids"), log.read("triples_ann_assignments")) match {
           case (Some(cents), Some(assigned)) =>
             System.err.println("[query] ANN index: serving global strategy from committed cells")
+            // staleness guard: facts committed after the last index commit
+            // are invisible to the vector arm until TableApp ann-refresh runs
+            def lastCommit(t: String): Long = log.history(t)
+              .agg(org.apache.spark.sql.functions.max(col("committed_at")))
+              .first() match {
+                case r if r.isNullAt(0) => 0L
+                case r => r.getTimestamp(0).getTime
+              }
+            if (lastCommit("triples") > lastCommit("triples_ann_assignments"))
+              System.err.println("[query] WARNING: triples committed after the " +
+                "last index build — run `TableApp ann-refresh triples` to cover them")
             Retriever.searchIndexed(facts, cents, assigned, text, anchors, topK)
           case _ =>
             Retriever.search(facts, text, anchors, topK)

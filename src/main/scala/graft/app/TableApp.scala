@@ -195,16 +195,21 @@ object TableApp {
         // previous centroids' cells; only ann-refresh (same centroids)
         // appends. bloomKeys keep the refresh deltas prunable.
         log.commit(s"${t}_ann_centroids", cents)
-        log.commit(s"${t}_ann_assignments", assigned, partitionBy = Seq("cell"),
+        val assignedRows = assigned.persist()
+        val nAssigned = assignedRows.count()
+        log.commit(s"${t}_ann_assignments", assignedRows, partitionBy = Seq("cell"),
           bloomKeys = Seq("cell", idCol))
+        assignedRows.unpersist()
         println(s"[table] $t: IVF index committed " +
           s"(${t}_ann_centroids n=$nCentroids, ${t}_ann_assignments " +
-          s"rows=${log.read(s"${t}_ann_assignments").get.count()} idCol=$idCol)")
+          s"rows=$nAssigned idCol=$idCol)")
 
       // ann-refresh <table> [vecCol]: assign rows the committed index has
       // not seen (e.g. after an incremental ingest) against the STANDING
       // centroids and merge-append them — O(new rows), no retraining, no
-      // touch of the existing assignment segments
+      // touch of the existing assignment segments. Covers APPENDED rows
+      // only: an upsert that rewrites an existing row's vector needs an
+      // ann-index rebuild (the id is already assigned, so refresh skips it).
       case "ann-refresh" =>
         if (args.length < 3) usage()
         val t = args(2)
@@ -215,8 +220,10 @@ object TableApp {
           case _ =>
             System.err.println(s"$t needs a committed table + ann-index first"); sys.exit(2)
         }
-        val idCol = Seq("fact_uuid", "vec_id", "doc_id").find(src.columns.contains)
-          .getOrElse { System.err.println(s"no id column in $t"); sys.exit(2) }
+        // the id column is whatever the committed index was built over —
+        // derived from the assignments schema, not re-guessed from the table
+        val idCol = assignedT.columns.find(c => c != "cell" && c != vecCol)
+          .getOrElse { System.err.println(s"${t}_ann_assignments has no id column"); sys.exit(2) }
         val unseen = src.join(assignedT.select(idCol), Seq(idCol), "left_anti")
         val delta = graft.ops.Similarity.assignToIndex(cents, unseen, idCol = idCol,
           vecCol = vecCol).persist()

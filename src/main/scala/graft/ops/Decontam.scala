@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * set is broadcast; the training side streams through one narrow
   * explode → broadcast-hash-semi-join pass with no shuffle of the corpus.
   * Per-doc hit counts aggregate keyed by doc id (partial aggregation
-  * combines map-side). If the eval set ever outgrew the broadcast threshold
-  * the same plan degrades gracefully to a shuffled hash join on the gram —
-  * Spark picks that automatically once the hint no longer fits.
+  * combines map-side). The broadcast hint is EXPLICIT, so Spark honors it
+  * regardless of size — it does not auto-degrade past the threshold; if an
+  * eval corpus could outgrow executor memory, pass `broadcastEval = false`
+  * and the same plan becomes a shuffled hash join on the gram.
   */
 object Decontam {
 
@@ -24,13 +25,14 @@ object Decontam {
     */
   def contaminationReport(train: DataFrame, evalDocs: DataFrame, n: Int,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          broadcastEval: Boolean = true): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("gram"))
       .distinct()
     train
       .select(col(idCol), explode(TextAnalysis.ngrams(col(textCol), n)).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"))
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, Seq("gram"))
       .groupBy(col(idCol))
       .agg(count_distinct(col("gram")).as("n_shared"))
   }
@@ -38,8 +40,10 @@ object Decontam {
   /** `train` minus every document [[contaminationReport]] flags. */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text",
+                    broadcastEval: Boolean = true): DataFrame =
     train.join(
-      contaminationReport(train, evalDocs, n, idCol, textCol).select(col(idCol)),
+      contaminationReport(train, evalDocs, n, idCol, textCol, broadcastEval)
+        .select(col(idCol)),
       Seq(idCol), "left_anti")
 }

@@ -32,10 +32,21 @@ object Packing {
     val nb = if (numBuckets > 0) numBuckets
              else spark.sessionState.conf.numShufflePartitions
 
-    val bounds = docs.agg(
+    // one narrow persisted projection feeds all three consumers (bounds agg,
+    // per-bucket totals, final join) — without it the caller's upstream plan
+    // (possibly a whole gate/dedup pipeline) re-executes per action
+    val base = docs.select(col(idCol), col(lenCol).cast("long").as("_len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = base.agg(
       min(col(idCol)).cast("double").as("lo"),
       max(col(idCol)).cast("double").as("hi")).head()
-    if (bounds.isNullAt(0)) return docs.sparkSession.emptyDataFrame
+    if (bounds.isNullAt(0)) {
+      base.unpersist()
+      // empty input keeps the documented 5-column output schema
+      return base.select(col(idCol), col("_len").as(lenCol),
+        lit(0L).as("token_offset"), lit(0L).as("first_bin"),
+        lit(0L).as("last_bin")).limit(0)
+    }
     val lo = bounds.getDouble(0)
     val span = math.max(bounds.getDouble(1) - lo, 0.0) + 1.0
 
@@ -43,7 +54,7 @@ object Packing {
     val bucket = least(
       floor((col(idCol).cast("double") - lit(lo)) * nb / lit(span)),
       lit(nb - 1L)).cast("int").as("_bucket")
-    val rows = docs.select(col(idCol), col(lenCol).cast("long").as("_len"), bucket)
+    val rows = base.select(col(idCol), col("_len"), bucket)
 
     val totals = rows.groupBy(col("_bucket"))
       .agg(sum(col("_len")).as("_tot"))

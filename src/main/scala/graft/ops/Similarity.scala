@@ -114,32 +114,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     require(multiAssign >= 1 && multiAssign <= nCentroids, "multiAssign out of range")
-    val centroids = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
-
-    // cell assignment is NARROW on both sides (closure-UDF argmax over the
-    // broadcast-sized centroid list); the only shuffle left is the cell join
-    val assignR = nearestCells(centroids, take = multiAssign)
-    val assignP = nearestCells(centroids, take = nprobe)
-    val assigned = corpus
-      .withColumn("cell", explode(assignR(col(vecCol).cast("array<double>"))))
-    val probed = queries
-      .withColumn("cell", explode(assignP(col(qvecCol).cast("array<double>"))))
-
-    val joined0 = probed.join(assigned, Seq("cell"))
-    // r > 1: a (query, row) pair can meet through two shared cells — dedupe
-    // BEFORE scoring/ranking (row_number would otherwise rank the duplicate
-    // and shift true neighbors out of the top k). The dedupe keys are the
-    // same (qid-led) keys the rank window shuffles on next, so AQE/exchange
-    // reuse keeps it one effective repartitioning on the candidate set —
-    // never the corpus.
-    val joined = if (multiAssign > 1) joined0.dropDuplicates(qidCol, idCol) else joined0
-    val scored = joined
-      .withColumn("score", VectorOps.cosine(col(qvecCol), col(vecCol)))
-      .filter(col(qidCol) =!= col(idCol))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+    // one definition of probe/dedupe/score/rank for the ad-hoc and the
+    // persisted-index paths: ad-hoc IS build-then-serve without the commit
+    val (centroidsDf, assigned) = buildIvfIndex(corpus, nCentroids, kmeansIters,
+      multiAssign, idCol, vecCol)
+    ivfTopKIndexed(centroidsDf, assigned, queries, k, nprobe, multiAssign,
+      idCol, vecCol, qidCol, qvecCol)
   }
 
   // ---------- persisted IVF index (train once, serve + extend forever) ----
@@ -192,6 +172,12 @@ object Similarity {
     val probed = queries
       .withColumn("cell", explode(assignP(col(qvecCol).cast("array<double>"))))
     val joined0 = probed.join(assignments, Seq("cell"))
+    // r > 1: a (query, row) pair can meet through two shared cells — dedupe
+    // BEFORE scoring/ranking (row_number would otherwise rank the duplicate
+    // and shift true neighbors out of the top k). The dedupe keys are the
+    // same (qid-led) keys the rank window shuffles on next, so AQE/exchange
+    // reuse keeps it one effective repartitioning on the candidate set —
+    // never the corpus.
     val joined = if (multiAssign > 1) joined0.dropDuplicates(qidCol, idCol) else joined0
     val scored = joined
       .withColumn("score", VectorOps.cosine(col(qvecCol), col(vecCol)))

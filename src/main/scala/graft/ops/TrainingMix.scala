@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *      expressions, fused into the scan, so the corpus shrinks BEFORE the
   *      first shuffle — plus optional Gopher-style repetition ceilings
   *      (dup-n-gram / top-bigram fractions) applied to the survivors;
-  *   2. exact dedup (keep the min-id representative per md5(text) group);
+  *   2. exact dedup ([[Dedup.exactDropList]]: keep the min-id representative
+  *      per md5(text) group);
   *   3. benchmark decontamination ([[Decontam]], n-gram overlap against the
   *      held-out eval set, broadcast on the eval side);
   *   4. deterministic mixture downsampling per source ([[Sampling]] salted
@@ -56,11 +57,9 @@ object TrainingMix {
           .drop("dup_ngram_frac", "top_bigram_frac")
       }
 
-    val keepIds = gated
-      .groupBy(md5(col(textCol)).as("_h"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val deduped = gated.join(keepIds, Seq(idCol), "left_semi")
+    val deduped = gated.join(
+      Dedup.exactDropList(gated, idCol, textCol).withColumnRenamed("drop_id", idCol),
+      Seq(idCol), "left_anti")
 
     val clean = Decontam.decontaminate(deduped, evalDocs, decontamN, idCol, textCol)
 

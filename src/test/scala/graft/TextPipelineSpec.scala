@@ -85,9 +85,12 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
-  test("packSequences on empty input returns empty") {
+  test("packSequences on empty input returns empty WITH the output schema") {
     val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
-    assert(Packing.packSequences(docs, windowTokens = 8).isEmpty)
+    val out = Packing.packSequences(docs, windowTokens = 8)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "token_offset", "first_bin", "last_bin"))
   }
 
   test("decontam plan: eval grams broadcast, no shuffle of the training side") {
