@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *      first shuffle — plus optional Gopher-style repetition ceilings
   *      (dup-n-gram / top-bigram fractions) applied to the survivors;
   *   2. exact dedup ([[Dedup.exactDropList]]: keep the min-id representative
-  *      per md5(text) group);
+  *      per md5(text) group), plus optional MinHash near-dup clustering
+  *      ([[Dedup.minhashLshPairs]] → [[Dedup.dedupFuzzy]]) when
+  *      `fuzzyThreshold` is set;
   *   3. benchmark decontamination ([[Decontam]], n-gram overlap against the
   *      held-out eval set, broadcast on the eval side);
   *   4. deterministic mixture downsampling per source ([[Sampling]] salted
@@ -32,6 +34,7 @@ object TrainingMix {
               defaultRate: Double = 1.0,
               maxDupNgramFrac: Option[Double] = None,
               maxTopBigramFrac: Option[Double] = None,
+              fuzzyThreshold: Option[Double] = None,
               idCol: String = "doc_id", textCol: String = "text",
               sourceCol: String = "source"): DataFrame = {
     val annotated = docs.select(
@@ -57,9 +60,21 @@ object TrainingMix {
           .drop("dup_ngram_frac", "top_bigram_frac")
       }
 
-    val deduped = gated.join(
+    val exactDeduped = gated.join(
       Dedup.exactDropList(gated, idCol, textCol).withColumnRenamed("drop_id", idCol),
       Seq(idCol), "left_anti")
+
+    // optional NEAR-dup stage (the MinHash pass of the GPT-3/Llama recipes):
+    // LSH candidate pairs → transitive clusters → one canonical survivor.
+    // Runs after exact dedup (byte-identical copies are already gone, so the
+    // pair generator sees each distinct text once).
+    val deduped = fuzzyThreshold match {
+      case None => exactDeduped
+      case Some(th) =>
+        Dedup.dedupFuzzy(exactDeduped,
+          Dedup.minhashLshPairs(exactDeduped, threshold = th,
+            idCol = idCol, textCol = textCol), idCol)
+    }
 
     val clean = Decontam.decontaminate(deduped, evalDocs, decontamN, idCol, textCol)
 

@@ -135,4 +135,24 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(permissive === Set(1L))
   }
+
+  test("TrainingMix fuzzy stage drops a NEAR-duplicate that exact dedup keeps") {
+    val base = "the committee approved the annual budget for the harbor expansion " +
+      "project after a long debate about funding priorities and timelines overall"
+    val docs = Seq(
+      (1L, "srcA", base),
+      (2L, "srcA", base + " entirely"),  // near-dup of 1, not byte-identical
+      (3L, "srcA", "shipping containers move freight across the busy harbor " +
+        "every single day with tugboats and cranes working through the afternoon"))
+      .toDF("doc_id", "source", "text")
+    val evalDocs = Seq((100L, "nothing in common here at all")).toDF("doc_id", "text")
+    val exact = TrainingMix.prepare(docs, evalDocs, minTokens = 10,
+        minQuality = 0.3, decontamN = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact === Set(1L, 2L, 3L)) // exact dedup keeps the near-dup
+    val fuzzy = TrainingMix.prepare(docs, evalDocs, minTokens = 10,
+        minQuality = 0.3, decontamN = 5, fuzzyThreshold = Some(0.7))
+      .collect().map(_.getLong(0)).toSet
+    assert(fuzzy === Set(1L, 3L)) // cluster {1,2} keeps min id
+  }
 }
