@@ -52,6 +52,32 @@ object SparkEntry {
       .select(col("doc_id"),
         array_distinct(array_remove(split(lower(col("text")), "[^a-z0-9]+"), "")).as("toks"))
 
+  /** Cosine-similarity graph over the first 200 embedding vectors — the
+    * shared fixture for the graph-analytics driver rows (degrees, k-hop,
+    * PageRank, triangles). O(n²) edge gen is intentional at n=200 for exact
+    * DuckDB comparability (same ruling as kg_connected_components); the
+    * pipeline-scale path generates candidate edges via blocking
+    * (EntityDedup.candidateEdges).
+    */
+  private def simEdges(s: SparkSession, dir: String): DataFrame = {
+    val v = read(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorOps.cosine(col("a.emb"), col("b.emb")) >= 0.25)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+  }
+
+  /** The matching DuckDB CTE prefix for [[simEdges]]-based oracles. */
+  private val simEdgesCte =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id < 200),
+      |e AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS d FROM v a, v b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_cosine_similarity(a.emb, b.emb) >= 0.25),
+      |sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e)""".stripMargin
+
   private def smallSynth = TranscriptGen.Config(numConvs = 6, turnsPerConv = 20, skew = 3)
 
   /** Flagship: full KG construction on synthesized transcripts. */
@@ -827,7 +853,34 @@ object SparkEntry {
         .filter(col("h") =!= col("href"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // ---- graph analytics over the materialized graph (GraphAlgos) ----
+
+    "graph_degree" -> ((s, dir) =>
+      graft.query.GraphAlgos.degrees(simEdges(s, dir))
+        .select(col("id").as("vec_id"), col("degree"))
+        .orderBy(col("vec_id"))),
+
+    "graph_khop" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = Seq(0L).toDF("id")
+      graft.query.GraphAlgos.kHop(simEdges(s, dir), seeds, maxHops = 3)
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "graph_pagerank" -> ((s, dir) =>
+      // 3 fixed iterations so the oracle unrolls exactly; round(,6) absorbs
+      // sum-order ULP drift between engines (values are ~5e-3, margin 1e9×)
+      graft.query.GraphAlgos.pageRank(simEdges(s, dir), iters = 3)
+        .select(col("id").as("vec_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("vec_id"))),
+
+    "graph_triangles" -> ((s, dir) =>
+      graft.query.GraphAlgos.triangles(simEdges(s, dir))
+        .select(col("id").as("vec_id"), col("triangles"))
+        .orderBy(col("vec_id")))
   )
 
   // =========================================================================
@@ -1419,6 +1472,66 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, token_offset,
         |  token_offset // 256 AS first_bin,
         |  (token_offset + greatest(n_tokens, 1) - 1) // 256 AS last_bin
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "graph_degree" ->
+      s"""$simEdgesCte
+         |SELECT s AS vec_id, CAST(count(*) AS BIGINT) AS degree
+         |FROM sym GROUP BY s ORDER BY vec_id""".stripMargin,
+
+    "graph_khop" ->
+      s"""${simEdgesCte.replace("WITH v AS", "WITH RECURSIVE v AS")},
+         |walk(id, dist) AS (
+         |  SELECT CAST(0 AS BIGINT), 0
+         |  UNION
+         |  SELECT s.d, w.dist + 1 FROM walk w JOIN sym s ON w.id = s.s
+         |  WHERE w.dist < 3)
+         |SELECT id AS vec_id, CAST(min(dist) AS INT) AS dist
+         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    // 3 PageRank iterations unrolled; every scalar forced to DOUBLE so the
+    // arithmetic is the same IEEE sequence Spark runs (a bare 1 - 0.85 is
+    // DECIMAL in DuckDB); round(,6) absorbs sum-order ULP drift
+    "graph_pagerank" ->
+      s"""$simEdgesCte,
+         |verts AS (SELECT DISTINCT s AS id FROM sym),
+         |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS od FROM sym GROUP BY s),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM verts),
+         |r1 AS (SELECT verts.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
+         |    FROM sym JOIN r0 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
+         |    GROUP BY sym.d) c ON verts.id = c.id),
+         |r2 AS (SELECT verts.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
+         |    FROM sym JOIN r1 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
+         |    GROUP BY sym.d) c ON verts.id = c.id),
+         |r3 AS (SELECT verts.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
+         |    FROM sym JOIN r2 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
+         |    GROUP BY sym.d) c ON verts.id = c.id)
+         |SELECT id AS vec_id, round(rank, 6) AS rank FROM r3 ORDER BY vec_id""".stripMargin,
+
+    // triangles once each as a<b<c over the oriented (s<d) edge list;
+    // per-vertex counts are orientation-invariant, so the engine's
+    // degree-ordered compact-forward matches this simple enumeration
+    "graph_triangles" ->
+      s"""$simEdgesCte,
+         |tri AS (
+         |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+         |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+         |  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d)
+         |SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS triangles
+         |FROM (SELECT unnest([a, b, c]) AS u FROM tri)
+         |GROUP BY u ORDER BY vec_id""".stripMargin
   )
 }

@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // opt-in local-iteration filter (comma-separated name prefixes); the
+    // driver sets nothing, so its gate always dumps every query
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): an empty-relation result can reach
       // the writer with ZERO partitions (AQE collapses empty shuffles), and
       // coalesce(1) of zero partitions is still zero → no parquet file at

@@ -1,0 +1,172 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Checkpoints
+
+/** Graph analytics over the materialized entity/triple graph, expressed as
+  * (iterative) DataFrame joins — the GraphFrames idiom without the jar.
+  *
+  * The reference surfaces its graph only through retrieval (1-hop expansion,
+  * traversal, ENUMERATION drilldown's "top entities by incident facts",
+  * /root/reference/src/query_v6.py). A standing KG warehouse also wants the
+  * classic analytics: degree profiles, bounded-hop reachability, PageRank
+  * centrality (the principled version of "top entities"), and triangle
+  * counts (local clustering / community density). Each is a handful of
+  * shuffles on the edge key, so the shapes below hold at 10^12-edge scale:
+  *
+  *  - [[degrees]]: one symmetrize + one hash aggregation.
+  *  - [[kHop]]: `maxHops` rounds of frontier ⋈ edges with an anti-join
+  *    against the visited set; per-round lineage truncation keeps plans
+  *    flat. Frontiers are the only growing state and stay bounded by the
+  *    reachable set.
+  *  - [[pageRank]]: fixed-iteration contribution join + aggregation;
+  *    dangling mass folded in via a 1-row broadcast cross join (never a
+  *    driver collect inside the loop).
+  *  - [[triangles]]: degree-ordered edge orientation (each undirected edge
+  *    points low→high by (degree, id)) before the wedge self-join — the
+  *    standard compact-forward bound: a hot vertex of degree d fans out
+  *    wedges only from its lower-ordered endpoints, so the join is
+  *    Σ outdeg² with outdeg ≈ O(√m) worst case instead of d².
+  *
+  * All operators take an edge DataFrame with columns (src, dst) of any
+  * orderable id type; [[kHop]]/[[pageRank]]/[[triangles]] treat it as
+  * undirected by symmetrizing internally (pass a pre-directed list to
+  * [[pageRank]] via `directed = true` to keep link direction).
+  */
+object GraphAlgos {
+
+  private def sym(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Undirected degree per vertex: (id, degree). Isolated vertices (present
+    * in no edge) are absent — join against the vertex table if zeros matter.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    sym(edges).groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** Minimum-hop distance from any seed, bounded at `maxHops`:
+    * (id, dist) with dist in [0, maxHops]. BFS as frontier expansion — each
+    * round joins the current frontier to the symmetric edge list and
+    * anti-joins the accumulated visited set, so a vertex is labeled the
+    * first round it is reached (= its true minimum distance).
+    *
+    * Runs exactly `maxHops` rounds (no convergence probe — each round is
+    * lazy until the final truncation), `maxHops` shuffle rounds total.
+    *
+    * @param seeds single-column DataFrame of seed vertex ids.
+    */
+  def kHop(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val adj = Checkpoints.truncate(sym(edges))
+    val seed = seeds.toDF("id").distinct()
+    var visited = Checkpoints.truncate(seed.withColumn("dist", lit(0)))
+    var frontier = visited.select(col("id"))
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(adj, frontier("id") === adj("src"))
+        .select(adj("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("dist", lit(h))
+      // one truncation materializes the round; frontier/visited reuse it
+      val nextT = Checkpoints.truncate(next)
+      visited = Checkpoints.truncate(visited.unionByName(nextT))
+      frontier = nextT.select(col("id"))
+      h += 1
+    }
+    visited
+  }
+
+  /** Fixed-iteration PageRank: (id, rank). The vertex set is the distinct
+    * edge endpoints (isolated vertices contribute nothing and receive only
+    * the teleport term — join them back post hoc if needed).
+    *
+    * rank_{t+1}(v) = (1-d)/n + d * (Σ_{u→v} rank_t(u)/outdeg(u) + D_t/n)
+    * where D_t is the total rank on dangling vertices (outdeg 0) — mass is
+    * conserved every iteration. On a symmetrized graph D_t = 0.
+    *
+    * Per iteration: one contribution join (edges ⋈ ranks on src — the edge
+    * side never re-shuffles once `adj` is materialized), one aggregation on
+    * dst, one 1-row broadcast for the dangling mass. Lineage truncated per
+    * iteration so the plan stays flat at any iteration count.
+    *
+    * @param directed keep edge direction (true) or symmetrize (false).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      directed: Boolean = false): DataFrame = {
+    val adj0 = if (directed)
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct()
+    else sym(edges)
+    val adj = Checkpoints.truncate(adj0)
+    val verts = Checkpoints.truncate(
+      adj.select(col("src").as("id"))
+        .union(adj.select(col("dst").as("id"))).distinct())
+    val outDeg = Checkpoints.truncate(
+      adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("od")))
+    val n = verts.count().toDouble
+    val d = lit(damping)
+    val teleport = (lit(1.0) - d) / lit(n)
+
+    var ranks = Checkpoints.truncate(
+      verts.withColumn("rank", lit(1.0) / lit(n)))
+    var it = 0
+    while (it < iters) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      val contribs = withDeg.filter(col("od").isNotNull)
+        .join(adj, col("id") === adj("src"))
+        .groupBy(adj("dst").as("id"))
+        .agg(sum(col("rank") / col("od")).as("contrib"))
+      // dangling mass as a 1-row aggregate broadcast into the update — keeps
+      // the whole iteration one lazy plan (no driver collect per round)
+      val dangling = withDeg.filter(col("od").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val next = verts.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (teleport + d * (coalesce(col("contrib"), lit(0.0)) +
+            col("dmass") / lit(n))).as("rank"))
+      ranks = Checkpoints.truncate(next)
+      it += 1
+    }
+    ranks
+  }
+
+  /** Per-vertex triangle count: (id, triangles), vertices in no triangle
+    * omitted. Compact-forward: orient each undirected edge from its lower
+    * endpoint by (degree, id), enumerate wedges from the common LOW vertex,
+    * and close them with a semi-join back onto the oriented edge list. Three
+    * shuffles total (orient, wedge join, close); the orientation bounds the
+    * wedge fan-out of skewed vertices, which is what makes this survive a
+    * power-law 10^12-edge graph where the naive a<b<c self-join would not.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    // three consumers (degree agg, orientation join, closing probe) — one
+    // materialization instead of three symmetrize shuffles
+    val und = Checkpoints.truncate(sym(edges))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // orient low→high by (degree, id); each undirected edge survives once
+    val oriented = Checkpoints.truncate(
+      und.join(deg.withColumnRenamed("id", "src")
+            .withColumnRenamed("deg", "sdeg"), Seq("src"))
+        .join(deg.withColumnRenamed("id", "dst")
+            .withColumnRenamed("deg", "ddeg"), Seq("dst"))
+        .filter(col("sdeg") < col("ddeg") ||
+          (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+        .select(col("src"), col("dst")))
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"))
+    // (v, w) vs (w, v) from the same u is the same wedge — keep one; the
+    // closing probe uses the SYMMETRIC list because the (v, w) edge may be
+    // oriented either way (orientation order is (degree, id), wedge dedup
+    // order is plain id)
+    val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
+    val closing = und.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+}

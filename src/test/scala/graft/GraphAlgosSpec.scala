@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.GraphAlgos
+
+class GraphAlgosSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toDF("src", "dst")
+
+  // path 0-1-2-3-4 plus a triangle 10-11-12 hanging off 4 via 4-10
+  private lazy val g = edges(
+    0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 10L,
+    10L -> 11L, 11L -> 12L, 12L -> 10L)
+
+  test("degrees counts undirected neighbors once per edge") {
+    val d = GraphAlgos.degrees(g).as[(Long, Long)].collect().toMap
+    assert(d(0L) === 1L && d(1L) === 2L && d(4L) === 2L)
+    assert(d(10L) === 3L && d(11L) === 2L)
+    // duplicate + reversed edges collapse
+    val dd = GraphAlgos.degrees(edges(1L -> 2L, 2L -> 1L, 1L -> 2L))
+      .as[(Long, Long)].collect().toMap
+    assert(dd === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("kHop labels minimum distances, bounded by maxHops") {
+    val d = GraphAlgos.kHop(g, Seq(0L).toDF("id"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(d === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    // two seeds: a vertex reachable from both gets the smaller distance
+    val d2 = GraphAlgos.kHop(g, Seq(0L, 4L).toDF("id"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(d2(2L) === 2 && d2(3L) === 1 && d2(10L) === 1 && d2(11L) === 2)
+    assert(!d2.contains(12L) || d2(12L) === 2) // 12 via 10: dist 2
+  }
+
+  test("pageRank conserves mass and ranks the hub highest") {
+    // star: center 0 linked to 1..5
+    val star = edges((1L to 5L).map(i => 0L -> i): _*)
+    val r = GraphAlgos.pageRank(star, iters = 10).as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    val leaves = (1L to 5L).map(r)
+    assert(r(0L) > leaves.max)
+    assert(leaves.max - leaves.min < 1e-12) // symmetry
+  }
+
+  test("pageRank directed: dangling mass is redistributed, not lost") {
+    // a -> b, b dangling: hand-unrolled one iteration from r0 = (.5, .5):
+    // dangling D = .5; a gets teleport + d*D/n = .075 + .85*.25 = .2875;
+    // b gets .075 + .85*(.5 + .25) = .7125
+    val r = GraphAlgos.pageRank(edges(1L -> 2L), iters = 1, directed = true)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.2875) < 1e-12)
+    assert(math.abs(r(2L) - 0.7125) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("triangles: K4 has each vertex in 3 triangles; squares have none") {
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val t = GraphAlgos.triangles(k4).as[(Long, Long)].collect().toMap
+    assert(t === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val square = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    assert(GraphAlgos.triangles(square).isEmpty)
+    // the hanging triangle in g is found exactly once per member
+    val tg = GraphAlgos.triangles(g).as[(Long, Long)].collect().toMap
+    assert(tg === Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+}
