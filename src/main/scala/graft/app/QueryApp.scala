@@ -38,7 +38,8 @@ object QueryApp {
   private def usage(): Nothing = {
     System.err.println(
       "usage: QueryApp <warehouseDir> research|search|entity|neighbors <text> " +
-        "[--topk N] [--hint text] [--ontology topics.json] [--master local[N]]")
+        "[--topk N] [--hint text] [--ontology topics.json] [--master local[N]]\n" +
+        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--master local[N]]")
     sys.exit(2)
   }
 
@@ -60,12 +61,17 @@ object QueryApp {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) usage()
-    val Array(wh, cmd, text) = args.take(3)
-    val opts = args.drop(3).sliding(2, 2).collect {
+    if (args.length < 2) usage()
+    val Array(wh, cmd) = args.take(2)
+    // centrality takes no free-text argument; everything else requires one
+    val hasText = args.length > 2 && !args(2).startsWith("--")
+    if (!hasText && cmd != "centrality") usage()
+    val text = if (hasText) args(2) else ""
+    val opts = args.drop(if (hasText) 3 else 2).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
-    val unknown = opts.keys.filterNot(Set("--topk", "--hint", "--ontology", "--master"))
+    val unknown = opts.keys
+      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}"); sys.exit(2)
     }
@@ -150,6 +156,28 @@ object QueryApp {
             show(GraphLookup.exploreNeighbors(incident, uuid)
               .orderBy(col("direction"), col("predicate"), col("neighbor")), topK)
         }
+
+      case "centrality" =>
+        // entity importance over the committed graph: PageRank (the
+        // principled version of the reference drilldown's "top entities by
+        // incident facts") + degree for context. Multi-edges collapse
+        // (GraphAlgos symmetrizes + distincts), so rank reflects the
+        // relationship STRUCTURE, not fact multiplicity.
+        val edges = table("triples")
+          .select(col("subject_uuid").as("src"), col("object_uuid").as("dst"))
+        val iters = opts.get("--iters").map(_.toInt).getOrElse(5)
+        val pr = graft.query.GraphAlgos.pageRank(edges, iters = iters)
+        val deg = graft.query.GraphAlgos.degrees(edges)
+          .withColumnRenamed("id", "entity_uuid")
+        val out = pr.withColumnRenamed("id", "entity_uuid")
+          .join(deg, Seq("entity_uuid"), "left")
+          .join(table("entities")
+            .select(col("entity_uuid"), col("canonical_name"), col("entity_type")),
+            Seq("entity_uuid"))
+          .select(col("canonical_name"), col("entity_type"), col("rank"),
+            coalesce(col("degree"), lit(0L)).as("degree"))
+          .orderBy(col("rank").desc, col("canonical_name"))
+        show(out, topK)
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()
