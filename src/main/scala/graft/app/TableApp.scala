@@ -23,6 +23,9 @@ import graft.tables.SnapshotLog
   *                                   train + commit the persisted IVF index
   *   TableApp <warehouseDir> ann-refresh <table> [vecCol]
   *                                   assign index-unseen rows, merge-append
+  *   TableApp <warehouseDir> export <outDir> [csv|jsonl]
+  *                                   property-graph dump (Neo4j bulk-import
+  *                                   CSV headers, or plain JSONL)
   *
   * `history`/`vacuum`/`verify` default to every table in the warehouse.
   * `compact` preserves the table's partition layout (detected from the live
@@ -32,7 +35,8 @@ import graft.tables.SnapshotLog
 object TableApp {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]")
+      "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]\n" +
+        "       TableApp <warehouseDir> export <outDir> [csv|jsonl]")
     sys.exit(2)
   }
 
@@ -233,6 +237,79 @@ object TableApp {
         delta.unpersist()
         println(s"[table] $t: ann-refresh appended $nNew assignment row(s)" +
           s" (snapshot $snap)")
+
+      case "export" =>
+        // Property-graph dump of the committed warehouse — the analogue of
+        // the reference's Neo4j materialization (pipeline.py:219-312 creates
+        // Entity/Topic/Document/Episodic nodes + fact edges in a live store;
+        // a Spark warehouse exports the same graph as bulk-import files).
+        // csv = neo4j-admin database import headers (:ID/:START_ID/:END_ID/
+        // :TYPE/:LABEL, arrays ;-joined); jsonl = plain names, native arrays.
+        // Embedding vectors are intentionally not exported (vector indexes
+        // are rebuilt store-side, as the reference does at pipeline.py:152).
+        // Each file is one distributed df.write — no driver materialization.
+        if (args.length < 3) usage()
+        val out = args(2)
+        val fmt = args.lift(3).getOrElse("csv")
+        if (fmt != "csv" && fmt != "jsonl") {
+          System.err.println(s"unknown export format: $fmt (csv|jsonl)"); sys.exit(2)
+        }
+        import org.apache.spark.sql.{Column, DataFrame}
+        // selective: functions._ would shadow `log` (spark.sql.functions.log)
+        import org.apache.spark.sql.functions.{col, concat_ws, lit}
+        val csv = fmt == "csv"
+        def arr(c: Column) = if (csv) concat_ws(";", c) else c
+        def hdr(plain: String, neo: String) = if (csv) neo else plain
+        def write(df: DataFrame, name: String, n: Long): Unit = {
+          if (csv) df.write.mode("overwrite").option("header", true)
+            .option("escape", "\"").csv(s"$out/$name")
+          else df.write.mode("overwrite").json(s"$out/$name")
+          println(s"[table] export $name rows=$n format=$fmt")
+        }
+        val triples = log.read("triples").getOrElse {
+          System.err.println(s"warehouse $wh has no committed 'triples' table")
+          sys.exit(1)
+        }
+        log.read("entities").foreach { e =>
+          write(e.select(
+            col("entity_uuid").as(hdr("entity_uuid", "uuid:ID")),
+            col("canonical_name").as("name"),
+            col("entity_type").as("entity_type"),
+            col("summary"),
+            arr(col("aliases")).as(hdr("aliases", "aliases:string[]")),
+            lit("Entity").as(hdr("label", ":LABEL"))), "nodes_entity", e.count())
+        }
+        log.read("topics").foreach { t =>
+          write(t.select(
+            col("topic_uuid").as(hdr("topic_uuid", "uuid:ID")),
+            col("canonical_label").as("name"), col("definition"),
+            lit("Topic").as(hdr("label", ":LABEL"))), "nodes_topic", t.count())
+        }
+        log.read("chunks").foreach { c =>
+          write(c.select(
+            col("chunk_uuid").as(hdr("chunk_uuid", "uuid:ID")),
+            col("chunk_id"), col("conv_id"), col("header_path"),
+            col("document_date"), col("text"),
+            lit("Chunk").as(hdr("label", ":LABEL"))), "nodes_chunk", c.count())
+        }
+        write(triples.select(
+          col("subject_uuid").as(hdr("subject_uuid", ":START_ID")),
+          col("object_uuid").as(hdr("object_uuid", ":END_ID")),
+          col("predicate").as(hdr("predicate", ":TYPE")),
+          col("fact_uuid"), col("fact"), col("date_context"),
+          arr(col("topics")).as(hdr("topics", "topics:string[]")),
+          col("chunk_uuid")), "rels_fact", triples.count())
+        // provenance edges: entity -> chunk it was extracted from
+        val mentioned = triples.filter(col("chunk_uuid").isNotNull)
+          .select(col("subject_uuid").as("eid"), col("chunk_uuid"))
+          .union(triples.filter(col("chunk_uuid").isNotNull)
+            .select(col("object_uuid").as("eid"), col("chunk_uuid")))
+          .distinct()
+        write(mentioned.select(
+          col("eid").as(hdr("entity_uuid", ":START_ID")),
+          col("chunk_uuid").as(hdr("chunk_uuid", ":END_ID")),
+          lit("MENTIONED_IN").as(hdr("rel", ":TYPE"))),
+          "rels_mentioned_in", mentioned.count())
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()
