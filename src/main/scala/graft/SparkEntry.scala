@@ -880,7 +880,19 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       graft.query.GraphAlgos.triangles(simEdges(s, dir))
         .select(col("id").as("vec_id"), col("triangles"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    "graph_link_predict" -> ((s, dir) =>
+      graft.query.GraphAlgos.linkPrediction(simEdges(s, dir))
+        .select(col("a"), col("b"), col("common"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("adamic_adar"), 6).as("adamic_adar"))
+        .orderBy(col("a"), col("b"))),
+
+    "graph_walks" -> ((s, dir) =>
+      graft.query.GraphAlgos.deterministicWalks(simEdges(s, dir), length = 4)
+        .select(col("walk_id"), col("step"), col("vertex"))
+        .orderBy(col("walk_id"), col("step")))
   )
 
   // =========================================================================
@@ -1532,6 +1544,51 @@ object SparkEntry {
          |  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d)
          |SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS triangles
          |FROM (SELECT unnest([a, b, c]) AS u FROM tri)
-         |GROUP BY u ORDER BY vec_id""".stripMargin
+         |GROUP BY u ORDER BY vec_id""".stripMargin,
+
+    // distance-2 pairs only (wedge through the shared neighbor), scores in
+    // all-DOUBLE arithmetic; round(,6) absorbs sum-order ULP on the two
+    // double columns
+    "graph_link_predict" ->
+      s"""$simEdgesCte,
+         |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY s),
+         |wz AS (SELECT sym.s AS z, sym.d AS n, deg.deg AS zdeg
+         |       FROM sym JOIN deg ON sym.s = deg.id),
+         |pairs AS (
+         |  SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common,
+         |         sum(CAST(1 AS DOUBLE) / ln(CAST(x.zdeg AS DOUBLE))) AS adamic_adar
+         |  FROM wz x JOIN wz y ON x.z = y.z AND x.n < y.n
+         |  GROUP BY x.n, y.n),
+         |nonadj AS (
+         |  SELECT p.* FROM pairs p LEFT JOIN sym ON p.a = sym.s AND p.b = sym.d
+         |  WHERE sym.s IS NULL)
+         |SELECT n.a, n.b, n.common,
+         |  round(CAST(n.common AS DOUBLE)
+         |        / CAST(da.deg + db.deg - n.common AS DOUBLE), 6) AS jaccard,
+         |  round(n.adamic_adar, 6) AS adamic_adar
+         |FROM nonadj n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
+         |ORDER BY a, b""".stripMargin,
+
+    // 4 hash-greedy steps unrolled: the md5(walk:step:candidate) argmin is
+    // the engine's exact next-vertex rule, so the oracle replays the walk
+    "graph_walks" ->
+      s"""$simEdgesCte,
+         |w0 AS (SELECT DISTINCT s AS walk_id, 0 AS step, s AS vertex FROM sym),
+         |w1 AS (SELECT w.walk_id, 1 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |       FROM w0 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id),
+         |w2 AS (SELECT w.walk_id, 2 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |       FROM w1 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id),
+         |w3 AS (SELECT w.walk_id, 3 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |       FROM w2 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id),
+         |w4 AS (SELECT w.walk_id, 4 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':4:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |       FROM w3 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id)
+         |SELECT walk_id, step, vertex FROM (
+         |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
+         |  SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
+         |ORDER BY walk_id, step""".stripMargin
   )
 }

@@ -169,4 +169,74 @@ object GraphAlgos {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** Link prediction over non-adjacent vertex pairs that share at least one
+    * neighbor: (a, b, common, jaccard, adamic_adar) with a < b. The classic
+    * missing-edge scores — common-neighbor count, Jaccard overlap of the
+    * neighborhoods, and Adamic-Adar Σ 1/ln(deg(z)) over shared neighbors z
+    * (rare shared neighbors weigh more).
+    *
+    * Shape: one wedge self-join through the shared neighbor (the same
+    * Σ deg² bound as [[triangles]] — at power-law scale, cap or sample hub
+    * neighborhoods upstream), one aggregation on the candidate pair, one
+    * anti-join to drop already-connected pairs, one degree join. Never
+    * enumerates all O(n²) pairs — only pairs at distance exactly 2.
+    */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val und = Checkpoints.truncate(sym(edges))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // wedges a–z–b through shared neighbor z, scored by z's rarity
+    val byZ = und.select(col("src").as("z"), col("dst").as("n"))
+      .join(deg.withColumnRenamed("id", "z").withColumnRenamed("deg", "zdeg"), Seq("z"))
+    val pairs = byZ.select(col("z"), col("n").as("a"), col("zdeg"))
+      .join(byZ.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("zdeg").cast("double"))).as("adamic_adar"))
+    val nonAdj = pairs.join(
+      und.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          (col("dega") + col("degb") - col("common")).cast("double")).as("jaccard"),
+        col("adamic_adar"))
+  }
+
+  /** Deterministic pseudo-random walks for graph-embedding training
+    * corpora (DeepWalk/node2vec input): one walk per seed vertex,
+    * `length` steps, output (walk_id, step, vertex) with step 0 = the seed.
+    *
+    * The "randomness" is a hash: at step t the walk at vertex u moves to
+    * the neighbor v minimizing md5(walk_id:t:v) — the same
+    * hash-plays-the-RNG trick as Sampling.datasetSplit, so walks are
+    * reproducible across retries, partitionings, and engines (no rand(),
+    * no seed plumbing), at the cost of sampling without replacement
+    * semantics nobody needs for skip-gram windows. Dead ends stop early.
+    *
+    * Shape: `length` rounds of frontier ⋈ adjacency + a min_by aggregation
+    * per walk — the frontier is one row per live walk, so each round moves
+    * O(walks) rows regardless of graph size.
+    */
+  def deterministicWalks(edges: DataFrame, length: Int): DataFrame = {
+    val adj = Checkpoints.truncate(sym(edges))
+    var cur = Checkpoints.truncate(
+      adj.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("vertex")))
+    var out = cur
+    var t = 1
+    while (t <= length) {
+      val next = cur.join(adj, cur("vertex") === adj("src"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("dst"),
+          md5(concat_ws(":", col("walk_id"), lit(t), col("dst")))).as("vertex"))
+        .select(col("walk_id"), lit(t).as("step"), col("vertex"))
+      cur = Checkpoints.truncate(next)
+      out = out.unionByName(cur)
+      t += 1
+    }
+    out
+  }
 }

@@ -66,4 +66,53 @@ class GraphAlgosSpec extends SparkSpec {
     val tg = GraphAlgos.triangles(g).as[(Long, Long)].collect().toMap
     assert(tg === Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
+
+  test("linkPrediction scores distance-2 pairs only, hand-checked") {
+    // square 1-2-3-4: diagonals (1,3) and (2,4) share both off-diagonal
+    // vertices; adjacent pairs must not appear
+    val square = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val p = GraphAlgos.linkPrediction(square)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(p.keySet === Set((1L, 3L), (2L, 4L)))
+    val (cn, jac, aa) = p((1L, 3L))
+    assert(cn === 2L && math.abs(jac - 1.0) < 1e-12)
+    assert(math.abs(aa - 2.0 / math.log(2.0)) < 1e-12)
+    // path 1-2-3: (1,3) via 2 (deg 2): jaccard 1/(1+1-1)=1, aa=1/ln 2
+    val path = GraphAlgos.linkPrediction(edges(1L -> 2L, 2L -> 3L))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(path.length === 1)
+    assert(path.head._1 === 1L && path.head._2 === 3L && path.head._3 === 1L)
+    assert(math.abs(path.head._5 - 1.0 / math.log(2.0)) < 1e-12)
+    // K3: every pair adjacent -> nothing to predict
+    assert(GraphAlgos.linkPrediction(
+      edges(1L -> 2L, 2L -> 3L, 1L -> 3L)).isEmpty)
+  }
+
+  test("deterministicWalks: adjacency respected, layout-invariant, full length") {
+    val w = GraphAlgos.deterministicWalks(g, length = 3)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    // one walk per vertex, each of full length (no dead ends once symmetrized)
+    val byWalk = w.groupBy(_._1)
+    assert(byWalk.keySet === Set(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L))
+    assert(byWalk.values.forall(_.length === 4)) // steps 0..3
+    // every step moves along a real edge
+    val pairs = Set(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 10L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    byWalk.values.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, u), (_, _, v)) => assert(pairs.contains(u -> v))
+        case _ =>
+      }
+    }
+    // determinism across physical layouts: shuffled/repartitioned input
+    // produces the identical walk set
+    val w2 = GraphAlgos.deterministicWalks(g.repartition(7), length = 3)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(w2 === w)
+    // a single edge bounces: 1 -> 2 -> 1 -> 2
+    val bounce = GraphAlgos.deterministicWalks(edges(1L -> 2L), length = 3)
+      .as[(Long, Int, Long)].collect().filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(bounce === Seq(1L, 2L, 1L, 2L))
+  }
 }
