@@ -149,4 +149,23 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate levels = partial + final
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("graph analytics: equi-joins only — no cartesian product, no nested loop") {
+    // the wedge joins (triangles, link prediction) and the PageRank
+    // contribution join must all hash-join on the vertex key; a cartesian
+    // or nested-loop join here would be the 10^12-edge scale-killer
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).toDF("src", "dst")
+    for ((name, df) <- Seq(
+        "triangles" -> graft.query.GraphAlgos.triangles(edges),
+        "linkPrediction" -> graft.query.GraphAlgos.linkPrediction(edges),
+        "pageRank" -> graft.query.GraphAlgos.pageRank(edges, iters = 1))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // pageRank's 1-row dangling-mass broadcast is a legitimate
+      // BroadcastNestedLoopJoin (no join key exists on a scalar); every
+      // other nested loop is a defect
+      if (name != "pageRank")
+        assert(!plan.contains("NestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
 }
