@@ -882,6 +882,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("triangles"))
         .orderBy(col("vec_id"))),
 
+    "graph_ppr" -> ((s, dir) => {
+      import s.implicits._
+      // personalized to seeds {0, 7}: rank = importance relative to those
+      // two vectors; a seed isolated at some SF exercises the dangling path
+      graft.query.GraphAlgos.personalizedPageRank(
+          simEdges(s, dir), Seq(0L, 7L).toDF("id"), iters = 3)
+        .select(col("id").as("vec_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("vec_id"))
+    }),
+
     "graph_link_predict" -> ((s, dir) =>
       graft.query.GraphAlgos.linkPrediction(simEdges(s, dir))
         .select(col("a"), col("b"), col("common"),
@@ -1511,21 +1521,21 @@ object SparkEntry {
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
          |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM verts),
          |r1 AS (SELECT verts.id,
-         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / (SELECT n FROM nn))
          |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
          |  FROM verts LEFT JOIN (
          |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
          |    FROM sym JOIN r0 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
          |    GROUP BY sym.d) c ON verts.id = c.id),
          |r2 AS (SELECT verts.id,
-         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / (SELECT n FROM nn))
          |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
          |  FROM verts LEFT JOIN (
          |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
          |    FROM sym JOIN r1 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
          |    GROUP BY sym.d) c ON verts.id = c.id),
          |r3 AS (SELECT verts.id,
-         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / (SELECT n FROM nn))
          |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
          |  FROM verts LEFT JOIN (
          |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
@@ -1545,6 +1555,49 @@ object SparkEntry {
          |SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS triangles
          |FROM (SELECT unnest([a, b, c]) AS u FROM tri)
          |GROUP BY u ORDER BY vec_id""".stripMargin,
+
+    // personalized teleport: mass only on the seed rows; dangling mass
+    // (isolated seeds) redistributed BY the teleport distribution — the
+    // same unrolled shape as graph_pagerank plus the dangling subquery
+    "graph_ppr" ->
+      s"""$simEdgesCte,
+         |seeds(id) AS (VALUES (CAST(0 AS BIGINT)), (CAST(7 AS BIGINT))),
+         |verts AS (SELECT DISTINCT s AS id FROM sym UNION SELECT id FROM seeds),
+         |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS od FROM sym GROUP BY s),
+         |tele AS (SELECT v.id,
+         |    CASE WHEN sd.id IS NOT NULL
+         |         THEN CAST(1 AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM seeds)
+         |         ELSE CAST(0 AS DOUBLE) END AS tele
+         |  FROM verts v LEFT JOIN seeds sd ON v.id = sd.id),
+         |r0 AS (SELECT id, tele AS rank FROM tele),
+         |r1 AS (SELECT t.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+         |    + CAST(0.85 AS DOUBLE) * (coalesce(c.cs, CAST(0 AS DOUBLE))
+         |      + (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) FROM r0 r
+         |         LEFT JOIN deg ON r.id = deg.id WHERE deg.id IS NULL) * t.tele) AS rank
+         |  FROM tele t LEFT JOIN (
+         |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
+         |    FROM sym JOIN r0 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
+         |    GROUP BY sym.d) c ON t.id = c.id),
+         |r2 AS (SELECT t.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+         |    + CAST(0.85 AS DOUBLE) * (coalesce(c.cs, CAST(0 AS DOUBLE))
+         |      + (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) FROM r1 r
+         |         LEFT JOIN deg ON r.id = deg.id WHERE deg.id IS NULL) * t.tele) AS rank
+         |  FROM tele t LEFT JOIN (
+         |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
+         |    FROM sym JOIN r1 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
+         |    GROUP BY sym.d) c ON t.id = c.id),
+         |r3 AS (SELECT t.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+         |    + CAST(0.85 AS DOUBLE) * (coalesce(c.cs, CAST(0 AS DOUBLE))
+         |      + (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) FROM r2 r
+         |         LEFT JOIN deg ON r.id = deg.id WHERE deg.id IS NULL) * t.tele) AS rank
+         |  FROM tele t LEFT JOIN (
+         |    SELECT sym.d AS id, sum(r.rank / deg.od) AS cs
+         |    FROM sym JOIN r2 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
+         |    GROUP BY sym.d) c ON t.id = c.id)
+         |SELECT id AS vec_id, round(rank, 6) AS rank FROM r3 ORDER BY vec_id""".stripMargin,
 
     // distance-2 pairs only (wedge through the shared neighbor), scores in
     // all-DOUBLE arithmetic; round(,6) absorbs sum-order ULP on the two

@@ -39,7 +39,7 @@ object QueryApp {
     System.err.println(
       "usage: QueryApp <warehouseDir> research|search|entity|neighbors <text> " +
         "[--topk N] [--hint text] [--ontology topics.json] [--master local[N]]\n" +
-        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--master local[N]]")
+        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] [--master local[N]]")
     sys.exit(2)
   }
 
@@ -71,7 +71,7 @@ object QueryApp {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
     val unknown = opts.keys
-      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters"))
+      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters", "--seed"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}"); sys.exit(2)
     }
@@ -162,11 +162,23 @@ object QueryApp {
         // principled version of the reference drilldown's "top entities by
         // incident facts") + degree for context. Multi-edges collapse
         // (GraphAlgos symmetrizes + distincts), so rank reflects the
-        // relationship STRUCTURE, not fact multiplicity.
+        // relationship STRUCTURE, not fact multiplicity. With --seed
+        // "<entity name>", the personalized variant ranks importance
+        // RELATIVE to that entity ("what matters around X").
         val edges = table("triples")
           .select(col("subject_uuid").as("src"), col("object_uuid").as("dst"))
         val iters = opts.get("--iters").map(_.toInt).getOrElse(5)
-        val pr = graft.query.GraphAlgos.pageRank(edges, iters = iters)
+        val pr = opts.get("--seed") match {
+          case Some(seedName) =>
+            val resolved = GraphLookup.resolveEntity(table("entities"), seedName).collect()
+            if (resolved.isEmpty) {
+              System.err.println(s"no entity matching '$seedName'"); sys.exit(1)
+            }
+            import spark.implicits._
+            graft.query.GraphAlgos.personalizedPageRank(edges,
+              resolved.map(_.getString(0)).toSeq.toDF("id"), iters = iters)
+          case None => graft.query.GraphAlgos.pageRank(edges, iters = iters)
+        }
         val deg = graft.query.GraphAlgos.degrees(edges)
           .withColumnRenamed("id", "entity_uuid")
         val out = pr.withColumnRenamed("id", "entity_uuid")

@@ -97,22 +97,50 @@ object GraphAlgos {
     * @param directed keep edge direction (true) or symmetrize (false).
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-      directed: Boolean = false): DataFrame = {
+      directed: Boolean = false): DataFrame =
+    pageRankImpl(edges, iters, damping, directed, seeds = None)
+
+  /** Personalized PageRank: the teleport (and the dangling redistribution)
+    * lands only on `seeds`, uniformly, instead of on every vertex — so rank
+    * measures importance RELATIVE to the seed entities (the
+    * "what matters around X" ranking). Seeds not present in the edge list
+    * still receive teleport mass (they are added as vertices); iteration
+    * starts from the teleport distribution. Same per-iteration shape as
+    * [[pageRank]]: the seed flag rides the vertex table as a column, never
+    * a driver-side structure.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      damping: Double = 0.85, directed: Boolean = false): DataFrame =
+    pageRankImpl(edges, iters, damping, directed,
+      seeds = Some(seeds.toDF("id").distinct()))
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
+      directed: Boolean, seeds: Option[DataFrame]): DataFrame = {
     val adj0 = if (directed)
       edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct()
     else sym(edges)
     val adj = Checkpoints.truncate(adj0)
-    val verts = Checkpoints.truncate(
-      adj.select(col("src").as("id"))
-        .union(adj.select(col("dst").as("id"))).distinct())
+    val baseVerts = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct()
+    // the teleport distribution rides the vertex table as a column:
+    // uniform over all vertices (standard), or over the seed set
+    // (personalized — seeds outside the edge list still become vertices;
+    // with no out-edges their mass re-enters through the dangling term)
+    val verts = Checkpoints.truncate(seeds match {
+      case Some(sd) => baseVerts.unionByName(sd).distinct()
+        .join(sd.withColumn("is_seed", lit(true)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => baseVerts.withColumn("is_seed", lit(true))
+    })
     val outDeg = Checkpoints.truncate(
       adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("od")))
-    val n = verts.count().toDouble
+    val nTele = verts.filter(col("is_seed")).count().toDouble
+    val withTele = verts.withColumn("tele",
+      when(col("is_seed"), lit(1.0) / lit(nTele)).otherwise(lit(0.0)))
     val d = lit(damping)
-    val teleport = (lit(1.0) - d) / lit(n)
 
     var ranks = Checkpoints.truncate(
-      verts.withColumn("rank", lit(1.0) / lit(n)))
+      withTele.select(col("id"), col("tele").as("rank")))
     var it = 0
     while (it < iters) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
@@ -121,14 +149,16 @@ object GraphAlgos {
         .groupBy(adj("dst").as("id"))
         .agg(sum(col("rank") / col("od")).as("contrib"))
       // dangling mass as a 1-row aggregate broadcast into the update — keeps
-      // the whole iteration one lazy plan (no driver collect per round)
+      // the whole iteration one lazy plan (no driver collect per round);
+      // redistributed BY the teleport distribution (uniform in the standard
+      // case), so mass is conserved in both variants
       val dangling = withDeg.filter(col("od").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-      val next = verts.join(contribs, Seq("id"), "left")
+      val next = withTele.join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
-          (teleport + d * (coalesce(col("contrib"), lit(0.0)) +
-            col("dmass") / lit(n))).as("rank"))
+          ((lit(1.0) - d) * col("tele") + d * (coalesce(col("contrib"), lit(0.0)) +
+            col("dmass") * col("tele"))).as("rank"))
       ranks = Checkpoints.truncate(next)
       it += 1
     }

@@ -56,6 +56,27 @@ class GraphAlgosSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-12)
   }
 
+  test("personalizedPageRank: seed-local mass, isolated-seed fixpoint, all-seeds ≡ standard") {
+    // path graph: rank decays away from the seed end
+    val path = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val r = GraphAlgos.personalizedPageRank(path, Seq(0L).toDF("id"), iters = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(0L) > r(1L) && r(1L) > r(2L) && r(2L) > r(3L))
+    // a seed absent from the edge list is a dangling vertex whose mass
+    // teleports straight back: rank stays 1.0 on it, 0 elsewhere
+    val iso = GraphAlgos.personalizedPageRank(path, Seq(99L).toDF("id"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(iso(99L) - 1.0) < 1e-12)
+    assert(iso.filter(_._1 != 99L).values.forall(v => math.abs(v) < 1e-12))
+    // seeding EVERY vertex is bit-identical to the standard variant
+    val verts = (0L to 4L).toDF("id")
+    val std = GraphAlgos.pageRank(path, iters = 4).as[(Long, Double)].collect().toMap
+    val all = GraphAlgos.personalizedPageRank(path, verts, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(all === std)
+  }
+
   test("triangles: K4 has each vertex in 3 triangles; squares have none") {
     val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
     val t = GraphAlgos.triangles(k4).as[(Long, Long)].collect().toMap
