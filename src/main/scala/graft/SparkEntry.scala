@@ -361,6 +361,15 @@ object SparkEntry {
           windowTokens = 256)
         .orderBy(col("doc_id"))),
 
+    "text_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetCap(
+          read(s, dir, "documents")
+            .select(col("source"), col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          budget = 800L, stratumCol = "source", idCol = "doc_id",
+          lenCol = "n_tokens")
+        .orderBy(col("doc_id"))),
+
     // ---- similarity search (oracle-checked, ids-only for fp safety) ----
 
     "ann_topk" -> ((s, dir) => {
@@ -1494,6 +1503,22 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, token_offset,
         |  token_offset // 256 AS first_bin,
         |  (token_offset + greatest(n_tokens, 1) - 1) // 256 AS last_bin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // per-source inclusive running token sum in doc_id order; the kept gate
+    // is cum <= budget (the crossing document is dropped, not truncated)
+    "text_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens, cum_tokens <= 800 AS kept
         |FROM o ORDER BY doc_id""".stripMargin,
 
     "graph_degree" ->

@@ -86,4 +86,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedKeep($"doc_id", $"source", Map("a" -> 1.5), 0.1)
     }
   }
+
+  test("tokenBudgetCap: per-stratum cumsum in id order, boundary doc dropped") {
+    // src a: lens 10,20,30,40 at ids 0..3 -> cum 10,30,60,100; budget 60
+    // keeps ids 0,1,2 (the crossing doc 3 is dropped, not truncated)
+    // src b: lens 50,50 -> cum 50,100; keeps only id 10
+    val d = Seq(
+      ("a", 0L, 10L), ("a", 1L, 20L), ("a", 2L, 30L), ("a", 3L, 40L),
+      ("b", 10L, 50L), ("b", 11L, 50L)).toDF("source", "doc_id", "n_tokens")
+    val out = Sampling.tokenBudgetCap(d, budget = 60L,
+        stratumCol = "source", idCol = "doc_id", lenCol = "n_tokens")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> (r._4, r._5)).toMap
+    assert(out(0L) === (10L, true) && out(1L) === (30L, true))
+    assert(out(2L) === (60L, true) && out(3L) === (100L, false))
+    assert(out(10L) === (50L, true) && out(11L) === (100L, false))
+    // cumsum is layout-invariant and bucket-count-invariant (the bucketed
+    // prefix-scan must agree with itself across physical layouts)
+    val byLayout = Seq(
+      Sampling.tokenBudgetCap(d.repartition(7), 60L, "source", "doc_id", "n_tokens"),
+      Sampling.tokenBudgetCap(d.repartition(1), 60L, "source", "doc_id", "n_tokens",
+        numBuckets = 3))
+      .map(_.as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._2).toSeq)
+    assert(byLayout(0) === byLayout(1))
+    // empty input keeps the 5-column schema
+    val empty = Sampling.tokenBudgetCap(d.limit(0), 60L, "source", "doc_id", "n_tokens")
+    assert(empty.columns.toSeq ===
+      Seq("source", "doc_id", "n_tokens", "cum_tokens", "kept"))
+    assert(empty.isEmpty)
+  }
 }
