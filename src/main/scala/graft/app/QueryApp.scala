@@ -64,10 +64,15 @@ object QueryApp {
     if (args.length < 2) usage()
     val Array(wh, cmd) = args.take(2)
     // centrality takes no free-text argument; everything else requires one
-    val hasText = args.length > 2 && !args(2).startsWith("--")
-    if (!hasText && cmd != "centrality") usage()
-    val text = if (hasText) args(2) else ""
-    val opts = args.drop(if (hasText) 3 else 2).sliding(2, 2).collect {
+    // (taken verbatim — a query may legitimately start with '--')
+    val needsText = cmd != "centrality"
+    if (needsText && args.length < 3) usage()
+    if (!needsText && args.length > 2 && !args(2).startsWith("--")) {
+      System.err.println(s"$cmd takes no positional argument: '${args(2)}'")
+      sys.exit(2)
+    }
+    val text = if (needsText) args(2) else ""
+    val opts = args.drop(if (needsText) 3 else 2).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
     val unknown = opts.keys
@@ -168,21 +173,18 @@ object QueryApp {
         val edges = table("triples")
           .select(col("subject_uuid").as("src"), col("object_uuid").as("dst"))
         val iters = opts.get("--iters").map(_.toInt).getOrElse(5)
-        val pr = opts.get("--seed") match {
-          case Some(seedName) =>
-            val resolved = GraphLookup.resolveEntity(table("entities"), seedName).collect()
-            if (resolved.isEmpty) {
-              System.err.println(s"no entity matching '$seedName'"); sys.exit(1)
-            }
-            import spark.implicits._
-            graft.query.GraphAlgos.personalizedPageRank(edges,
-              resolved.map(_.getString(0)).toSeq.toDF("id"), iters = iters)
-          case None => graft.query.GraphAlgos.pageRank(edges, iters = iters)
+        val seeds = opts.get("--seed").map { seedName =>
+          val resolved = GraphLookup.resolveEntity(table("entities"), seedName).collect()
+          if (resolved.isEmpty) {
+            System.err.println(s"no entity matching '$seedName'"); sys.exit(1)
+          }
+          import spark.implicits._
+          resolved.map(_.getString(0)).toSeq.toDF("id")
         }
-        val deg = graft.query.GraphAlgos.degrees(edges)
+        // one report = PageRank + degree over ONE shared symmetrized
+        // adjacency (separate calls would symmetrize the edge list twice)
+        val out = graft.query.GraphAlgos.centralityReport(edges, iters, seeds)
           .withColumnRenamed("id", "entity_uuid")
-        val out = pr.withColumnRenamed("id", "entity_uuid")
-          .join(deg, Seq("entity_uuid"), "left")
           .join(table("entities")
             .select(col("entity_uuid"), col("canonical_name"), col("entity_type")),
             Seq("entity_uuid"))

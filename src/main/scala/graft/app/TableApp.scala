@@ -243,11 +243,17 @@ object TableApp {
         // the reference's Neo4j materialization (pipeline.py:219-312 creates
         // Entity/Topic/Document/Episodic nodes + fact edges in a live store;
         // a Spark warehouse exports the same graph as bulk-import files).
-        // csv = neo4j-admin database import headers (:ID/:START_ID/:END_ID/
-        // :TYPE/:LABEL, arrays ;-joined); jsonl = plain names, native arrays.
-        // Embedding vectors are intentionally not exported (vector indexes
-        // are rebuilt store-side, as the reference does at pipeline.py:152).
-        // Each file is one distributed df.write — no driver materialization.
+        // csv = neo4j-admin database import layout: headerless distributed
+        // part files + ONE `_header.csv` per directory carrying the
+        // :ID/:START_ID/:END_ID/:TYPE/:LABEL header (an inline header per
+        // part file would be ingested as data rows by every part after the
+        // first; `_`-prefixed files are also invisible to Spark readers,
+        // so the directory stays loadable). Import:
+        //   neo4j-admin database import full \
+        //     --nodes=nodes_entity/_header.csv,nodes_entity/part-.* ...
+        // jsonl = plain names, native arrays. Embedding vectors are
+        // intentionally not exported (vector indexes are rebuilt
+        // store-side, as the reference does at pipeline.py:152).
         if (args.length < 3) usage()
         val out = args(2)
         val fmt = args.lift(3).getOrElse("csv")
@@ -260,11 +266,21 @@ object TableApp {
         val csv = fmt == "csv"
         def arr(c: Column) = if (csv) concat_ws(";", c) else c
         def hdr(plain: String, neo: String) = if (csv) neo else plain
-        def write(df: DataFrame, name: String, n: Long): Unit = {
-          if (csv) df.write.mode("overwrite").option("header", true)
-            .option("escape", "\"").csv(s"$out/$name")
-          else df.write.mode("overwrite").json(s"$out/$name")
-          println(s"[table] export $name rows=$n format=$fmt")
+        def write(df: DataFrame, name: String): Unit = {
+          // persist across the count + write pair: without it the frame
+          // (for rels_mentioned_in, a union+distinct shuffle of triples)
+          // executes twice
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val rows = df.count()
+            if (csv) {
+              df.write.mode("overwrite").option("header", false)
+                .option("escape", "\"").csv(s"$out/$name")
+              Files.writeString(Paths.get(out, name, "_header.csv"),
+                df.columns.mkString(",") + "\n")
+            } else df.write.mode("overwrite").json(s"$out/$name")
+            println(s"[table] export $name rows=$rows format=$fmt")
+          } finally df.unpersist()
         }
         val triples = log.read("triples").getOrElse {
           System.err.println(s"warehouse $wh has no committed 'triples' table")
@@ -277,20 +293,20 @@ object TableApp {
             col("entity_type").as("entity_type"),
             col("summary"),
             arr(col("aliases")).as(hdr("aliases", "aliases:string[]")),
-            lit("Entity").as(hdr("label", ":LABEL"))), "nodes_entity", e.count())
+            lit("Entity").as(hdr("label", ":LABEL"))), "nodes_entity")
         }
         log.read("topics").foreach { t =>
           write(t.select(
             col("topic_uuid").as(hdr("topic_uuid", "uuid:ID")),
             col("canonical_label").as("name"), col("definition"),
-            lit("Topic").as(hdr("label", ":LABEL"))), "nodes_topic", t.count())
+            lit("Topic").as(hdr("label", ":LABEL"))), "nodes_topic")
         }
         log.read("chunks").foreach { c =>
           write(c.select(
             col("chunk_uuid").as(hdr("chunk_uuid", "uuid:ID")),
             col("chunk_id"), col("conv_id"), col("header_path"),
             col("document_date"), col("text"),
-            lit("Chunk").as(hdr("label", ":LABEL"))), "nodes_chunk", c.count())
+            lit("Chunk").as(hdr("label", ":LABEL"))), "nodes_chunk")
         }
         write(triples.select(
           col("subject_uuid").as(hdr("subject_uuid", ":START_ID")),
@@ -298,7 +314,7 @@ object TableApp {
           col("predicate").as(hdr("predicate", ":TYPE")),
           col("fact_uuid"), col("fact"), col("date_context"),
           arr(col("topics")).as(hdr("topics", "topics:string[]")),
-          col("chunk_uuid")), "rels_fact", triples.count())
+          col("chunk_uuid")), "rels_fact")
         // provenance edges: entity -> chunk it was extracted from
         val mentioned = triples.filter(col("chunk_uuid").isNotNull)
           .select(col("subject_uuid").as("eid"), col("chunk_uuid"))
@@ -309,7 +325,7 @@ object TableApp {
           col("eid").as(hdr("entity_uuid", ":START_ID")),
           col("chunk_uuid").as(hdr("chunk_uuid", ":END_ID")),
           lit("MENTIONED_IN").as(hdr("rel", ":TYPE"))),
-          "rels_mentioned_in", mentioned.count())
+          "rels_mentioned_in")
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()

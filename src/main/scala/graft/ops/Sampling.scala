@@ -85,66 +85,25 @@ object Sampling {
     * stratum) and `kept` (cum_tokens <= budget). The boundary document that
     * crosses the budget is dropped, not truncated.
     *
-    * Scale shape: the running sum is the same bucketed distributed
-    * prefix-scan as Packing.packSequences, nested per stratum — a
-    * per-stratum `Window.orderBy(id)` would collapse the LARGEST SOURCE
-    * (possibly most of the corpus) onto one task. Rows are bucketed by id
-    * range, per-(stratum, bucket) totals come back to the driver
-    * (strata × buckets rows), the exclusive prefix broadcasts back, and the
-    * in-bucket window partitions by (stratum, bucket).
+    * Scale shape: PrefixScan.inclusiveRunningSum with the stratum as the
+    * scan key — a per-stratum `Window.orderBy(id)` would collapse the
+    * LARGEST SOURCE (possibly most of the corpus) onto one task. NULL
+    * strata form their own stratum (SQL window semantics), never vanish.
     */
   def tokenBudgetCap(docs: org.apache.spark.sql.DataFrame, budget: Long,
       stratumCol: String, idCol: String, lenCol: String,
       numBuckets: Int = 0): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.expressions.Window
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val spark = docs.sparkSession
-    val nb = if (numBuckets > 0) numBuckets
-             else spark.sessionState.conf.numShufflePartitions
-
-    val base = docs.select(col(stratumCol), col(idCol),
-        col(lenCol).cast("long").as("_len"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = base.agg(
-      min(col(idCol)).cast("double").as("lo"),
-      max(col(idCol)).cast("double").as("hi")).head()
-    if (bounds.isNullAt(0)) {
-      base.unpersist()
-      return base.select(col(stratumCol), col(idCol), col("_len").as(lenCol),
-        lit(0L).as("cum_tokens"), lit(false).as("kept")).limit(0)
+    val slim = docs.select(col(stratumCol), col(idCol), col(lenCol))
+    PrefixScan.inclusiveRunningSum(slim, Seq(stratumCol), idCol, lenCol,
+        numBuckets) match {
+      case None =>
+        slim.select(col(stratumCol), col(idCol),
+          col(lenCol).cast("long").as(lenCol),
+          lit(0L).as("cum_tokens"), lit(false).as("kept")).limit(0)
+      case Some(scanned) =>
+        scanned.select(col(stratumCol), col(idCol), col("_len").as(lenCol),
+          col("_cum").as("cum_tokens"), (col("_cum") <= budget).as("kept"))
     }
-    val lo = bounds.getDouble(0)
-    val span = math.max(bounds.getDouble(1) - lo, 0.0) + 1.0
-    val bucket = least(
-      floor((col(idCol).cast("double") - lit(lo)) * nb / lit(span)),
-      lit(nb - 1L)).cast("int").as("_bucket")
-    val rows = base.select(col(stratumCol), col(idCol), col("_len"), bucket)
-
-    // strata × buckets totals on the driver: tiny (sources are a catalog,
-    // not data); exclusive prefix per stratum in bucket order
-    val totals = rows.groupBy(col(stratumCol), col("_bucket"))
-      .agg(sum(col("_len")).as("_tot"))
-      .collect()
-      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1)
-    val prefixRows = totals.toSeq.flatMap { case (stratum, bs) =>
-      var acc = 0L
-      bs.sortBy(_._2).map { case (_, b, tot) =>
-        val p = acc; acc += tot; (Option(stratum).map(_.toString).orNull, b, p)
-      }
-    }
-    val prefixes = spark.createDataFrame(prefixRows)
-      .toDF(stratumCol, "_bucket", "_prefix")
-
-    val w = Window.partitionBy(col(stratumCol), col("_bucket"))
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = rows
-      .join(broadcast(prefixes), Seq(stratumCol, "_bucket"))
-      .withColumn("cum_tokens", col("_prefix") + sum(col("_len")).over(w))
-      .select(col(stratumCol), col(idCol), col("_len").as(lenCol),
-        col("cum_tokens"), (col("cum_tokens") <= budget).as("kept"))
-    out
   }
 }

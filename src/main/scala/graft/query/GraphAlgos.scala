@@ -98,7 +98,7 @@ object GraphAlgos {
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
       directed: Boolean = false): DataFrame =
-    pageRankImpl(edges, iters, damping, directed, seeds = None)
+    pageRankImpl(prepareAdj(edges, directed), iters, damping, seeds = None)
 
   /** Personalized PageRank: the teleport (and the dangling redistribution)
     * lands only on `seeds`, uniformly, instead of on every vertex — so rank
@@ -111,15 +111,32 @@ object GraphAlgos {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
       damping: Double = 0.85, directed: Boolean = false): DataFrame =
-    pageRankImpl(edges, iters, damping, directed,
+    pageRankImpl(prepareAdj(edges, directed), iters, damping,
       seeds = Some(seeds.toDF("id").distinct()))
 
-  private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
-      directed: Boolean, seeds: Option[DataFrame]): DataFrame = {
-    val adj0 = if (directed)
+  /** PageRank + degree in one report, sharing ONE materialized symmetric
+    * adjacency (calling [[pageRank]] and [[degrees]] separately pays the
+    * dominant symmetrize-distinct shuffle twice).
+    */
+  def centralityReport(edges: DataFrame, iters: Int = 5,
+      seeds: Option[DataFrame] = None, damping: Double = 0.85): DataFrame = {
+    val adj = Checkpoints.truncate(sym(edges))
+    val pr = pageRankImpl(adj, iters, damping,
+      seeds.map(_.toDF("id").distinct()))
+    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    pr.join(deg, Seq("id"), "left")
+  }
+
+  /** Loop-free deduplicated adjacency, lineage-truncated (it feeds the
+    * out-degree aggregation plus one join per iteration).
+    */
+  private def prepareAdj(edges: DataFrame, directed: Boolean): DataFrame =
+    Checkpoints.truncate(if (directed)
       edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct()
-    else sym(edges)
-    val adj = Checkpoints.truncate(adj0)
+    else sym(edges))
+
+  private def pageRankImpl(adj: DataFrame, iters: Int, damping: Double,
+      seeds: Option[DataFrame]): DataFrame = {
     val baseVerts = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct()
     // the teleport distribution rides the vertex table as a column:

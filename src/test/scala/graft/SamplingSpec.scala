@@ -114,5 +114,15 @@ class SamplingSpec extends SparkSpec {
     assert(empty.columns.toSeq ===
       Seq("source", "doc_id", "n_tokens", "cum_tokens", "kept"))
     assert(empty.isEmpty)
+    // NULL strata form their own stratum (SQL window semantics) — they must
+    // not vanish through the internal prefix join
+    val withNull = Seq(
+      (Some("a"), 0L, 10L), (None, 1L, 40L), (None, 2L, 30L))
+      .toDF("source", "doc_id", "n_tokens")
+    val nr = Sampling.tokenBudgetCap(withNull, 50L, "source", "doc_id", "n_tokens")
+      .as[(Option[String], Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> (r._4, r._5)).toMap
+    assert(nr.keySet === Set(0L, 1L, 2L))
+    assert(nr(1L) === (40L, true) && nr(2L) === (70L, false))
   }
 }
