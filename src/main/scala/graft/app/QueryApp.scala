@@ -39,7 +39,7 @@ object QueryApp {
     System.err.println(
       "usage: QueryApp <warehouseDir> research|search|entity|neighbors <text> " +
         "[--topk N] [--hint text] [--ontology topics.json] [--master local[N]]\n" +
-        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] [--master local[N]]")
+        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] | stats [--master local[N]]")
     sys.exit(2)
   }
 
@@ -63,9 +63,9 @@ object QueryApp {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) usage()
     val Array(wh, cmd) = args.take(2)
-    // centrality takes no free-text argument; everything else requires one
-    // (taken verbatim — a query may legitimately start with '--')
-    val needsText = cmd != "centrality"
+    // centrality/stats take no free-text argument; everything else requires
+    // one (taken verbatim — a query may legitimately start with '--')
+    val needsText = cmd != "centrality" && cmd != "stats"
     if (needsText && args.length < 3) usage()
     if (!needsText && args.length > 2 && !args(2).startsWith("--")) {
       System.err.println(s"$cmd takes no positional argument: '${args(2)}'")
@@ -192,6 +192,15 @@ object QueryApp {
             coalesce(col("degree"), lit(0L)).as("degree"))
           .orderBy(col("rank").desc, col("canonical_name"))
         show(out, topK)
+
+      case "stats" =>
+        // one-row graph health report over the committed triples graph
+        val edges = table("triples")
+          .select(col("subject_uuid").as("src"), col("object_uuid").as("dst"))
+        val ents = table("entities").count()
+        val facts = table("triples").count()
+        println(s"[stats] entities=$ents facts=$facts")
+        show(graft.query.GraphAlgos.graphStats(edges), 1)
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()

@@ -190,10 +190,15 @@ object GraphAlgos {
     * wedge fan-out of skewed vertices, which is what makes this survive a
     * power-law 10^12-edge graph where the naive a<b<c self-join would not.
     */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame): DataFrame =
     // three consumers (degree agg, orientation join, closing probe) — one
     // materialization instead of three symmetrize shuffles
-    val und = Checkpoints.truncate(sym(edges))
+    trianglesFromSym(Checkpoints.truncate(sym(edges)))
+
+  /** [[triangles]] over an already-symmetrized, deduplicated, materialized
+    * adjacency — shared by [[graphStats]] so the report symmetrizes once.
+    */
+  private def trianglesFromSym(und: DataFrame): DataFrame = {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     // orient low→high by (degree, id); each undirected edge survives once
     val oriented = Checkpoints.truncate(
@@ -215,6 +220,29 @@ object GraphAlgos {
     val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** One-row graph health report over the undirected graph: vertex/edge
+    * counts, connected-component count + largest size, degree profile
+    * (p50/p90 via percentile_approx — a report statistic, not an oracle
+    * surface), and total triangle count. Shares ONE symmetrized adjacency
+    * across the degree, component, and triangle passes.
+    */
+  def graphStats(edges: DataFrame): DataFrame = {
+    val und = Checkpoints.truncate(sym(edges))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    val degStats = deg.agg(
+      count(lit(1)).as("nodes"),
+      max(col("degree")).as("max_degree"),
+      percentile_approx(col("degree"), lit(0.5), lit(10000)).as("p50_degree"),
+      percentile_approx(col("degree"), lit(0.9), lit(10000)).as("p90_degree"))
+    val comps = graft.canon.ConnectedComponents.run(und.sparkSession, und)
+      .groupBy(col("component")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("components"), max(col("n")).as("largest_component"))
+    val triTotal = trianglesFromSym(und)
+      .agg(coalesce(sum(col("triangles")) / 3, lit(0L)).cast("long").as("triangles"))
+    val edgeCount = und.agg((count(lit(1)) / 2).cast("long").as("edges"))
+    degStats.crossJoin(edgeCount).crossJoin(comps).crossJoin(triTotal)
   }
 
   /** Link prediction over non-adjacent vertex pairs that share at least one

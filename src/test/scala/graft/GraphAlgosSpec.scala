@@ -88,6 +88,18 @@ class GraphAlgosSpec extends SparkSpec {
     assert(tg === Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
 
+  test("graphStats: one-row report with hand-checked counts") {
+    val r = GraphAlgos.graphStats(g).collect().head
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    assert(l("nodes") === 8L && l("edges") === 8L)
+    assert(l("components") === 1L && l("largest_component") === 8L)
+    assert(l("triangles") === 1L && l("max_degree") === 3L)
+    // two components when the bridge edge is absent
+    val r2 = GraphAlgos.graphStats(edges(1L -> 2L, 10L -> 11L)).collect().head
+    assert(r2.getLong(r2.fieldIndex("components")) === 2L)
+    assert(r2.getLong(r2.fieldIndex("triangles")) === 0L)
+  }
+
   test("linkPrediction scores distance-2 pairs only, hand-checked") {
     // square 1-2-3-4: diagonals (1,3) and (2,4) share both off-diagonal
     // vertices; adjacent pairs must not appear
