@@ -25,7 +25,10 @@ import graft.tables.SnapshotLog
   *                                   assign index-unseen rows, merge-append
   *   TableApp <warehouseDir> export <outDir> [csv|jsonl]
   *                                   property-graph dump (Neo4j bulk-import
-  *                                   CSV headers, or plain JSONL)
+  *                                   layout: headerless parts + _header.csv,
+  *                                   or plain JSONL)
+  *   TableApp <warehouseDir> walks <outDir> [length]
+  *                                   deterministic DeepWalk training corpus
   *
   * `history`/`vacuum`/`verify` default to every table in the warehouse.
   * `compact` preserves the table's partition layout (detected from the live
@@ -36,7 +39,7 @@ object TableApp {
   private def usage(): Nothing = {
     System.err.println(
       "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]\n" +
-        "       TableApp <warehouseDir> export <outDir> [csv|jsonl]")
+        "       TableApp <warehouseDir> export <outDir> [csv|jsonl] | walks <outDir> [length]")
     sys.exit(2)
   }
 
@@ -237,6 +240,25 @@ object TableApp {
         delta.unpersist()
         println(s"[table] $t: ann-refresh appended $nNew assignment row(s)" +
           s" (snapshot $snap)")
+
+      case "walks" =>
+        // DeepWalk/node2vec training corpus from the committed graph:
+        // deterministic hash-greedy walks (GraphAlgos.deterministicWalks)
+        // over the entity graph, written as (walk_id, step, vertex) parquet
+        // for a downstream skip-gram trainer. Reproducible end to end — the
+        // same warehouse always yields byte-identical walks.
+        if (args.length < 3) usage()
+        val outDir = args(2)
+        val length = args.lift(3).map(_.toInt).getOrElse(8)
+        val edges = log.read("triples").getOrElse {
+          System.err.println(s"warehouse $wh has no committed 'triples' table")
+          sys.exit(1)
+        }.select(org.apache.spark.sql.functions.col("subject_uuid").as("src"),
+          org.apache.spark.sql.functions.col("object_uuid").as("dst"))
+        val walks = graft.query.GraphAlgos.deterministicWalks(edges, length)
+        walks.write.mode("overwrite").parquet(outDir)
+        val n = spark.read.parquet(outDir).count()
+        println(s"[table] walks: $n (walk_id, step, vertex) rows, length=$length -> $outDir")
 
       case "export" =>
         // Property-graph dump of the committed warehouse — the analogue of
