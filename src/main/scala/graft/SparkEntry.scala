@@ -910,7 +910,7 @@ object SparkEntry {
 
     "graph_walks" -> ((s, dir) =>
       graft.query.GraphAlgos.deterministicWalks(simEdges(s, dir), length = 4)
-        .select(col("walk_id"), col("step"), col("vertex"))
+        .select(col("walk_id"), col("walk_idx"), col("step"), col("vertex"))
         .orderBy(col("walk_id"), col("step")))
   )
 
@@ -1647,24 +1647,25 @@ object SparkEntry {
          |FROM nonadj n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
          |ORDER BY a, b""".stripMargin,
 
-    // 4 hash-greedy steps unrolled: the md5(walk:step:candidate) argmin is
-    // the engine's exact next-vertex rule, so the oracle replays the walk
+    // 4 hash-greedy steps unrolled: the md5(walk:idx:step:candidate) argmin
+    // is the engine's exact next-vertex rule, so the oracle replays the walk
+    // (walk_idx pinned to 0 — the driver row runs one walk per seed)
     "graph_walks" ->
       s"""$simEdgesCte,
-         |w0 AS (SELECT DISTINCT s AS walk_id, 0 AS step, s AS vertex FROM sym),
-         |w1 AS (SELECT w.walk_id, 1 AS step, min_by(sym.d,
-         |         md5(CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |w0 AS (SELECT DISTINCT s AS walk_id, 0 AS walk_idx, 0 AS step, s AS vertex FROM sym),
+         |w1 AS (SELECT w.walk_id, 0 AS walk_idx, 1 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':0:1:' || CAST(sym.d AS VARCHAR))) AS vertex
          |       FROM w0 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id),
-         |w2 AS (SELECT w.walk_id, 2 AS step, min_by(sym.d,
-         |         md5(CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |w2 AS (SELECT w.walk_id, 0 AS walk_idx, 2 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':0:2:' || CAST(sym.d AS VARCHAR))) AS vertex
          |       FROM w1 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id),
-         |w3 AS (SELECT w.walk_id, 3 AS step, min_by(sym.d,
-         |         md5(CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |w3 AS (SELECT w.walk_id, 0 AS walk_idx, 3 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':0:3:' || CAST(sym.d AS VARCHAR))) AS vertex
          |       FROM w2 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id),
-         |w4 AS (SELECT w.walk_id, 4 AS step, min_by(sym.d,
-         |         md5(CAST(w.walk_id AS VARCHAR) || ':4:' || CAST(sym.d AS VARCHAR))) AS vertex
+         |w4 AS (SELECT w.walk_id, 0 AS walk_idx, 4 AS step, min_by(sym.d,
+         |         md5(CAST(w.walk_id AS VARCHAR) || ':0:4:' || CAST(sym.d AS VARCHAR))) AS vertex
          |       FROM w3 w JOIN sym ON w.vertex = sym.s GROUP BY w.walk_id)
-         |SELECT walk_id, step, vertex FROM (
+         |SELECT walk_id, walk_idx, step, vertex FROM (
          |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
          |  SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
          |ORDER BY walk_id, step""".stripMargin

@@ -27,7 +27,7 @@ import graft.tables.SnapshotLog
   *                                   property-graph dump (Neo4j bulk-import
   *                                   layout: headerless parts + _header.csv,
   *                                   or plain JSONL)
-  *   TableApp <warehouseDir> walks <outDir> [length]
+  *   TableApp <warehouseDir> walks <outDir> [length] [walksPerNode]
   *                                   deterministic DeepWalk training corpus
   *
   * `history`/`vacuum`/`verify` default to every table in the warehouse.
@@ -39,7 +39,7 @@ object TableApp {
   private def usage(): Nothing = {
     System.err.println(
       "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]\n" +
-        "       TableApp <warehouseDir> export <outDir> [csv|jsonl] | walks <outDir> [length]")
+        "       TableApp <warehouseDir> export <outDir> [csv|jsonl] | walks <outDir> [length] [walksPerNode]")
     sys.exit(2)
   }
 
@@ -250,15 +250,17 @@ object TableApp {
         if (args.length < 3) usage()
         val outDir = args(2)
         val length = args.lift(3).map(_.toInt).getOrElse(8)
+        val perNode = args.lift(4).map(_.toInt).getOrElse(10)
         val edges = log.read("triples").getOrElse {
           System.err.println(s"warehouse $wh has no committed 'triples' table")
           sys.exit(1)
         }.select(org.apache.spark.sql.functions.col("subject_uuid").as("src"),
           org.apache.spark.sql.functions.col("object_uuid").as("dst"))
-        val walks = graft.query.GraphAlgos.deterministicWalks(edges, length)
+        val walks = graft.query.GraphAlgos.deterministicWalks(edges, length, perNode)
         walks.write.mode("overwrite").parquet(outDir)
         val n = spark.read.parquet(outDir).count()
-        println(s"[table] walks: $n (walk_id, step, vertex) rows, length=$length -> $outDir")
+        println(s"[table] walks: $n (walk_id, walk_idx, step, vertex) rows," +
+          s" length=$length walksPerNode=$perNode -> $outDir")
 
       case "export" =>
         // Property-graph dump of the committed warehouse — the analogue of

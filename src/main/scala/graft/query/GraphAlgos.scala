@@ -281,33 +281,42 @@ object GraphAlgos {
   }
 
   /** Deterministic pseudo-random walks for graph-embedding training
-    * corpora (DeepWalk/node2vec input): one walk per seed vertex,
-    * `length` steps, output (walk_id, step, vertex) with step 0 = the seed.
+    * corpora (DeepWalk/node2vec input): `walksPerNode` walks per seed
+    * vertex, `length` steps each, output (walk_id, walk_idx, step, vertex)
+    * with step 0 = the seed.
     *
-    * The "randomness" is a hash: at step t the walk at vertex u moves to
-    * the neighbor v minimizing md5(walk_id:t:v) — the same
+    * The "randomness" is a hash: at step t, walk (u, i) at vertex v moves
+    * to the neighbor w minimizing md5(walk_id:i:t:w) — the same
     * hash-plays-the-RNG trick as Sampling.datasetSplit, so walks are
     * reproducible across retries, partitionings, and engines (no rand(),
     * no seed plumbing), at the cost of sampling without replacement
-    * semantics nobody needs for skip-gram windows. Dead ends stop early.
+    * semantics nobody needs for skip-gram windows. The walk index is part
+    * of the hash, so the i walks from one seed decorrelate after step 1.
+    * Dead ends stop early.
     *
     * Shape: `length` rounds of frontier ⋈ adjacency + a min_by aggregation
     * per walk — the frontier is one row per live walk, so each round moves
-    * O(walks) rows regardless of graph size.
+    * O(vertices × walksPerNode) rows regardless of graph size.
     */
-  def deterministicWalks(edges: DataFrame, length: Int): DataFrame = {
+  def deterministicWalks(edges: DataFrame, length: Int,
+      walksPerNode: Int = 1): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
     val adj = Checkpoints.truncate(sym(edges))
     var cur = Checkpoints.truncate(
       adj.select(col("src").as("walk_id")).distinct()
-        .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("vertex")))
+        .select(col("walk_id"),
+          explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk_idx"))
+        .select(col("walk_id"), col("walk_idx"),
+          lit(0).as("step"), col("walk_id").as("vertex")))
     var out = cur
     var t = 1
     while (t <= length) {
       val next = cur.join(adj, cur("vertex") === adj("src"))
-        .groupBy(col("walk_id"))
+        .groupBy(col("walk_id"), col("walk_idx"))
         .agg(min_by(col("dst"),
-          md5(concat_ws(":", col("walk_id"), lit(t), col("dst")))).as("vertex"))
-        .select(col("walk_id"), lit(t).as("step"), col("vertex"))
+          md5(concat_ws(":", col("walk_id"), col("walk_idx"), lit(t),
+            col("dst")))).as("vertex"))
+        .select(col("walk_id"), col("walk_idx"), lit(t).as("step"), col("vertex"))
       cur = Checkpoints.truncate(next)
       out = out.unionByName(cur)
       t += 1

@@ -124,7 +124,7 @@ class GraphAlgosSpec extends SparkSpec {
 
   test("deterministicWalks: adjacency respected, layout-invariant, full length") {
     val w = GraphAlgos.deterministicWalks(g, length = 3)
-      .as[(Long, Int, Long)].collect().sorted.toSeq
+      .as[(Long, Int, Int, Long)].collect().sorted.toSeq
     // one walk per vertex, each of full length (no dead ends once symmetrized)
     val byWalk = w.groupBy(_._1)
     assert(byWalk.keySet === Set(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L))
@@ -133,19 +133,30 @@ class GraphAlgosSpec extends SparkSpec {
     val pairs = Set(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 10L,
       10L -> 11L, 11L -> 12L, 12L -> 10L).flatMap { case (a, b) => Seq(a -> b, b -> a) }
     byWalk.values.foreach { steps =>
-      steps.sortBy(_._2).sliding(2).foreach {
-        case Seq((_, _, u), (_, _, v)) => assert(pairs.contains(u -> v))
+      steps.sortBy(_._3).sliding(2).foreach {
+        case Seq((_, _, _, u), (_, _, _, v)) => assert(pairs.contains(u -> v))
         case _ =>
       }
     }
     // determinism across physical layouts: shuffled/repartitioned input
     // produces the identical walk set
     val w2 = GraphAlgos.deterministicWalks(g.repartition(7), length = 3)
-      .as[(Long, Int, Long)].collect().sorted.toSeq
+      .as[(Long, Int, Int, Long)].collect().sorted.toSeq
     assert(w2 === w)
     // a single edge bounces: 1 -> 2 -> 1 -> 2
     val bounce = GraphAlgos.deterministicWalks(edges(1L -> 2L), length = 3)
-      .as[(Long, Int, Long)].collect().filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+      .as[(Long, Int, Int, Long)].collect().filter(_._1 == 1L).sortBy(_._3).map(_._4).toSeq
     assert(bounce === Seq(1L, 2L, 1L, 2L))
+    // multi-walk: 3 walks per seed, all adjacency-respecting, and at least
+    // one seed's walks diverge (the walk index is in the hash)
+    val multi = GraphAlgos.deterministicWalks(g, length = 3, walksPerNode = 3)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(multi.length === 8 * 3 * 4)
+    val bySeed = multi.groupBy(m => (m._1, m._2))
+    assert(bySeed.size === 24)
+    val diverged = multi.groupBy(_._1).values.exists { ws =>
+      ws.groupBy(_._2).values.map(_.sortBy(_._3).map(_._4).toSeq).toSet.size > 1
+    }
+    assert(diverged, "walks from the same seed never diverged")
   }
 }
