@@ -37,8 +37,8 @@ import graft.tables.SnapshotLog
 object QueryApp {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: QueryApp <warehouseDir> research|search|entity|neighbors <text> " +
-        "[--topk N] [--hint text] [--ontology topics.json] [--master local[N]]\n" +
+      "usage: QueryApp <warehouseDir> research|search|entity|neighbors|subgraph <text> " +
+        "[--topk N] [--hint text] [--hops N] [--ontology topics.json] [--master local[N]]\n" +
         "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] | stats [--master local[N]]")
     sys.exit(2)
   }
@@ -76,7 +76,7 @@ object QueryApp {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
     val unknown = opts.keys
-      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters", "--seed"))
+      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters", "--seed", "--hops"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}"); sys.exit(2)
     }
@@ -192,6 +192,34 @@ object QueryApp {
             coalesce(col("degree"), lit(0L)).as("degree"))
           .orderBy(col("rank").desc, col("canonical_name"))
         show(out, topK)
+
+      case "subgraph" =>
+        // the k-hop neighborhood around an entity: BFS distance labels
+        // (GraphAlgos.kHop) over the committed graph, then every fact whose
+        // BOTH endpoints sit inside the ball — the exploration primitive
+        // behind "show me everything within 2 hops of X"
+        val hops = opts.get("--hops").map(_.toInt).getOrElse(2)
+        val resolved = GraphLookup.resolveEntity(table("entities"), text).collect()
+        if (resolved.isEmpty) {
+          System.err.println(s"no entity matching '$text'"); sys.exit(1)
+        }
+        import spark.implicits._
+        val seeds = resolved.map(_.getString(0)).toSeq.toDF("id")
+        val triples = table("triples")
+        val edges = triples
+          .select(col("subject_uuid").as("src"), col("object_uuid").as("dst"))
+        val ball = graft.query.GraphAlgos.kHop(edges, seeds, hops)
+        val facts = triples
+          .join(ball.select(col("id").as("subject_uuid"), col("dist").as("d_subj")),
+            Seq("subject_uuid"))
+          .join(ball.select(col("id").as("object_uuid"), col("dist").as("d_obj")),
+            Seq("object_uuid"))
+          .select(least(col("d_subj"), col("d_obj")).as("dist"),
+            col("fact"), col("predicate"))
+          .distinct() // the same fact text extracted from several chunks shows once
+          .orderBy(col("dist"), col("fact"))
+        println(s"[query] ${ball.count()} entit(ies) within $hops hop(s)")
+        show(facts, topK)
 
       case "stats" =>
         // one-row graph health report over the committed triples graph
