@@ -263,97 +263,109 @@ object TableApp {
           s" length=$length walksPerNode=$perNode -> $outDir")
 
       case "export" =>
-        // Property-graph dump of the committed warehouse — the analogue of
-        // the reference's Neo4j materialization (pipeline.py:219-312 creates
-        // Entity/Topic/Document/Episodic nodes + fact edges in a live store;
-        // a Spark warehouse exports the same graph as bulk-import files).
-        // csv = neo4j-admin database import layout: headerless distributed
-        // part files + ONE `_header.csv` per directory carrying the
-        // :ID/:START_ID/:END_ID/:TYPE/:LABEL header (an inline header per
-        // part file would be ingested as data rows by every part after the
-        // first; `_`-prefixed files are also invisible to Spark readers,
-        // so the directory stays loadable). Import:
-        //   neo4j-admin database import full \
-        //     --nodes=nodes_entity/_header.csv,nodes_entity/part-.* ...
-        // jsonl = plain names, native arrays. Embedding vectors are
-        // intentionally not exported (vector indexes are rebuilt
-        // store-side, as the reference does at pipeline.py:152).
         if (args.length < 3) usage()
         val out = args(2)
         val fmt = args.lift(3).getOrElse("csv")
         if (fmt != "csv" && fmt != "jsonl") {
           System.err.println(s"unknown export format: $fmt (csv|jsonl)"); sys.exit(2)
         }
-        import org.apache.spark.sql.{Column, DataFrame}
-        // selective: functions._ would shadow `log` (spark.sql.functions.log)
-        import org.apache.spark.sql.functions.{col, concat_ws, lit}
-        val csv = fmt == "csv"
-        def arr(c: Column) = if (csv) concat_ws(";", c) else c
-        def hdr(plain: String, neo: String) = if (csv) neo else plain
-        def write(df: DataFrame, name: String): Unit = {
-          // persist across the count + write pair: without it the frame
-          // (for rels_mentioned_in, a union+distinct shuffle of triples)
-          // executes twice
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val rows = df.count()
-            if (csv) {
-              df.write.mode("overwrite").option("header", false)
-                .option("escape", "\"").csv(s"$out/$name")
-              Files.writeString(Paths.get(out, name, "_header.csv"),
-                df.columns.mkString(",") + "\n")
-            } else df.write.mode("overwrite").json(s"$out/$name")
-            println(s"[table] export $name rows=$rows format=$fmt")
-          } finally df.unpersist()
-        }
-        val triples = log.read("triples").getOrElse {
+        if (log.read("triples").isEmpty) {
           System.err.println(s"warehouse $wh has no committed 'triples' table")
           sys.exit(1)
         }
-        log.read("entities").foreach { e =>
-          write(e.select(
-            col("entity_uuid").as(hdr("entity_uuid", "uuid:ID")),
-            col("canonical_name").as("name"),
-            col("entity_type").as("entity_type"),
-            col("summary"),
-            arr(col("aliases")).as(hdr("aliases", "aliases:string[]")),
-            lit("Entity").as(hdr("label", ":LABEL"))), "nodes_entity")
-        }
-        log.read("topics").foreach { t =>
-          write(t.select(
-            col("topic_uuid").as(hdr("topic_uuid", "uuid:ID")),
-            col("canonical_label").as("name"), col("definition"),
-            lit("Topic").as(hdr("label", ":LABEL"))), "nodes_topic")
-        }
-        log.read("chunks").foreach { c =>
-          write(c.select(
-            col("chunk_uuid").as(hdr("chunk_uuid", "uuid:ID")),
-            col("chunk_id"), col("conv_id"), col("header_path"),
-            col("document_date"), col("text"),
-            lit("Chunk").as(hdr("label", ":LABEL"))), "nodes_chunk")
-        }
-        write(triples.select(
-          col("subject_uuid").as(hdr("subject_uuid", ":START_ID")),
-          col("object_uuid").as(hdr("object_uuid", ":END_ID")),
-          col("predicate").as(hdr("predicate", ":TYPE")),
-          col("fact_uuid"), col("fact"), col("date_context"),
-          arr(col("topics")).as(hdr("topics", "topics:string[]")),
-          col("chunk_uuid")), "rels_fact")
-        // provenance edges: entity -> chunk it was extracted from
-        val mentioned = triples.filter(col("chunk_uuid").isNotNull)
-          .select(col("subject_uuid").as("eid"), col("chunk_uuid"))
-          .union(triples.filter(col("chunk_uuid").isNotNull)
-            .select(col("object_uuid").as("eid"), col("chunk_uuid")))
-          .distinct()
-        write(mentioned.select(
-          col("eid").as(hdr("entity_uuid", ":START_ID")),
-          col("chunk_uuid").as(hdr("chunk_uuid", ":END_ID")),
-          lit("MENTIONED_IN").as(hdr("rel", ":TYPE"))),
-          "rels_mentioned_in")
+        exportGraph(log, out, csv = fmt == "csv")
+          .foreach { case (name, rows) =>
+            println(s"[table] export $name rows=$rows format=$fmt") }
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()
     }
     spark.stop()
+  }
+
+  /** Property-graph dump of the committed warehouse — the analogue of the
+    * reference's Neo4j materialization (pipeline.py:219-312 creates
+    * Entity/Topic/Document/Episodic nodes + fact edges in a live store; a
+    * Spark warehouse exports the same graph as bulk-import files).
+    *
+    * csv = neo4j-admin database import layout: headerless distributed part
+    * files + ONE `_header.csv` per directory carrying the
+    * :ID/:START_ID/:END_ID/:TYPE/:LABEL header (an inline header per part
+    * file would be ingested as data rows by every part after the first;
+    * `_`-prefixed files are also invisible to Spark readers, so the
+    * directory stays loadable). Import:
+    *   neo4j-admin database import full \
+    *     --nodes=nodes_entity/_header.csv,nodes_entity/part-.* ...
+    * jsonl = plain names, native arrays. Embedding vectors are intentionally
+    * not exported (vector indexes are rebuilt store-side, as the reference
+    * does at pipeline.py:152).
+    *
+    * @return (file set name, row count) per written output.
+    */
+  def exportGraph(log: SnapshotLog, out: String,
+      csv: Boolean): Seq[(String, Long)] = {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    def arr(c: Column) = if (csv) concat_ws(";", c) else c
+    def hdr(plain: String, neo: String) = if (csv) neo else plain
+    val written = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def write(df: DataFrame, name: String): Unit = {
+      // persist across the count + write pair: without it the frame (for
+      // rels_mentioned_in, a union+distinct shuffle of triples) runs twice
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rows = df.count()
+        if (csv) {
+          df.write.mode("overwrite").option("header", false)
+            .option("escape", "\"").csv(s"$out/$name")
+          Files.writeString(Paths.get(out, name, "_header.csv"),
+            df.columns.mkString(",") + "\n")
+        } else df.write.mode("overwrite").json(s"$out/$name")
+        written += name -> rows
+      } finally df.unpersist()
+    }
+    val triples = log.read("triples").getOrElse(
+      throw new IllegalArgumentException("no committed 'triples' table"))
+    log.read("entities").foreach { e =>
+      write(e.select(
+        col("entity_uuid").as(hdr("entity_uuid", "uuid:ID")),
+        col("canonical_name").as("name"),
+        col("entity_type").as("entity_type"),
+        col("summary"),
+        arr(col("aliases")).as(hdr("aliases", "aliases:string[]")),
+        lit("Entity").as(hdr("label", ":LABEL"))), "nodes_entity")
+    }
+    log.read("topics").foreach { t =>
+      write(t.select(
+        col("topic_uuid").as(hdr("topic_uuid", "uuid:ID")),
+        col("canonical_label").as("name"), col("definition"),
+        lit("Topic").as(hdr("label", ":LABEL"))), "nodes_topic")
+    }
+    log.read("chunks").foreach { c =>
+      write(c.select(
+        col("chunk_uuid").as(hdr("chunk_uuid", "uuid:ID")),
+        col("chunk_id"), col("conv_id"), col("header_path"),
+        col("document_date"), col("text"),
+        lit("Chunk").as(hdr("label", ":LABEL"))), "nodes_chunk")
+    }
+    write(triples.select(
+      col("subject_uuid").as(hdr("subject_uuid", ":START_ID")),
+      col("object_uuid").as(hdr("object_uuid", ":END_ID")),
+      col("predicate").as(hdr("predicate", ":TYPE")),
+      col("fact_uuid"), col("fact"), col("date_context"),
+      arr(col("topics")).as(hdr("topics", "topics:string[]")),
+      col("chunk_uuid")), "rels_fact")
+    // provenance edges: entity -> chunk it was extracted from
+    val mentioned = triples.filter(col("chunk_uuid").isNotNull)
+      .select(col("subject_uuid").as("eid"), col("chunk_uuid"))
+      .union(triples.filter(col("chunk_uuid").isNotNull)
+        .select(col("object_uuid").as("eid"), col("chunk_uuid")))
+      .distinct()
+    write(mentioned.select(
+      col("eid").as(hdr("entity_uuid", ":START_ID")),
+      col("chunk_uuid").as(hdr("chunk_uuid", ":END_ID")),
+      lit("MENTIONED_IN").as(hdr("rel", ":TYPE"))),
+      "rels_mentioned_in")
+    written.toSeq
   }
 }
