@@ -222,6 +222,41 @@ object GraphAlgos {
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Vertices of the k-core: the maximal subgraph in which every vertex
+    * has degree >= k (the standard graph-quality filter — noise entities
+    * and weakly-attested facts peel away first). Iterative peeling as
+    * DataFrame joins: drop all vertices below degree k, recompute degrees
+    * on the induced subgraph, repeat to fixpoint. O(peel-rounds) shuffles;
+    * the driver sees only per-round edge COUNTS (the CC precedent), never
+    * rows; per-round lineage truncation keeps plans flat.
+    *
+    * No driver-oracle row: the fixpoint's MAXIMALITY is not expressible as
+    * a bounded DuckDB recomputation (round count is data-dependent, and
+    * SQL recursion cannot aggregate per round); the k-core properties are
+    * instead asserted on hand graphs in GraphAlgosSpec.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var adj = Checkpoints.truncate(sym(edges))
+    var before = adj.count()
+    var it = 0
+    var converged = before == 0L
+    while (!converged && it < maxIter) {
+      val keep = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("id"))
+      val next = Checkpoints.truncate(
+        adj.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+      val after = next.count()
+      converged = after == before || after == 0L
+      before = after
+      adj = next
+      it += 1
+    }
+    adj.select(col("src").as("id")).distinct()
+  }
+
   /** One-row graph health report over the undirected graph: vertex/edge
     * counts, connected-component count + largest size, degree profile
     * (p50/p90 via percentile_approx — a report statistic, not an oracle

@@ -88,6 +88,23 @@ class GraphAlgosSpec extends SparkSpec {
     assert(tg === Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
 
+  test("kCore peels to the maximal min-degree-k subgraph") {
+    // g = path 0-1-2-3-4-10 + triangle 10-11-12: the 2-core is exactly the
+    // triangle (the path peels away end-first over several rounds — the
+    // fixpoint needs ITERATION, one pass only removes the current leaves)
+    val core2 = GraphAlgos.kCore(g, k = 2).as[Long].collect().toSet
+    assert(core2 === Set(10L, 11L, 12L))
+    // K4: 3-core = all of it; 4-core = empty
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(GraphAlgos.kCore(k4, 3).as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L))
+    assert(GraphAlgos.kCore(k4, 4).isEmpty)
+    // a pure path has no 2-core at all
+    assert(GraphAlgos.kCore(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), 2).isEmpty)
+    // k=1 = drop isolated only: everything with an edge survives
+    assert(GraphAlgos.kCore(g, 1).count() === 8L)
+  }
+
   test("graphStats: one-row report with hand-checked counts") {
     val r = GraphAlgos.graphStats(g).collect().head
     def l(c: String) = r.getLong(r.fieldIndex(c))
