@@ -901,6 +901,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      // multi-edge graph with REAL multiplicities: customer—supplier pairs,
+      // one edge per lineitem (id spaces disambiguated by a c/s prefix);
+      // weighted rank distributes proportionally to pair frequency
+      val e = read(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.query.GraphAlgos.pageRankWeighted(e, iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
+
     "graph_link_predict" -> ((s, dir) =>
       graft.query.GraphAlgos.linkPrediction(simEdges(s, dir))
         .select(col("a"), col("b"), col("common"),
@@ -1623,6 +1637,44 @@ object SparkEntry {
          |    FROM sym JOIN r2 r ON sym.s = r.id JOIN deg ON sym.s = deg.id
          |    GROUP BY sym.d) c ON t.id = c.id)
          |SELECT id AS vec_id, round(rank, 6) AS rank FROM r3 ORDER BY vec_id""".stripMargin,
+
+    // weighted unroll: contributions are rank * w / W(u) (all-DOUBLE after
+    // the division); symmetrized bipartite graph has no dangling vertices
+    "graph_pagerank_weighted" ->
+      """WITH pairs0 AS (
+        |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pairs AS (SELECT src, dst FROM pairs0
+        |          UNION ALL SELECT dst, src FROM pairs0),
+        |adj AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |        FROM pairs WHERE src <> dst GROUP BY src, dst),
+        |verts AS (SELECT src AS id FROM adj UNION SELECT dst FROM adj),
+        |outw AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS ow FROM adj GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM verts),
+        |r1 AS (SELECT verts.id,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / (SELECT n FROM nn))
+        |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
+        |  FROM verts LEFT JOIN (
+        |    SELECT adj.dst AS id, sum(r.rank * adj.w / outw.ow) AS cs
+        |    FROM adj JOIN r0 r ON adj.src = r.id JOIN outw ON adj.src = outw.id
+        |    GROUP BY adj.dst) c ON verts.id = c.id),
+        |r2 AS (SELECT verts.id,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / (SELECT n FROM nn))
+        |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
+        |  FROM verts LEFT JOIN (
+        |    SELECT adj.dst AS id, sum(r.rank * adj.w / outw.ow) AS cs
+        |    FROM adj JOIN r1 r ON adj.src = r.id JOIN outw ON adj.src = outw.id
+        |    GROUP BY adj.dst) c ON verts.id = c.id),
+        |r3 AS (SELECT verts.id,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / (SELECT n FROM nn))
+        |    + CAST(0.85 AS DOUBLE) * coalesce(c.cs, CAST(0 AS DOUBLE)) AS rank
+        |  FROM verts LEFT JOIN (
+        |    SELECT adj.dst AS id, sum(r.rank * adj.w / outw.ow) AS cs
+        |    FROM adj JOIN r2 r ON adj.src = r.id JOIN outw ON adj.src = outw.id
+        |    GROUP BY adj.dst) c ON verts.id = c.id)
+        |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
 
     // distance-2 pairs only (wedge through the shared neighbor), scores in
     // all-DOUBLE arithmetic; round(,6) absorbs sum-order ULP on the two

@@ -56,6 +56,36 @@ class GraphAlgosSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-12)
   }
 
+  test("pageRankWeighted: multiplicity bias, hand-unrolled, uniform ≡ unweighted") {
+    // 0-1 three parallel edges, 0-2 one: W(0)=4, W(1)=3, W(2)=1; one
+    // iteration from r0 = 1/3 each (no dangling on the symmetrized form):
+    // r(0) = .05 + .85*(1/3 + 1/3)      = .6166667
+    // r(1) = .05 + .85*(1/3 * 3/4)      = .2625
+    // r(2) = .05 + .85*(1/3 * 1/4)      = .1208333
+    val multi = edges(0L -> 1L, 0L -> 1L, 0L -> 1L, 0L -> 2L)
+    val r = GraphAlgos.pageRankWeighted(multi, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(0L) - (0.05 + 0.85 * 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(r(1L) - 0.2625) < 1e-12)
+    assert(math.abs(r(2L) - (0.05 + 0.85 / 12.0)) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    // directed with a weighted split AND dangling sinks: 1->2 w2, 1->3 w1;
+    // dangling D = 2/3 redistributes D/n = 2/9 to every vertex
+    val rd = GraphAlgos.pageRankWeighted(
+      edges(1L -> 2L, 1L -> 2L, 1L -> 3L), iters = 1, directed = true)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(rd(1L) - (0.05 + 0.85 * 2.0 / 9.0)) < 1e-12)
+    assert(math.abs(rd(2L) - (0.05 + 0.85 * (2.0 / 9.0 + 2.0 / 9.0))) < 1e-12)
+    assert(math.abs(rd(3L) - (0.05 + 0.85 * (1.0 / 9.0 + 2.0 / 9.0))) < 1e-12)
+    assert(math.abs(rd.values.sum - 1.0) < 1e-12)
+    // all-multiplicity-1 input degenerates to the unweighted algorithm
+    val w1 = GraphAlgos.pageRankWeighted(g, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val std = GraphAlgos.pageRank(g, iters = 4).as[(Long, Double)].collect().toMap
+    assert(w1.keySet === std.keySet)
+    w1.foreach { case (id, v) => assert(math.abs(v - std(id)) < 1e-12) }
+  }
+
   test("personalizedPageRank: seed-local mass, isolated-seed fixpoint, all-seeds ≡ standard") {
     // path graph: rank decays away from the seed end
     val path = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
