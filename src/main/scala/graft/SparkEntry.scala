@@ -915,6 +915,11 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "graph_label_prop" -> ((s, dir) =>
+      graft.query.GraphAlgos.labelPropagation(simEdges(s, dir), iters = 3)
+        .select(col("id").as("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
+
     "graph_link_predict" -> ((s, dir) =>
       graft.query.GraphAlgos.linkPrediction(simEdges(s, dir))
         .select(col("a"), col("b"), col("common"),
@@ -1675,6 +1680,32 @@ object SparkEntry {
         |    FROM adj JOIN r2 r ON adj.src = r.id JOIN outw ON adj.src = outw.id
         |    GROUP BY adj.dst) c ON verts.id = c.id)
         |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    // synchronous LPA unrolled 3 rounds: per round a neighbor-label
+    // histogram then the (count DESC, label ASC) top-1 — all-integer
+    // arithmetic, so the compare is exact with no rounding
+    "graph_label_prop" ->
+      s"""$simEdgesCte,
+         |l0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
+         |h1 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM sym JOIN l0 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |l1 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (
+         |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h1)
+         |       WHERE rn = 1),
+         |h2 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM sym JOIN l1 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |l2 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (
+         |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h2)
+         |       WHERE rn = 1),
+         |h3 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM sym JOIN l2 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |l3 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (
+         |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h3)
+         |       WHERE rn = 1)
+         |SELECT id AS vec_id, label FROM l3 ORDER BY vec_id""".stripMargin,
 
     // distance-2 pairs only (wedge through the shared neighbor), scores in
     // all-DOUBLE arithmetic; round(,6) absorbs sum-order ULP on the two

@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Checkpoints
@@ -229,6 +230,48 @@ object GraphAlgos {
       it += 1
     }
     ranks
+  }
+
+  /** Synchronous label-propagation community detection: (id, label) after
+    * `iters` rounds. Every vertex starts labeled with its own id; each round
+    * every vertex simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — fully deterministic, no
+    * RNG, no asynchronous update order (the classic LPA nondeterminism),
+    * so the result is layout-invariant and replayable by any engine.
+    *
+    * Densely connected vertex groups converge to a shared label (their
+    * minimum id) within a few rounds while bridges between communities stay
+    * outvoted — the cheap community-structure complement to
+    * [[graft.canon.ConnectedComponents]] (which merges ANY connectivity).
+    * Known synchronous-LPA caveat applies: perfectly bipartite regions can
+    * oscillate with period 2, which fixed `iters` keeps deterministic.
+    *
+    * Per round: one join of the adjacency against the current labels, one
+    * (vertex, label) count aggregation, one per-vertex top-1 window — all
+    * hash-partitioned on vertex id, no global sort; lineage truncated per
+    * round. Scale note: the histogram is bounded by the true degree sum
+    * (= 2|E| rows) regardless of label skew, so rounds cost O(|E|) shuffle
+    * each at any graph size.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val adj = Checkpoints.truncate(sym(edges))
+    var labels = Checkpoints.truncate(
+      adj.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    val top1 = Window.partitionBy(col("id"))
+      .orderBy(col("c").desc, col("label").asc)
+    var it = 0
+    while (it < iters) {
+      val hist = adj
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = hist.withColumn("rn", row_number().over(top1))
+        .filter(col("rn") === 1).select(col("id"), col("label"))
+      labels = Checkpoints.truncate(next)
+      it += 1
+    }
+    labels
   }
 
   /** Per-vertex triangle count: (id, triangles), vertices in no triangle

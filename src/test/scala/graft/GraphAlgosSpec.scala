@@ -107,6 +107,35 @@ class GraphAlgosSpec extends SparkSpec {
     assert(all === std)
   }
 
+  test("labelPropagation: communities converge to min id; bridge stays outvoted") {
+    // barbell: two K4s joined by ONE bridge edge 4-10 — each side must keep
+    // its own community label (the bridge vote is always outnumbered 3:1)
+    val k4a = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val k4b = k4a.map { case (a, b) => (a + 9L) -> (b + 9L) }
+    val barbell = edges(k4a ++ k4b :+ (4L -> 10L): _*)
+    val l = GraphAlgos.labelPropagation(barbell, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(l(_) === 1L), s"left K4 labels: $l")
+    assert((10L to 13L).forall(l(_) === 10L), s"right K4 labels: $l")
+    // disjoint triangles each converge to their own min id by round 2
+    val tri2 = edges(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L)
+    val lt = GraphAlgos.labelPropagation(tri2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(lt === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // synchronous-update semantics pinned: a single edge SWAPS labels each
+    // round (period-2 oscillation on bipartite regions is the documented
+    // sync-LPA behavior; fixed iters keeps it deterministic)
+    val one = edges(1L -> 2L)
+    val swap = GraphAlgos.labelPropagation(one, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(swap === Map(1L -> 2L, 2L -> 1L))
+    val back = GraphAlgos.labelPropagation(one, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(back === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("triangles: K4 has each vertex in 3 triangles; squares have none") {
     val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
     val t = GraphAlgos.triangles(k4).as[(Long, Long)].collect().toMap
