@@ -930,7 +930,44 @@ object SparkEntry {
     "graph_walks" -> ((s, dir) =>
       graft.query.GraphAlgos.deterministicWalks(simEdges(s, dir), length = 4)
         .select(col("walk_id"), col("walk_idx"), col("step"), col("vertex"))
-        .orderBy(col("walk_id"), col("step")))
+        .orderBy(col("walk_id"), col("step"))),
+
+    // ---- temporal joins (as-of / range — union-scan + bucketed, never a
+    //      per-key pair blowup; oracle = the naive predicate in DuckDB) ----
+
+    // for each click, the latest purchase of the same user within 3 days
+    "events_asof_join" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+      graft.ops.Temporal.asofJoin(clicks, purchases, "ts", "p_ts",
+          by = Seq("user_id"), tolerance = Some(259200L),
+          tieBreak = Some("p_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // activity inside ±10 min of every purchase (interval join, bucketed)
+    "events_range_join" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val points = ev.select(col("event_id"), col("ts"))
+      // NTZ → TIMESTAMP → DOUBLE epoch seconds; the session-TZ shift is the
+      // same one rangeJoin applies to the points side, so containment is
+      // timezone-invariant (and the oracle compares microsecond diffs)
+      val secs = col("ts").cast("timestamp").cast("double")
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"),
+          (secs - 600.0).as("w_start"), (secs + 600.0).as("w_end"))
+      graft.ops.Temporal.rangeJoin(points, "ts", windows, "w_start", "w_end",
+          bucketSecs = 600L)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("win_id"))
+    })
   )
 
   // =========================================================================
@@ -1751,6 +1788,30 @@ object SparkEntry {
          |SELECT walk_id, walk_idx, step, vertex FROM (
          |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
          |  SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
-         |ORDER BY walk_id, step""".stripMargin
+         |ORDER BY walk_id, step""".stripMargin,
+
+    // as-of backward with tolerance: the latest in-tolerance purchase IS the
+    // nearest previous one, so tolerance-in-join ≡ null-after-match; ties at
+    // the matched timestamp break on max p_event_id exactly like the engine
+    "events_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, p.p_event_id, p.p_ts, p.p_value,
+        |             row_number() OVER (PARTITION BY c.event_id
+        |                                ORDER BY p.p_ts DESC, p.p_event_id DESC) AS rn
+        |      FROM c JOIN p ON p.user_id = c.user_id AND p.p_ts <= c.ts
+        |                   AND date_diff('microsecond', p.p_ts, c.ts) <= 259200000000)
+        |SELECT c.event_id, c.user_id, c.ts, j.p_event_id, j.p_ts, j.p_value
+        |FROM c LEFT JOIN j ON j.event_id = c.event_id AND j.rn = 1
+        |ORDER BY c.event_id""".stripMargin,
+
+    "events_range_join" ->
+      """WITH p AS (SELECT event_id AS win_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.win_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(e.event_id) AS first_event, max(e.event_id) AS last_event
+        |FROM p JOIN events e
+        |  ON abs(date_diff('microsecond', p.ts, e.ts)) <= 600000000
+        |GROUP BY p.win_id ORDER BY p.win_id""".stripMargin
   )
 }
