@@ -932,6 +932,24 @@ object SparkEntry {
         .select(col("walk_id"), col("walk_idx"), col("step"), col("vertex"))
         .orderBy(col("walk_id"), col("step"))),
 
+    // strongly connected components over a deterministically ORIENTED
+    // similarity graph: md5 hex 1 picks the direction, hex 2 makes ~25% of
+    // pairs mutual — cycles arise from orientation, the oracle re-derives
+    // the identical digraph and labels SCCs by recursive mutual reachability
+    "graph_scc" -> ((s, dir) => {
+      val h = md5(concat_ws(":", col("src"), col("dst")))
+      val o = simEdges(s, dir).select(col("src"), col("dst"),
+        substring(h, 1, 1).as("h1"), substring(h, 2, 1).as("h2"))
+      val fwdDir = o.select(
+        when(col("h1") <= "7", col("src")).otherwise(col("dst")).as("src"),
+        when(col("h1") <= "7", col("dst")).otherwise(col("src")).as("dst"),
+        col("h2"))
+      val directed = fwdDir.select(col("src"), col("dst")).unionByName(
+        fwdDir.filter(col("h2") <= "3")
+          .select(col("dst").as("src"), col("src").as("dst")))
+      graft.query.GraphAlgos.stronglyConnected(directed).orderBy(col("id"))
+    }),
+
     // ---- temporal joins (as-of / range — union-scan + bucketed, never a
     //      per-key pair blowup; oracle = the naive predicate in DuckDB) ----
 
@@ -1789,6 +1807,24 @@ object SparkEntry {
          |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
          |  SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
          |ORDER BY walk_id, step""".stripMargin,
+
+    // same md5 orientation; SCC label = min mutually-reachable vertex via a
+    // recursive reachability closure (self rows seed it, so singletons and
+    // the component minimum both fall out of the mutual join)
+    "graph_scc" ->
+      s"""${simEdgesCte.replace("WITH v AS", "WITH RECURSIVE v AS")},
+         |h AS (SELECT s, d, md5(CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS hx FROM e),
+         |o AS (SELECT CASE WHEN substr(hx,1,1) <= '7' THEN s ELSE d END AS src,
+         |             CASE WHEN substr(hx,1,1) <= '7' THEN d ELSE s END AS dst,
+         |             substr(hx,2,1) AS h2 FROM h),
+         |dir AS (SELECT src, dst FROM o
+         |        UNION SELECT dst, src FROM o WHERE h2 <= '3'),
+         |vv AS (SELECT src AS id FROM dir UNION SELECT dst FROM dir),
+         |reach AS (SELECT id AS src, id AS dst FROM vv
+         |          UNION SELECT r.src, e2.dst FROM reach r JOIN dir e2 ON r.dst = e2.src)
+         |SELECT r1.src AS id, min(r1.dst) AS component
+         |FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+         |GROUP BY r1.src ORDER BY id""".stripMargin,
 
     // as-of backward with tolerance: the latest in-tolerance purchase IS the
     // nearest previous one, so tolerance-in-join ≡ null-after-match; ties at

@@ -349,6 +349,103 @@ object GraphAlgos {
     adj.select(col("src").as("id")).distinct()
   }
 
+  /** Strongly connected components of a DIRECTED graph: (id, component)
+    * where component = the smallest vertex id in the SCC (isolated and
+    * acyclic vertices are their own singleton components).
+    *
+    * Forward-backward min-label peeling (the distributed FW-BW/coloring
+    * family): each pass computes to fixpoint fwd(v) = min vertex with a
+    * directed path TO v and bwd(v) = min vertex reachable FROM v (both with
+    * pointer jumping — label(label(v)) is always a valid label because
+    * reachability composes). A vertex with fwd(v) == bwd(v) == m is mutually
+    * reachable with m, and every member of SCC(m) shares both labels, so the
+    * filter peels COMPLETE SCCs — at minimum the SCC of every locally
+    * minimal vertex — and the remainder recurses on the induced subgraph.
+    * Pass count is bounded by the longest chain of SCCs in the condensation
+    * DAG, not by the SCC count.
+    *
+    * Scale: each fixpoint round is one shuffle on the vertex id (identical
+    * shape to [[graft.canon.ConnectedComponents]]); the driver sees only
+    * per-round changed-counts and per-pass remaining-counts, never rows.
+    */
+  def stronglyConnected(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val dir0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var remaining = Checkpoints.truncate(
+      dir0.select(col("src").as("id"))
+        .union(dir0.select(col("dst").as("id"))).distinct())
+    var rem = Checkpoints.truncate(dir0)
+    var out: DataFrame = null
+    var pass = 0
+    var nRemaining = remaining.count()
+    while (nRemaining > 0 && pass < maxIter) {
+      val fwd = minReachLabel(rem, remaining, maxIter)
+      val bwd = minReachLabel(
+        rem.select(col("dst").as("src"), col("src").as("dst")), remaining, maxIter)
+      val scc = Checkpoints.truncate(
+        fwd.join(bwd.withColumnRenamed("label", "blabel"), "id")
+          .filter(col("label") === col("blabel"))
+          .select(col("id"), col("label").as("component")))
+      out = if (out == null) scc else out.unionByName(scc)
+      remaining = Checkpoints.truncate(remaining.join(scc, Seq("id"), "left_anti"))
+      rem = Checkpoints.truncate(
+        rem.join(scc.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(scc.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")))
+      nRemaining = remaining.count()
+      pass += 1
+    }
+    require(nRemaining == 0, s"SCC peeling did not converge in $maxIter passes")
+    out
+  }
+
+  /** Fixpoint min-label propagation along edge DIRECTION (src's label flows
+    * to dst), with pointer jumping; the CC loop's observed-changed-count
+    * pattern (one job per round). Returns (id, label) for every vertex.
+    */
+  private def minReachLabel(edges: DataFrame, vertices: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val idType = vertices.schema("id").dataType
+    var labels = Checkpoints.truncate(
+      vertices.select(col("id"), col("id").as("label")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds * 4) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("label"),
+          lit(null).cast(idType).as("old"))
+      val merged = labels
+        .select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+      val jump = merged.select(col("id").as("jid"), col("label").as("jlabel"))
+      val obs = org.apache.spark.sql.Observation(
+        s"scc_changed_${sccObsId.incrementAndGet()}")
+      val next = Checkpoints.truncate(
+        merged.join(jump, merged("label") === jump("jid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"),
+            col("old"))
+          .observe(obs, sum(when(col("label") =!= col("old"), 1L)
+            .otherwise(0L)).as("changed")))
+      changed = {
+        val row = try Some(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "s")))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+        row.collect { case r if !r.isNullAt(0) => r.getLong(0) }.getOrElse {
+          next.join(labels.withColumnRenamed("label", "old2"), "id")
+            .filter(col("label") =!= col("old2")).count()
+        }
+      }
+      labels = next.drop("old")
+      round += 1
+    }
+    labels
+  }
+
+  private val sccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One-row graph health report over the undirected graph: vertex/edge
     * counts, connected-component count + largest size, degree profile
     * (p50/p90 via percentile_approx — a report statistic, not an oracle

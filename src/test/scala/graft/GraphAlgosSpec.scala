@@ -235,4 +235,37 @@ class GraphAlgosSpec extends SparkSpec {
     }
     assert(diverged, "walks from the same seed never diverged")
   }
+
+  private def scc(es: (Long, Long)*): Map[Long, Long] =
+    GraphAlgos.stronglyConnected(es.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("stronglyConnected: two cycles joined by a one-way bridge stay separate") {
+    // cycle {0,1,2} → bridge 2→10 → cycle {10,11,12}
+    val got = scc(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 10L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L)
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("stronglyConnected: a DAG is all singletons") {
+    val got = scc(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("stronglyConnected: mutual pair + chained SCCs peel in order") {
+    // 5↔6 form one SCC; 6→1, cycle {1,2,3} below it; 3→9 dangling.
+    // The min-vertex SCC {1,2,3} peels first; {5,6} only satisfies
+    // fwd==bwd on a later pass — exercises the outer peeling loop.
+    val got = scc(5L -> 6L, 6L -> 5L, 6L -> 1L,
+      1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 9L)
+    assert(got === Map(5L -> 5L, 6L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      9L -> 9L))
+  }
+
+  test("stronglyConnected: one big cycle is one component labeled by its min") {
+    val n = 12L
+    val ring = (0L until n).map(i => i -> ((i + 1) % n))
+    assert(scc(ring: _*) === (0L until n).map(_ -> 0L).toMap)
+  }
 }
