@@ -932,6 +932,18 @@ object SparkEntry {
         .select(col("walk_id"), col("walk_idx"), col("step"), col("vertex"))
         .orderBy(col("walk_id"), col("step"))),
 
+    // one deterministic shortest path from vertex 0 to the farthest-id
+    // vertex it reaches within 8 hops (min-predecessor reconstruction —
+    // the oracle replays the identical vertex sequence)
+    "graph_shortest_path" -> ((s, dir) => {
+      import s.implicits._
+      val e = simEdges(s, dir)
+      val dists = graft.query.GraphAlgos.kHop(e, Seq(0L).toDF("id"), maxHops = 8)
+      val dstId = dists.agg(max(col("id"))).collect()(0).getLong(0)
+      graft.query.GraphAlgos.shortestPath(e, 0L, dstId, maxHops = 8)
+        .orderBy(col("step"))
+    }),
+
     // strongly connected components over a deterministically ORIENTED
     // similarity graph: md5 hex 1 picks the direction, hex 2 makes ~25% of
     // pairs mutual — cycles arise from orientation, the oracle re-derives
@@ -1807,6 +1819,28 @@ object SparkEntry {
          |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
          |  SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
          |ORDER BY walk_id, step""".stripMargin,
+
+    // bounded BFS levels → min-predecessor per level → walk back from the
+    // max reached vertex; the chain is functional so the recursive walk
+    // emits exactly one row per step
+    "graph_shortest_path" ->
+      s"""${simEdgesCte.replace("WITH v AS", "WITH RECURSIVE v AS")},
+         |walk(id, dist) AS (
+         |  SELECT CAST(0 AS BIGINT), 0
+         |  UNION
+         |  SELECT s.d, w.dist + 1 FROM walk w JOIN sym s ON w.id = s.s
+         |  WHERE w.dist < 8),
+         |mind AS (SELECT id, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY id),
+         |pred AS (SELECT m.id, min(s.s) AS p
+         |         FROM mind m JOIN sym s ON s.d = m.id
+         |                     JOIN mind q ON q.id = s.s AND q.dist = m.dist - 1
+         |         GROUP BY m.id),
+         |path(step, vertex) AS (
+         |  SELECT m.dist, m.id FROM mind m WHERE m.id = (SELECT max(id) FROM mind)
+         |  UNION ALL
+         |  SELECT p2.step - 1, pr.p FROM path p2 JOIN pred pr ON pr.id = p2.vertex
+         |  WHERE p2.step > 0)
+         |SELECT CAST(step AS INT) AS step, vertex FROM path ORDER BY step""".stripMargin,
 
     // same md5 orientation; SCC label = min mutually-reachable vertex via a
     // recursive reachability closure (self rows seed it, so singletons and

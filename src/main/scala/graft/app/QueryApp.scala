@@ -39,6 +39,7 @@ object QueryApp {
     System.err.println(
       "usage: QueryApp <warehouseDir> research|search|entity|neighbors|subgraph <text> " +
         "[--topk N] [--hint text] [--hops N] [--ontology topics.json] [--master local[N]]\n" +
+        "       QueryApp <warehouseDir> path <entityA> --to <entityB> [--hops N]\n" +
         "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] | stats [--master local[N]]")
     sys.exit(2)
   }
@@ -76,7 +77,7 @@ object QueryApp {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
     val unknown = opts.keys
-      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters", "--seed", "--hops"))
+      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters", "--seed", "--hops", "--to"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}"); sys.exit(2)
     }
@@ -220,6 +221,42 @@ object QueryApp {
           .orderBy(col("dist"), col("fact"))
         println(s"[query] ${ball.count()} entit(ies) within $hops hop(s)")
         show(facts, topK)
+
+      case "path" =>
+        // how two entities connect: one deterministic shortest path over the
+        // committed graph, each hop annotated with a fact that witnesses it
+        val toName = opts.getOrElse("--to", {
+          System.err.println("path requires --to <entity>"); sys.exit(2)
+        })
+        val hops = opts.get("--hops").map(_.toInt).getOrElse(6)
+        val ents = table("entities")
+        def resolve1(n: String): String = {
+          val r = GraphLookup.resolveEntity(ents, n).collect()
+          if (r.isEmpty) { System.err.println(s"no entity matching '$n'"); sys.exit(1) }
+          r(0).getString(0)
+        }
+        val (a, b) = (resolve1(text), resolve1(toName))
+        val triples = table("triples")
+        val edges = triples
+          .select(col("subject_uuid").as("src"), col("object_uuid").as("dst"))
+        val path = graft.query.GraphAlgos.shortestPath(edges, a, b, hops)
+        val named = path.join(
+          ents.select(col("entity_uuid").as("vertex"), col("canonical_name")),
+          Seq("vertex"), "left")
+        val prev = path.select((col("step") + 1).as("step"),
+          col("vertex").as("prev_vertex"))
+        val fact = triples.select(col("subject_uuid").as("fs"),
+          col("object_uuid").as("fo"), col("fact"))
+        val annotated = named.join(prev, Seq("step"), "left")
+          .join(fact,
+            (col("fs") === col("prev_vertex") && col("fo") === col("vertex")) ||
+              (col("fo") === col("prev_vertex") && col("fs") === col("vertex")),
+            "left")
+          .groupBy(col("step"), col("canonical_name"))
+          .agg(min(col("fact")).as("via_fact")) // deterministic witness pick
+          .orderBy(col("step"))
+        if (annotated.isEmpty) println(s"[path] no path within $hops hops")
+        else show(annotated, hops + 1)
 
       case "stats" =>
         // one-row graph health report over the committed triples graph

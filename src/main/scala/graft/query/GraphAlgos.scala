@@ -349,6 +349,62 @@ object GraphAlgos {
     adj.select(col("src").as("id")).distinct()
   }
 
+  /** One shortest path between two vertices on the undirected graph:
+    * (step, vertex) rows from step 0 = `srcId` to step d = `dstId`, empty
+    * when `dstId` is farther than `maxHops` (or unreachable).
+    *
+    * The path is DETERMINISTIC: among equal-length paths it follows, at
+    * every vertex, the minimum-id predecessor on the previous BFS level —
+    * so retries, layouts, and other engines (the DuckDB oracle) replay the
+    * identical vertex sequence.
+    *
+    * Cost: one bounded BFS ([[kHop]]), one join to build the predecessor
+    * table, then d ≤ maxHops single-row joins to walk back — the walk is
+    * O(path length), never a second traversal.
+    */
+  def shortestPath(edges: DataFrame, srcId: Any, dstId: Any,
+      maxHops: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    val idField = edges.schema("src")
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(srcId)), 1),
+      org.apache.spark.sql.types.StructType(Seq(idField.copy(name = "id"))))
+    val dists = Checkpoints.truncate(kHop(edges, seed, maxHops))
+    val dDst = dists.filter(col("id") === lit(dstId))
+      .select(col("dist")).collect().headOption.map(_.getInt(0))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType),
+        idField.copy(name = "vertex"))))
+    dDst match {
+      case None => empty
+      case Some(d) =>
+        // pred(v) = min neighbor one BFS level closer to the source
+        val und = sym(edges)
+        val lvl = dists.select(col("id").as("pid"), col("dist").as("pdist"))
+        val pred = Checkpoints.truncate(
+          und.join(dists, und("dst") === dists("id"))
+            .join(lvl, und("src") === lvl("pid") && lvl("pdist") === dists("dist") - 1)
+            .groupBy(dists("id")).agg(min(und("src")).as("pred")))
+        var cur = dists.filter(col("id") === lit(dstId))
+          .select(col("dist").as("step"), col("id").as("vertex"))
+        var path = cur
+        var i = 0
+        while (i < d) {
+          // per-iteration renames: cur derives from pred after round one,
+          // so a bare re-join would be an ambiguous self-join
+          val p = pred.select(col("id").as(s"__pid$i"), col("pred").as(s"__pv$i"))
+          cur = cur.join(p, col("vertex") === col(s"__pid$i"))
+            .select((col("step") - 1).as("step"), col(s"__pv$i").as("vertex"))
+          path = path.unionByName(cur)
+          i += 1
+        }
+        path
+    }
+  }
+
   /** Strongly connected components of a DIRECTED graph: (id, component)
     * where component = the smallest vertex id in the SCC (isolated and
     * acyclic vertices are their own singleton components).

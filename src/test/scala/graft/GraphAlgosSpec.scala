@@ -236,6 +236,25 @@ class GraphAlgosSpec extends SparkSpec {
     assert(diverged, "walks from the same seed never diverged")
   }
 
+  test("shortestPath walks one deterministic minimum path") {
+    // g: path 0-1-2-3-4, 4-10, triangle 10-11-12 → dist(0,12) = 6 via 10
+    val p = GraphAlgos.shortestPath(g, 0L, 12L, maxHops = 8)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(p === Seq(0 -> 0L, 1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 4L,
+      5 -> 10L, 6 -> 12L).map { case (s, v) => (s, v) })
+    // equal-length paths: diamond 0-1-3 / 0-2-3 → min predecessor (1) wins
+    val diamond = edges(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L)
+    val q = GraphAlgos.shortestPath(diamond, 0L, 3L)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(q === Seq(0 -> 0L, 1 -> 1L, 2 -> 3L))
+    // src == dst is the zero-length path
+    val z = GraphAlgos.shortestPath(g, 2L, 2L).as[(Int, Long)].collect()
+    assert(z === Seq(0 -> 2L))
+    // beyond maxHops or disconnected → empty
+    assert(GraphAlgos.shortestPath(g, 0L, 12L, maxHops = 3).isEmpty)
+    assert(GraphAlgos.shortestPath(edges(0L -> 1L, 5L -> 6L), 0L, 6L).isEmpty)
+  }
+
   private def scc(es: (Long, Long)*): Map[Long, Long] =
     GraphAlgos.stronglyConnected(es.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
