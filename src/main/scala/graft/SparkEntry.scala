@@ -962,6 +962,14 @@ object SparkEntry {
       graft.query.GraphAlgos.stronglyConnected(directed).orderBy(col("id"))
     }),
 
+    // CCNet-style line dedup: the driver corpus is single-line, so the row
+    // exercises the operator at token granularity (sep=" ") — tokens
+    // appearing in >= 400 of the 500 docs are corpus boilerplate and drop;
+    // documents rebuild from their surviving tokens in order
+    "text_line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(read(s, dir, "documents"), minDocs = 400, sep = " ")
+        .orderBy(col("doc_id"))),
+
     // ---- temporal joins (as-of / range — union-scan + bucketed, never a
     //      per-key pair blowup; oracle = the naive predicate in DuckDB) ----
 
@@ -1859,6 +1867,21 @@ object SparkEntry {
          |SELECT r1.src AS id, min(r1.dst) AS component
          |FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
          |GROUP BY r1.src ORDER BY id""".stripMargin,
+
+    "text_line_dedup" ->
+      """WITH l AS (SELECT doc_id, unnest(str_split(text, ' ')) AS line,
+        |                  unnest(generate_series(1, len(str_split(text, ' ')))) AS i
+        |           FROM documents),
+        |dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 400),
+        |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup)),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               string_agg(line, ' ' ORDER BY i) AS text_out
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_lines,
+        |       s.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+        |       coalesce(a.text_out, '') AS text_out
+        |FROM stats s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     // as-of backward with tolerance: the latest in-tolerance purchase IS the
     // nearest previous one, so tolerance-in-join ≡ null-after-match; ties at

@@ -348,4 +348,46 @@ object Dedup {
     docs.join(
       dedupClusters(docs, pairs, idCol).filter(col("keep")).select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** CCNet-style LINE-level dedup: drop every line that occurs in at least
+    * `minDocs` distinct documents (boilerplate headers, navigation chrome,
+    * license banners — the sub-document duplication doc-level dedup cannot
+    * see), and rebuild each document from its surviving lines in order.
+    *
+    * Returns (idCol, n_lines, n_dropped, text_out) for EVERY input document
+    * — a fully-boilerplate document survives with text_out = "".
+    *
+    * A line's duplication count is `count(DISTINCT doc)` — repeating a line
+    * WITHIN one document does not make it corpus-boilerplate.
+    *
+    * Scale: one shuffle groups lines by content for the frequency count, one
+    * anti-join removes flagged lines, one groupBy(doc) rebuilds. Line text
+    * itself is the shuffle key here for oracle-exactness; at PB scale key
+    * both sides by xxhash64(line) instead — the join halves its shuffled
+    * bytes and a 64-bit collision merely drops one innocent line.
+    *
+    * @param sep line separator, treated as a LITERAL string (default "\n").
+    */
+  def dedupLines(docs: DataFrame, minDocs: Int, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val pat = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), pat, -1)).as(Seq("pos", "line")))
+    val dup = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(dup, Seq("line"), "left_anti")
+    val stats = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as("text_out"))
+    stats.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_out"), lit("")).as("text_out"))
+  }
 }

@@ -268,6 +268,30 @@ class OpsSpec extends SparkSpec {
       s"payload column must be pruned from the scan: $readSchema")
     assert(meta.count() > 0)
   }
+
+  test("dedupLines drops cross-doc boilerplate, keeps within-doc repeats, rebuilds in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\nc"),   // a (3 docs) + b (2 docs) dropped -> "c"
+      (2L, "a\nx"),
+      (3L, "b\ny\na"),
+      (4L, "z\nz\nq"),   // z repeats within ONE doc only -> kept twice
+      (5L, "a\nb")        // all lines boilerplate -> empty text survives
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupLines(docs, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, 3L, 2L, "c"),
+      (2L, 2L, 1L, "x"),
+      (3L, 3L, 2L, "y"),
+      (4L, 3L, 0L, "z\nz\nq"),
+      (5L, 2L, 2L, "")))
+    // separator is literal, not regex: '.' must not mean "any char"
+    val dot = Seq((1L, "p.q"), (2L, "p.r")).toDF("doc_id", "text")
+    val byDot = graft.ops.Dedup.dedupLines(dot, minDocs = 2, sep = ".")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(byDot === Seq((1L, 2L, 1L, "q"), (2L, 2L, 1L, "r")))
+  }
 }
 
 /** Builds a minimal MP4 with VERSION-1 mvhd/tkhd boxes (64-bit times and
