@@ -962,6 +962,21 @@ object SparkEntry {
       graft.query.GraphAlgos.stronglyConnected(directed).orderBy(col("id"))
     }),
 
+    // count-min heavy hitters: a 4×256 sketch over l_partkey (≈2k distinct
+    // keys → real collisions, real over-counts), estimates joined to truth;
+    // md5 buckets make the ENTIRE sketch recomputable by the oracle
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      val items = read(s, dir, "lineitem").select(col("l_partkey"))
+      val sk = graft.ops.Sketch.countMin(items, "l_partkey", width = 256, depth = 4)
+      val est = graft.ops.Sketch.cmsEstimate(sk, items.distinct(), "l_partkey",
+        width = 256, depth = 4)
+      val truth = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_count"))
+      est.join(truth, Seq("l_partkey"))
+        .orderBy(col("cms_count").desc, col("l_partkey"))
+        .limit(20)
+        .select(col("l_partkey"), col("cms_count"), col("true_count"))
+    }),
+
     // CCNet-style line dedup: the driver corpus is single-line, so the row
     // exercises the operator at token granularity (sep=" ") — tokens
     // appearing in >= 400 of the 500 docs are corpus boilerplate and drop;
@@ -1867,6 +1882,27 @@ object SparkEntry {
          |SELECT r1.src AS id, min(r1.dst) AS component
          |FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
          |GROUP BY r1.src ORDER BY id""".stripMargin,
+
+    // the oracle rebuilds the identical 4×256 sketch from the same 16-bit
+    // md5 slices, then takes the same min-over-rows estimate
+    "sketch_heavy_hitters" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |b AS (SELECT l_partkey, r.i AS sketch_row,
+        |        (('0x' || substr(md5('cms' || CAST(r.i AS VARCHAR) || ':'
+        |            || CAST(l_partkey AS VARCHAR)), 1, 4))::INT) % 256 AS bucket
+        |      FROM lineitem, r),
+        |sk AS (SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM b GROUP BY sketch_row, bucket),
+        |probes AS (SELECT DISTINCT l_partkey, sketch_row, bucket FROM b),
+        |est AS (SELECT p.l_partkey,
+        |          min(coalesce(sk.cnt, CAST(0 AS BIGINT))) AS cms_count
+        |        FROM probes p LEFT JOIN sk USING (sketch_row, bucket)
+        |        GROUP BY p.l_partkey),
+        |tr AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_count
+        |       FROM lineitem GROUP BY l_partkey)
+        |SELECT e.l_partkey, e.cms_count, t.true_count
+        |FROM est e JOIN tr t USING (l_partkey)
+        |ORDER BY e.cms_count DESC, e.l_partkey LIMIT 20""".stripMargin,
 
     "text_line_dedup" ->
       """WITH l AS (SELECT doc_id, unnest(str_split(text, ' ')) AS line,
