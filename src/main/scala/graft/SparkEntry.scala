@@ -977,6 +977,14 @@ object SparkEntry {
         .select(col("l_partkey"), col("cms_count"), col("true_count"))
     }),
 
+    // HLL registers over order keys: the oracle rebuilds every register
+    // from the same md5 hex arithmetic — the sketch itself is the checked
+    // surface, the float estimate stays in SketchSpec
+    "sketch_hll_registers" -> ((s, dir) =>
+      graft.ops.Sketch.hllRegisters(
+          read(s, dir, "lineitem").select(col("l_orderkey")), "l_orderkey", p = 8)
+        .orderBy(col("register"))),
+
     // CCNet-style line dedup: the driver corpus is single-line, so the row
     // exercises the operator at token granularity (sep=" ") — tokens
     // appearing in >= 400 of the 500 docs are corpus boilerplate and drop;
@@ -1903,6 +1911,24 @@ object SparkEntry {
         |SELECT e.l_partkey, e.cms_count, t.true_count
         |FROM est e JOIN tr t USING (l_partkey)
         |ORDER BY e.cms_count DESC, e.l_partkey LIMIT 20""".stripMargin,
+
+    // register = first 2 md5 hex chars; rho = 1 + leading zero bits of the
+    // next 15 (zero-run length × 4 + a 16-way nibble table) — pure string
+    // arithmetic, identical in both engines
+    "sketch_hll_registers" ->
+      """WITH h AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem),
+        |x AS (SELECT ('0x' || substr(hx, 1, 2))::INT AS register,
+        |             substr(hx, 3, 15) AS tail FROM h),
+        |r AS (SELECT register,
+        |        CASE WHEN regexp_replace(tail, '^0*', '') = '' THEN 61
+        |             ELSE (length(tail) - length(regexp_replace(tail, '^0*', ''))) * 4
+        |                  + CASE substr(regexp_replace(tail, '^0*', ''), 1, 1)
+        |                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |                      WHEN '7' THEN 1 ELSE 0 END + 1
+        |        END AS rho FROM x)
+        |SELECT register, CAST(max(rho) AS INT) AS max_rho
+        |FROM r GROUP BY register ORDER BY register""".stripMargin,
 
     "text_line_dedup" ->
       """WITH l AS (SELECT doc_id, unnest(str_split(text, ' ')) AS line,

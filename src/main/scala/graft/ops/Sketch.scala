@@ -67,4 +67,65 @@ object Sketch {
       .join(sketch, Seq("sketch_row", "bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+
+  /** HyperLogLog registers over `items(keyCol)`: (register, max_rho) with
+    * at most 2^p rows. Like [[countMin]], the registers are held as plain
+    * rows and derived purely from md5 HEX-STRING arithmetic (register = the
+    * first p/4 hex chars; rho = 1 + leading zero BITS of the next 60, read
+    * off the zero-run length and a 16-way nibble table), so any engine
+    * recomputes the identical sketch and two sketches merge by max.
+    *
+    * Spark's own approx_count_distinct is the codegen'd default for a
+    * one-shot answer; THIS form is for sketches that must be persisted,
+    * merged across tables/engines, or audited by the oracle.
+    *
+    * @param p register-index bits; multiple of 4 (hex alignment), 4..12.
+    */
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12 && p % 4 == 0, s"p must be 4, 8, or 12, got $p")
+    val h = md5(col(keyCol).cast("string"))
+    val reg = conv(substring(h, 1, p / 4), 16, 10).cast("int")
+    val tail = substring(h, p / 4 + 1, 15) // 60 hash bits for the rho scan
+    val stripped = regexp_replace(tail, "^0*", "")
+    val zeros = length(tail) - length(stripped)
+    val firstNz = substring(stripped, 1, 1)
+    val extraBits = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(stripped === "", lit(61))
+      .otherwise(zeros * 4 + extraBits + 1)
+    items.select(reg.as("register"), rho.as("rho"))
+      .groupBy(col("register")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Merge HLL register sets built with the same p: registers take max. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("register")).agg(max(col("max_rho")).as("max_rho"))
+
+  /** Distinct-count estimate from [[hllRegisters]] output: the standard
+    * bias-corrected harmonic mean, with linear counting below 2.5m (the
+    * published small-range correction). One tiny aggregation; registers
+    * absent from the sketch count as zero-valued.
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 8): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val row = registers
+      .agg(sum(pow(lit(2.0), -col("max_rho"))).as("s"),
+        count(lit(1)).as("present"))
+      .collect()(0)
+    val present = row.getLong(1)
+    val s = (if (row.isNullAt(0)) 0.0 else row.getDouble(0)) + (m - present)
+    val raw = alpha * m * m / s
+    val zeroRegs = m - present
+    if (raw <= 2.5 * m && zeroRegs > 0) m * math.log(m.toDouble / zeroRegs)
+    else raw
+  }
 }

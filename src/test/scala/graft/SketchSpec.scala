@@ -53,4 +53,27 @@ class SketchSpec extends SparkSpec {
     val sk = Sketch.countMin(stream, "key", width = 8, depth = 3)
     assert(sk.count() <= 24)
   }
+
+  test("HLL estimate lands within 3 standard errors at several cardinalities") {
+    // std error = 1.04/sqrt(m); m=256 → 6.5%, 3σ ≈ 19.5%
+    for (n <- Seq(300L, 3000L, 30000L)) {
+      val keys = spark.range(n).select(($"id" * 31 + 7).as("key"))
+      val est = Sketch.hllEstimate(Sketch.hllRegisters(keys, "key", p = 8), p = 8)
+      assert(math.abs(est - n) / n < 0.195, s"n=$n est=$est")
+    }
+  }
+
+  test("HLL ignores duplicates and merges by register max") {
+    val once = spark.range(1000).toDF("key")
+    val thrice = once.union(once).union(once)
+    val a = Sketch.hllRegisters(once, "key").as[(Int, Int)].collect().toSet
+    val b = Sketch.hllRegisters(thrice, "key").as[(Int, Int)].collect().toSet
+    assert(a === b, "duplicate keys must not move any register")
+    val lo = spark.range(500).toDF("key")
+    val hi = spark.range(500, 1000).toDF("key")
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(lo, "key"), Sketch.hllRegisters(hi, "key"))
+      .as[(Int, Int)].collect().toSet
+    assert(merged === a, "merge(halves) must equal the whole sketch")
+  }
 }
