@@ -41,6 +41,12 @@ import org.apache.spark.sql.functions._
   * conversation windows). rangeJoin's hot spot is a bucket that many
   * intervals cover — widen `bucketWidth` toward the typical interval length
   * to cap replication, or add a high-cardinality `by` key.
+  *
+  * Measured (BASELINE.md round-5 "As-of join A/B", local[16]): balanced 2M
+  * rows / 20k keys — union-scan 0.58 s vs naive join+filter+window 5.93 s
+  * (10×); one hot key holding 1M rows — union-scan takes the FULL 4M corpus
+  * in 0.28 s while the naive plan needs 4.6 s for 1% of that input (100M
+  * pairs) and extrapolates quadratically (~10^12 pairs) at full size.
   */
 object Temporal {
 
