@@ -37,7 +37,7 @@ import graft.tables.SnapshotLog
 object QueryApp {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: QueryApp <warehouseDir> research|search|entity|neighbors|subgraph <text> " +
+      "usage: QueryApp <warehouseDir> research|search|entity|neighbors|subgraph|timeline <text> " +
         "[--topk N] [--hint text] [--hops N] [--ontology topics.json] [--master local[N]]\n" +
         "       QueryApp <warehouseDir> path <entityA> --to <entityB> [--hops N]\n" +
         "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] | stats [--master local[N]]")
@@ -257,6 +257,30 @@ object QueryApp {
           .orderBy(col("step"))
         if (annotated.isEmpty) println(s"[path] no path within $hops hops")
         else show(annotated, hops + 1)
+
+      case "timeline" =>
+        // an entity's facts in temporal order: date_context parsed with the
+        // chunker's lenient rules (ISO prefix / year-month / bare year),
+        // undated facts last — "what happened to X, in order"
+        val resolved = GraphLookup.resolveEntity(table("entities"), text).collect()
+        if (resolved.isEmpty) {
+          System.err.println(s"no entity matching '$text'"); sys.exit(1)
+        }
+        val uuid = resolved(0).getString(0)
+        // date_context is a phrase ("in 2020", "2021-03", "2022-05-01 at …")
+        // — take its first ISO-shaped token, then the chunker's lenient rules
+        val t = regexp_extract(col("date_context"),
+          "(\\d{4}-\\d{2}-\\d{2}|\\d{4}-\\d{2}|\\d{4})", 1)
+        val factDate = when(t.rlike("^\\d{4}-\\d{2}-\\d{2}$"), try_to_date(t))
+          .when(t.rlike("^\\d{4}-\\d{2}$"), try_to_date(concat(t, lit("-01"))))
+          .when(t.rlike("^\\d{4}$"), try_to_date(concat(t, lit("-01-01"))))
+        val timeline = table("triples")
+          .filter(col("subject_uuid") === uuid || col("object_uuid") === uuid)
+          .withColumn("fact_date", factDate)
+          .select(col("fact_date"), col("predicate"), col("fact"))
+          .distinct()
+          .orderBy(col("fact_date").asc_nulls_last, col("fact"))
+        show(timeline, topK)
 
       case "stats" =>
         // one-row graph health report over the committed triples graph
