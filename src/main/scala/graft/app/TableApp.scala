@@ -4,7 +4,8 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max}
 
 import graft.tables.SnapshotLog
 
@@ -39,7 +40,8 @@ object TableApp {
   private def usage(): Nothing = {
     System.err.println(
       "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]\n" +
-        "       TableApp <warehouseDir> export <outDir> [csv|jsonl] | walks <outDir> [length] [walksPerNode]")
+        "       TableApp <warehouseDir> export <outDir> [csv|jsonl] | walks <outDir> [length] [walksPerNode]\n" +
+        "       TableApp <warehouseDir> sketch <table> <column> [width] [depth] [p]")
     sys.exit(2)
   }
 
@@ -240,6 +242,71 @@ object TableApp {
         delta.unpersist()
         println(s"[table] $t: ann-refresh appended $nNew assignment row(s)" +
           s" (snapshot $snap)")
+
+      // sketch <table> <column> [width] [depth] [p]: build-or-refresh
+      // committed CMS + HLL sketches over a column. Appends since the last
+      // build fold in by MERGE (counters add, registers max) — O(delta),
+      // the standing table is never rescanned; a compaction or upsert since
+      // the last build forces a full rebuild (readSince declines the delta).
+      case "sketch" =>
+        if (args.length < 4) usage()
+        val t = args(2)
+        val colName = args(3)
+        val width = args.lift(4).map(_.toInt).getOrElse(1024)
+        val depth = args.lift(5).map(_.toInt).getOrElse(4)
+        val p = args.lift(6).map(_.toInt).getOrElse(8)
+        val src = log.read(t).getOrElse {
+          System.err.println(s"no committed table: $t"); sys.exit(2)
+        }
+        if (!src.columns.contains(colName)) {
+          System.err.println(s"table $t has no '$colName' column"); sys.exit(2)
+        }
+        val srcSnap = log.latestSnapshot(t).get
+        val cmsName = s"${t}_sketch_${colName}_cms"
+        val hllName = s"${t}_sketch_${colName}_hll"
+        val meta = Seq("source_snapshot", "width", "depth", "p")
+        val priorCms = log.read(cmsName)
+        val priorHll = log.read(hllName)
+        val priorSnap = priorCms.map(
+          _.agg(max(col("source_snapshot"))).collect()(0).getLong(0))
+        val sameParams = priorCms.forall(d => d.agg(max(col("width")),
+          max(col("depth"))).collect()(0) match {
+            case r => r.getInt(0) == width && r.getInt(1) == depth
+          }) && priorHll.forall(
+          _.agg(max(col("p"))).collect()(0).getInt(0) == p)
+        if (priorSnap.contains(srcSnap) && sameParams) {
+          println(s"[table] $t.$colName sketches already at snapshot $srcSnap")
+        } else {
+          val delta = priorSnap.filter(_ => sameParams)
+            .flatMap(ps => log.readSince(t, ps))
+          val keyed = delta.getOrElse(src).select(col(colName))
+          val (cms, hll, mode) = delta match {
+            case Some(_) =>
+              (graft.ops.Sketch.cmsMerge(
+                priorCms.get.drop(meta: _*),
+                graft.ops.Sketch.countMin(keyed, colName, width, depth)),
+                graft.ops.Sketch.hllMerge(
+                  priorHll.get.drop(meta: _*),
+                  graft.ops.Sketch.hllRegisters(keyed, colName, p)),
+                "incremental")
+            case None =>
+              (graft.ops.Sketch.countMin(keyed, colName, width, depth),
+                graft.ops.Sketch.hllRegisters(keyed, colName, p), "full")
+          }
+          val stamp = (d: DataFrame) => d
+            .withColumn("source_snapshot", lit(srcSnap))
+            .withColumn("width", lit(width)).withColumn("depth", lit(depth))
+            .withColumn("p", lit(p))
+          log.commit(cmsName, stamp(cms))
+          val hllStamped = stamp(hll).persist()
+          log.commit(hllName, hllStamped)
+          val estimate = graft.ops.Sketch.hllEstimate(
+            hllStamped.drop(meta: _*), p)
+          hllStamped.unpersist()
+          println(f"[table] $t.$colName sketches committed ($mode, source " +
+            f"snapshot $srcSnap): cms ${width}x$depth, hll p=$p " +
+            f"distinct≈${estimate}%.0f")
+        }
 
       case "walks" =>
         // DeepWalk/node2vec training corpus from the committed graph:

@@ -43,7 +43,8 @@ object Sketch {
       width: Int = 1024, depth: Int = 4): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2 && width <= 65536, s"width must be in [2,65536], got $width")
-    items.select(posexplode(array(
+    items.filter(col(keyCol).isNotNull) // null keys are uncountable, not a bucket
+      .select(posexplode(array(
         (0 until depth).map(i => cmsBucket(col(keyCol), i, width)): _*))
       .as(Seq("sketch_row", "bucket")))
       .groupBy(col("sketch_row"), col("bucket"))
@@ -95,7 +96,8 @@ object Sketch {
       .otherwise(0)
     val rho = when(stripped === "", lit(61))
       .otherwise(zeros * 4 + extraBits + 1)
-    items.select(reg.as("register"), rho.as("rho"))
+    items.filter(col(keyCol).isNotNull)
+      .select(reg.as("register"), rho.as("rho"))
       .groupBy(col("register")).agg(max(col("rho")).as("max_rho"))
   }
 

@@ -221,6 +221,21 @@ class SnapshotLog(spark: SparkSession, baseDir: String,
     entries(name).filter(_.committedAtMs.forall(_ <= ts.getTime))
       .lastOption.flatMap(e => readAt(name, e.id))
 
+  /** APPEND-ONLY DELTA READ: the rows added strictly after snapshot
+    * `afterId` — a union of just the delta segments that landed since, so an
+    * incremental consumer folding MERGEABLE state (sketches, counters,
+    * partial aggregates) pays O(delta), never O(table). None when the delta
+    * is not reconstructable from segments alone and the caller must fall
+    * back to a full read: a FULL snapshot landed since (compaction — segment
+    * rows ≠ added rows), an UPSERT delta landed since (an updated key would
+    * double-count as an addition), or nothing landed since.
+    */
+  def readSince(name: String, afterId: Long): Option[DataFrame] = {
+    val later = entries(name).filter(_.id > afterId)
+    if (later.isEmpty || later.exists(e => e.kind == "full" || e.upsert)) None
+    else resolveSegments(name, later)
+  }
+
   /** BLOOM-INDEXED POINT LOOKUP: the resolved table filtered to rows whose
     * `keys` tuple is one of `values`, scanning ONLY the live segments whose
     * key bloom (merge-key or aux) might contain one of the literal tuples.

@@ -63,6 +63,40 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("incremental sketch over readSince deltas equals a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-inc").toString
+    val log = new graft.tables.SnapshotLog(spark, dir)
+    val base = spark.range(3000).toDF("key")
+    log.commit("t", base, bloomKeys = Seq("key"))
+    val snap1 = log.latestSnapshot("t").get
+    val cms1 = Sketch.countMin(log.read("t").get, "key", width = 64, depth = 3)
+    val hll1 = Sketch.hllRegisters(log.read("t").get, "key")
+    // append: mergeAppend's anti-join lands only the 2000 NEW keys
+    // (3000..4999); bucket collisions across old/new keys still force the
+    // counter-ADD path in cmsMerge (64 buckets, 5000 keys)
+    val delta = spark.range(2000, 5000).toDF("key")
+    log.mergeAppend("t", delta, keys = Seq("key"))
+    val since = log.readSince("t", snap1).get
+    assert(since.count() === 2000)
+    val incCms = Sketch.cmsMerge(cms1,
+      Sketch.countMin(since, "key", width = 64, depth = 3))
+      .as[(Int, Int, Long)].collect().toSet
+    val fullCms = Sketch.countMin(log.read("t").get, "key", width = 64, depth = 3)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(incCms === fullCms)
+    val incHll = Sketch.hllMerge(hll1, Sketch.hllRegisters(since, "key"))
+      .as[(Int, Int)].collect().toSet
+    val fullHll = Sketch.hllRegisters(log.read("t").get, "key")
+      .as[(Int, Int)].collect().toSet
+    assert(incHll === fullHll)
+    // a compaction breaks delta reconstruction → readSince declines
+    val snap2 = log.latestSnapshot("t").get
+    log.commit("t", log.read("t").get)
+    assert(log.readSince("t", snap2).isEmpty)
+    // up-to-date is also a decline (nothing to fold)
+    assert(log.readSince("t", log.latestSnapshot("t").get).isEmpty)
+  }
+
   test("HLL ignores duplicates and merges by register max") {
     val once = spark.range(1000).toDF("key")
     val thrice = once.union(once).union(once)
