@@ -97,14 +97,6 @@ object Temporal {
     require(!by.contains(probeOn) && !by.contains(buildOn),
       "the as-of timestamp cannot also be a by key")
 
-    direction match {
-      case Nearest =>
-        val back = asofJoin(probe, build, probeOn, buildOn, by, Backward, tolerance, tieBreak)
-        val fwd = asofJoin(probe, build, probeOn, buildOn, by, Forward, tolerance, tieBreak)
-        return nearestOf(probe, back, fwd, probeOn, buildOn, build.columns.filterNot(by.contains))
-      case _ => ()
-    }
-
     val buildCols = build.columns.filterNot(by.contains)
     val tie = tieBreak.map(col).getOrElse(lit(0))
 
@@ -127,49 +119,46 @@ object Temporal {
     // Backward: scan time ascending; at equal ts the build row must be
     // visible to the probe row (inclusive match) => build sorts first
     // (side desc). Among equal-ts build rows, tie ASC puts the max-tie row
-    // last, and last(ignoreNulls) picks it. Forward mirrors the scan.
-    val ordering = direction match {
-      case Backward => Seq(col(TsCol).asc, col(SideCol).desc, col(TieCol).asc)
-      case _ => Seq(col(TsCol).desc, col(SideCol).desc, col(TieCol).asc)
+    // last, and last(ignoreNulls) picks it. Forward mirrors the scan. Both
+    // carries share ONE window partitioning, so Nearest costs the same
+    // single shuffle (one Exchange, two Sorts) as a directional join —
+    // never a second scan of either input or a probe-side self-join (the
+    // obvious back⋈fwd formulation multiplies duplicate probe rows and
+    // drops null-keyed ones).
+    def carry(dir: Direction): Column = {
+      val ordering = dir match {
+        case Backward => Seq(col(TsCol).asc, col(SideCol).desc, col(TieCol).asc)
+        case _ => Seq(col(TsCol).desc, col(SideCol).desc, col(TieCol).asc)
+      }
+      last(col(PayloadCol), ignoreNulls = true).over(
+        Window.partitionBy(by.map(col): _*).orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     }
-    val w = Window.partitionBy(by.map(col): _*).orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = probeSide.unionByName(buildSide)
-      .withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
-      .filter(col(SideCol) === 0)
-
-    val withinTol = tolerance match {
-      case Some(t) =>
-        val matchedTs = secondsOf(col(s"$PayloadCol.$buildOn"), build.schema(buildOn).dataType)
-        carried.withColumn(PayloadCol, when(abs(col(TsCol) - matchedTs) <= t, col(PayloadCol)))
-      case None => carried
+    def distOf(p: Column): Column =
+      abs(col(TsCol) - secondsOf(p.getField(buildOn), build.schema(buildOn).dataType))
+    // null beyond the tolerance bound (the probe row itself stays)
+    def tolGate(p: Column): Column = tolerance match {
+      case Some(t) => when(distOf(p) <= t, p)
+      case None => p
     }
-    withinTol.select(
+    val unioned = probeSide.unionByName(buildSide)
+    val carried = direction match {
+      case Nearest =>
+        val back = tolGate(carry(Backward))
+        val fwd = tolGate(carry(Forward))
+        // closer side wins; exact ties and an absent forward keep backward
+        unioned.withColumn(PayloadCol,
+          when(back.isNull, fwd)
+            .when(fwd.isNull, back)
+            .when(distOf(fwd) < distOf(back), fwd)
+            .otherwise(back))
+          .filter(col(SideCol) === 0)
+      case dir =>
+        unioned.withColumn(PayloadCol, tolGate(carry(dir)))
+          .filter(col(SideCol) === 0)
+    }
+    carried.select(
       probe.columns.map(c => col(s"$ProbeCol.$c").as(c)) ++
-        buildCols.map(c => col(s"$PayloadCol.$c").as(c)): _*)
-  }
-
-  /** Pick the closer of the backward/forward matches per probe row; exact
-    * ties keep the backward match. Both inputs carry identical probe columns
-    * in probe row order, so they re-join on the full probe struct.
-    */
-  private def nearestOf(probe: DataFrame, back: DataFrame, fwd: DataFrame,
-      probeOn: String, buildOn: String, buildCols: Seq[String]): DataFrame = {
-    val key = struct(probe.columns.map(col): _*)
-    def dist(df: DataFrame) =
-      abs(secondsOf(col(buildOn), df.schema(buildOn).dataType) -
-        secondsOf(col(probeOn), df.schema(probeOn).dataType))
-    val b = back.withColumn("__d_b", dist(back))
-      .select(key.as("__k"), struct(buildCols.map(col): _*).as("__pb"), col("__d_b"))
-    val f = fwd.withColumn("__d_f", dist(fwd))
-      .select(key.as("__k2"), struct(buildCols.map(col): _*).as("__pf"), col("__d_f"))
-    val joined = b.join(f, col("__k") === col("__k2"), "inner")
-    val pick = when(col("__d_f").isNotNull &&
-        (col("__d_b").isNull || col("__d_f") < col("__d_b")), col("__pf"))
-      .otherwise(col("__pb"))
-    joined.select(
-      probe.columns.map(c => col(s"__k.$c").as(c)) :+ pick.as(PayloadCol): _*)
-      .select(probe.columns.map(col) ++
         buildCols.map(c => col(s"$PayloadCol.$c").as(c)): _*)
   }
 

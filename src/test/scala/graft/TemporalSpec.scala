@@ -67,6 +67,36 @@ class TemporalSpec extends SparkSpec {
       (3L, Some(10L)))) // only forward exists
   }
 
+  test("asofJoin nearest: duplicate probe rows yield one row each, single shuffle, no join") {
+    val tr = Seq((1L, "u1", 12L), (1L, "u1", 12L), (2L, "u1", 30L))
+      .toDF("trade_id", "user", "tts")
+    val df = Temporal.asofJoin(tr, q, "tts", "qts", by = Seq("user"),
+      direction = Temporal.Nearest, tieBreak = Some("qtie"))
+    val out = df.select($"trade_id", $"qts").as[(Long, Option[Long])].collect()
+    // a back⋈fwd formulation would multiply the duplicated probe row (2×2=4)
+    assert(out.length === 3)
+    assert(out.sorted === Seq((1L, Some(10L)), (1L, Some(10L)), (2L, Some(20L))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // same shuffle count as a directional join on the same inputs (the
+    // fixture's own qtie window contributes one exchange to both plans)
+    val backPlan = Temporal.asofJoin(tr, q, "tts", "qts", by = Seq("user"),
+      tieBreak = Some("qtie")).queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan).size ===
+      "hashpartitioning".r.findAllIn(backPlan).size, plan)
+  }
+
+  test("asofJoin nearest respects the tolerance on both sides") {
+    val tr = Seq((1L, "u1", 3L), (2L, "u1", 12L)).toDF("trade_id", "user", "tts")
+    val out = Temporal.asofJoin(tr, q, "tts", "qts", by = Seq("user"),
+        direction = Temporal.Nearest, tolerance = Some(5L), tieBreak = Some("qtie"))
+      .select($"trade_id", $"qts").as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    // trade 1: no backward; forward at 10 is 7s away > 5 -> null.
+    // trade 2: backward 10 (2s) within 5; forward 20 (8s) gated out -> 10.
+    assert(out === Seq((1L, None), (2L, Some(10L))))
+  }
+
   test("asofJoin tolerance nulls matches farther than the bound") {
     val out = Temporal.asofJoin(trades, q, "tts", "qts", by = Seq("user"),
         tolerance = Some(10L), tieBreak = Some("qtie"))
