@@ -985,6 +985,18 @@ object SparkEntry {
           read(s, dir, "lineitem").select(col("l_orderkey")), "l_orderkey", p = 8)
         .orderBy(col("register"))),
 
+    // quantile sketch: md5-gated deterministic sample (rate 16384/65536 =
+    // 1/4) + exact rank-statistic extraction per language — the oracle
+    // replays the identical gate, ranks, and ⌊q·(n-1)⌋+1 picks
+    "sketch_quantiles" -> ((s, dir) => {
+      val sample = graft.ops.Sketch.quantileSample(
+        read(s, dir, "documents"), "doc_id", rate16 = 16384)
+      graft.ops.Sketch.sampleQuantiles(
+          sample.select(col("lang"), length(col("text")).cast("long").as("len")),
+          "len", Seq(0.1, 0.5, 0.9), by = Seq("lang"))
+        .orderBy(col("lang"), col("q"))
+    }),
+
     // CCNet-style line dedup: the driver corpus is single-line, so the row
     // exercises the operator at token granularity (sep=" ") — tokens
     // appearing in >= 400 of the 500 docs are corpus boilerplate and drop;
@@ -1929,6 +1941,22 @@ object SparkEntry {
         |        END AS rho FROM x)
         |SELECT register, CAST(max(rho) AS INT) AS max_rho
         |FROM r GROUP BY register ORDER BY register""".stripMargin,
+
+    // the same md5 sample gate, per-lang rank window, and lower empirical
+    // quantile rank ⌊q·(n-1)⌋+1 (q cast to DOUBLE — DuckDB decimal literals
+    // would otherwise round the product differently than Spark's doubles)
+    "sketch_quantiles" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents
+        |  WHERE ('0x' || substr(md5('graft-qtile' || CAST(doc_id AS VARCHAR)), 1, 4))::INT < 16384),
+        |r AS (SELECT lang, len,
+        |        row_number() OVER (PARTITION BY lang ORDER BY len) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM s)
+        |SELECT lang, q, len
+        |FROM r CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]::DOUBLE[]) AS q) qs
+        |WHERE rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
+        |ORDER BY lang, q""".stripMargin,
 
     "text_line_dedup" ->
       """WITH l AS (SELECT doc_id, unnest(str_split(text, ' ')) AS line,

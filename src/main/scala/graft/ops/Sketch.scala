@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable frequency sketches as plain DataFrames — the streaming-scale
@@ -129,5 +130,54 @@ object Sketch {
     val zeroRegs = m - present
     if (raw <= 2.5 * m && zeroRegs > 0) m * math.log(m.toDouble / zeroRegs)
     else raw
+  }
+
+  /** QUANTILE sketch as a deterministic Bernoulli row sample: keep the rows
+    * whose salted 16-bit md5 bucket of `keyCol` falls under `rate16` (out of
+    * 65536 — [[Sampling.hashBucket]]'s domain), all columns intact. The
+    * distribution member of the sketch family ([[countMin]] = frequency,
+    * [[hllRegisters]] = cardinality): you cannot sort 100 TB for a
+    * percentile, but ONE codegen'd scan predicate — no shuffle, no state —
+    * yields a sample whose rank statistics bound the true ones.
+    *
+    * Same determinism contract as the split/mixture gates: the sample is a
+    * pure function of the key bytes, so retries/layouts/engines reproduce it
+    * row-identically (the DuckDB oracle recomputes the same gate), and
+    * samples over DISJOINT row sets with the same (salt, rate16) merge by
+    * plain union into exactly the sample of the union — O(delta)
+    * refreshable like the other sketches.
+    *
+    * Accuracy (DKW): with s kept rows, every sample quantile's TRUE rank is
+    * within ε·n of its nominal rank with probability 1 - 2e^(-2sε²) — e.g.
+    * s = 2,500 keeps every quantile within ±3 rank-percentiles at ~10^-5
+    * failure odds, independent of n. Size `rate16` for the s you want.
+    */
+  def quantileSample(items: DataFrame, keyCol: String, rate16: Int,
+      salt: String = "graft-qtile"): DataFrame = {
+    require(rate16 >= 1 && rate16 <= Sampling.Buckets,
+      s"rate16 must be in [1, ${Sampling.Buckets}], got $rate16")
+    items.filter(Sampling.hashBucket(col(keyCol), salt) < rate16)
+  }
+
+  /** Exact rank-statistic quantiles over a [[quantileSample]]: for each q in
+    * `qs`, the (⌊q·(n-1)⌋+1)-th smallest `valueCol` per `by` group (n = the
+    * group's sample size) — the deterministic "lower" empirical quantile,
+    * identical in any engine (no interpolation, no floating aggregation).
+    *
+    * The per-group rank window runs each group on one task BY DESIGN: the
+    * sample rate bounds group sizes to sketch scale, so this is a window
+    * over the sketch, never over the corpus. Returns (by..., q, valueCol).
+    */
+  def sampleQuantiles(sample: DataFrame, valueCol: String, qs: Seq[Double],
+      by: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be fractions in [0,1], got $qs")
+    val grp = Window.partitionBy(by.map(col): _*)
+    sample
+      .withColumn("__rn", row_number().over(grp.orderBy(col(valueCol))))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("__rn") === floor(col("q") * (col("__n") - 1)) + 1)
+      .select(by.map(col) ++ Seq(col("q"), col(valueCol)): _*)
   }
 }

@@ -110,4 +110,49 @@ class SketchSpec extends SparkSpec {
       .as[(Int, Int)].collect().toSet
     assert(merged === a, "merge(halves) must equal the whole sketch")
   }
+
+  test("quantile sample: layout-invariant, disjoint halves merge by union") {
+    val docs = spark.range(2000).toDF("key")
+      .withColumn("v", (col("key") * 7919) % 1000)
+    val s1 = Sketch.quantileSample(docs, "key", rate16 = 8192)
+      .as[(Long, Long)].collect().toSet
+    val s2 = Sketch.quantileSample(docs.repartition(7), "key", rate16 = 8192)
+      .as[(Long, Long)].collect().toSet
+    assert(s1 === s2 && s1.nonEmpty)
+    // roughly the nominal 1/8 rate (hash uniformity, not a seed accident)
+    assert(s1.size > 150 && s1.size < 350, s"sample size ${s1.size}")
+    val merged = Sketch.quantileSample(docs.filter(col("key") < 1000), "key", 8192)
+      .unionByName(Sketch.quantileSample(docs.filter(col("key") >= 1000), "key", 8192))
+      .as[(Long, Long)].collect().toSet
+    assert(merged === s1, "sample of disjoint halves must union to the whole")
+  }
+
+  test("sampleQuantiles at full rate are exact rank statistics") {
+    val docs = spark.range(101).toDF("key").withColumn("v", col("key"))
+    val qs = Sketch.sampleQuantiles(
+        Sketch.quantileSample(docs, "key", rate16 = 65536),
+        "v", Seq(0.0, 0.5, 1.0))
+      .select(col("q"), col("v")).as[(Double, Long)].collect().sortBy(_._1)
+    // n=101: ranks 1, ⌊.5·100⌋+1 = 51, 101 → values 0, 50, 100
+    assert(qs === Seq((0.0, 0L), (0.5, 50L), (1.0, 100L)))
+  }
+
+  test("grouped quantiles rank within each stratum; sampled median near truth") {
+    val docs = spark.range(20).toDF("key")
+      .withColumn("g", when(col("key") < 10, "a").otherwise("b"))
+      .withColumn("v", when(col("key") < 10, col("key")).otherwise(col("key") * 10))
+    val out = Sketch.sampleQuantiles(
+        Sketch.quantileSample(docs, "key", rate16 = 65536),
+        "v", Seq(0.5), by = Seq("g"))
+      .select(col("g"), col("v")).as[(String, Long)].collect().toSet
+    // a: values 0..9 → rank ⌊.5·9⌋+1 = 5 → 4; b: 100..190 step 10 → 140
+    assert(out === Set(("a", 4L), ("b", 140L)))
+    // DKW sanity at 1/8 rate over 20k uniform values: the sampled median's
+    // value error is its rank error; ε = .05 fails with odds ~2e-13
+    val big = spark.range(20000).toDF("key").withColumn("v", col("key"))
+    val med = Sketch.sampleQuantiles(
+        Sketch.quantileSample(big, "key", rate16 = 8192), "v", Seq(0.5))
+      .select(col("v")).as[Long].collect().head
+    assert(math.abs(med - 10000L) < 1000, s"sampled median $med")
+  }
 }
