@@ -1005,6 +1005,46 @@ object SparkEntry {
       Dedup.dedupLines(read(s, dir, "documents"), minDocs = 400, sep = " ")
         .orderBy(col("doc_id"))),
 
+    // ExactSubstr-class duplicated-substring spans (Lee et al. 2022): maximal
+    // character ranges whose every 25-char window repeats somewhere in the
+    // corpus — the sub-line verbatim-passage class neither document- nor
+    // line-level dedup can see. Oracle replays the whole formulation
+    // (stride-1 md5 windows -> frequency -> gaps-and-islands merge).
+    "text_substring_dedup" -> ((s, dir) =>
+      Dedup.duplicateSpans(read(s, dir, "documents"), window = 25)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // Winnowing fingerprints (Schleimer et al. SIGMOD'03), the alignment-
+    // invariant scale path for substring dedup: every w-window of k-gram
+    // hashes selects its minimum. Oracle replays the selection exactly via
+    // the same portable "hash#paddedPos" string-min window.
+    "text_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprints(
+          read(s, dir, "documents").filter(col("doc_id") < 200), k = 8, w = 16)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // EXACT empty-relation check of the winnowing guarantee ON the real
+    // corpus: every duplicated span of length >= w + k - 1 = 23 (from the
+    // independent exact stride-1 formulation) must contain at least one
+    // selected fingerprint whose k-gram lies fully inside it. A span with no
+    // in-span fingerprint lands a row. Expected empty by the SIGMOD'03
+    // theorem — any break in the window frame, the completeness filter, or
+    // the position arithmetic of either operator surfaces here.
+    "text_winnow_guarantee_check" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 200)
+      val k = 8; val w = 16
+      val spans = Dedup.duplicateSpans(docs, window = w + k - 1)
+      val fps = Dedup.winnowFingerprints(docs, k = k, w = w)
+        .withColumnRenamed("doc_id", "fp_doc")
+      spans.join(fps,
+          col("doc_id") === col("fp_doc") &&
+            col("pos") >= col("span_start") &&
+            col("pos") <= col("span_end") - (k - 1),
+          "left_anti")
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ---- temporal joins (as-of / range — union-scan + bucketed, never a
     //      per-key pair blowup; oracle = the naive predicate in DuckDB) ----
 
@@ -1972,6 +2012,50 @@ object SparkEntry {
         |       s.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
         |       coalesce(a.text_out, '') AS text_out
         |FROM stats s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+
+    // full replay of the ExactSubstr formulation: stride-1 md5 windows ->
+    // global frequency >= 2 -> per-doc gaps-and-islands merge (gap > window
+    // breaks; span end = last start + window - 1)
+    "text_substring_dedup" ->
+      """WITH k AS (SELECT doc_id, unnest(generate_series(1, len(text) - 25 + 1)) AS pos, text
+        |           FROM documents WHERE len(text) >= 25),
+        |h AS (SELECT doc_id, pos, md5(substr(text, pos, 25)) AS h FROM k),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM h WHERE h IN (SELECT h FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 25
+        |               THEN 1 ELSE 0 END AS brk
+        |        FROM m),
+        |g AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM isl)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 24 AS span_end,
+        |       max(pos) + 24 - min(pos) + 1 AS span_len
+        |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // winnowing selection replayed exactly: per-position k-gram hash encoded
+    // as 'hash#paddedPos', min over each complete window of 16 starts (short
+    // docs keep their single incomplete window), distinct selected anchors
+    "text_winnow_fingerprints" ->
+      """WITH kg AS (SELECT doc_id, unnest(generate_series(1, len(text) - 8 + 1)) AS pos,
+        |                   text, len(text) AS n
+        |            FROM documents WHERE len(text) >= 8 AND doc_id < 200),
+        |hh AS (SELECT doc_id, pos, n,
+        |         md5(substr(text, pos, 8)) || '#' || lpad(CAST(pos AS VARCHAR), 10, '0') AS key
+        |       FROM kg),
+        |wm AS (SELECT doc_id, pos, n,
+        |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+        |       FROM hh)
+        |SELECT DISTINCT doc_id, CAST(substr(wmin, 34, 10) AS BIGINT) AS pos,
+        |       substr(wmin, 1, 32) AS h
+        |FROM wm WHERE pos <= greatest(n - 7 - 15, 1)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "text_winnow_guarantee_check" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS span_start,
+        |  CAST(NULL AS BIGINT) AS span_end
+        |WHERE 1 = 0""".stripMargin,
 
     // as-of backward with tolerance: the latest in-tolerance purchase IS the
     // nearest previous one, so tolerance-in-join ≡ null-after-match; ties at

@@ -390,4 +390,115 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("text_out"), lit("")).as("text_out"))
   }
+
+  // ---------- substring-level dedup (ExactSubstr class) ----------
+
+  /** Exact duplicated-substring spans (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr class, below
+    * the line/document granularity the other operators cover): maximal
+    * character ranges whose every length-`window` substring occurs at
+    * `minOccurrences`+ positions corpus-wide. Reference behavior analogue:
+    * the training pipelines this engine feeds must strip verbatim repeated
+    * passages (license blocks, quoted chain letters) that document- and
+    * line-level dedup both miss.
+    *
+    * Formulation: one row per character position (stride-1 length-`window`
+    * md5 fingerprint), frequency count by fingerprint, semi-join back, then
+    * per-document gaps-and-islands merge (two duplicated windows coalesce
+    * when their character ranges overlap or touch, i.e. start gap <=
+    * `window`). Returns (idCol, span_start, span_end, span_len), 1-based
+    * inclusive character positions.
+    *
+    * Scale: stride-1 emission is O(corpus chars) rows of (id, pos, 16-byte
+    * hash) — the honest cost of exact substring semantics (the suffix-array
+    * construction the paper uses reads every byte too). The frequency
+    * aggregation map-side-combines on the hash; the islands window partitions
+    * by document, never globally. At PB scale run [[winnowFingerprints]]
+    * first and feed only fingerprint-sharing documents through this exact
+    * pass — the winnowing guarantee (see there) makes that filter lossless
+    * for spans of length >= w + k - 1.
+    */
+  def duplicateSpans(docs: DataFrame, window: Int, minOccurrences: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    val wins = docs
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - window + 1)).as("pos"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(col(textCol).substr(col("pos"), lit(window))).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("h"))
+    val marked = wins.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > window, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + window - 1).as("span_end"))
+    spans.select(col(idCol), col("span_start"), col("span_end"),
+      (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
+    * MOSS local fingerprinting algorithm): hash every character k-gram, then
+    * in each window of `w` consecutive k-gram hashes select the minimum.
+    * This is the alignment-invariant SCALE path for substring dedup: anchor
+    * positions are content-defined, so the two occurrences of a duplicated
+    * passage select the same anchors no matter where they sit in their
+    * documents (a stride-s grid cannot do this — the occurrences' grids
+    * differ by an arbitrary phase).
+    *
+    * GUARANTEE (the paper's correctness property): every duplicated
+    * substring of length >= w + k - 1 contains w consecutive k-grams, any
+    * complete window's minimum is selected, and the selection depends only
+    * on content — so both occurrences select a shared in-span fingerprint.
+    * Expected density 2/(w+1); candidate generation for [[duplicateSpans]]
+    * at PB scale equi-joins these fingerprints instead of every position.
+    *
+    * Determinism: the window minimum is taken over the string
+    * `hash + "#" + zero-padded pos`, so a (vanishingly unlikely) md5 tie
+    * breaks to the lowest position — one portable total order shared with
+    * the DuckDB oracle. Documents shorter than w + k - 1 (but >= k) select
+    * the minimum of their single incomplete window so every hashable
+    * document carries at least one fingerprint.
+    *
+    * Returns distinct (idCol, pos, h): 1-based k-gram start + its md5.
+    *
+    * Scale: the k-gram scan is O(corpus chars) narrow rows; the per-document
+    * window min never shuffles globally; the final distinct is over the
+    * ~2n/(w+1) selected anchors only, because selection collapses each
+    * window to one candidate BEFORE the shuffle.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val kgrams = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - k + 1)).as("pos"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        length(col(textCol)).cast("long").as("n"),
+        md5(col(textCol).substr(col("pos"), lit(k))).as("h"))
+      .withColumn("key", concat(col("h"), lit("#"), lpad(col("pos").cast("string"), 10, "0")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    kgrams
+      .withColumn("wmin", min(col("key")).over(byDoc.rowsBetween(0, w - 1)))
+      // complete windows only (plus the single incomplete window of a short
+      // doc): starts past n_kgrams - w + 1 are suffixes of the last complete
+      // window and would re-select its tail minima with no new coverage
+      .filter(col("pos") <= greatest(col("n") - (k - 1) - (w - 1), lit(1L)))
+      .select(col(idCol),
+        substring(col("wmin"), 1, 32).as("h"),
+        expr("cast(substring(wmin, 34, 10) as long)").as("pos"))
+      .distinct()
+      .select(col(idCol), col("pos"), col("h"))
+  }
 }

@@ -292,6 +292,81 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().sortBy(_._1)
     assert(byDot === Seq((1L, 2L, 1L, "q"), (2L, 2L, 1L, "r")))
   }
+
+  test("duplicateSpans merges overlapping duplicated windows into one maximal span") {
+    import spark.implicits._
+    // "SHAREDPASSAGEBLOCK" (18 chars) planted in two docs at different
+    // offsets; surroundings unique. window=6 -> all 13 windows inside the
+    // passage are duplicated and must merge into exactly one span per doc.
+    val d = Seq(
+      (1L, "qwzuiSHAREDPASSAGEBLOCKmnbvc"),
+      (2L, "03k7fgtplSHAREDPASSAGEBLOCKxe19"),
+      (3L, "entirely unrelated filler material")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, window = 6)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Seq((1L, 6L, 23L, 18L), (2L, 10L, 27L, 18L)))
+  }
+
+  test("duplicateSpans: within-doc repeat counts; unique corpus yields nothing") {
+    import spark.implicits._
+    val rep = Seq((1L, "ABCDEFGH....ABCDEFGH")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(rep, window = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(spans === Seq((1L, 1L, 8L, 8L), (1L, 13L, 20L, 8L)))
+    val uniq = Seq((1L, "abcdefghij"), (2L, "0123456789")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(uniq, window = 5).count() === 0L)
+  }
+
+  test("winnowFingerprints: every fingerprint is a real k-gram at its position") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "jumps over the lazy dog near the riverbank under a red sky")
+    ).toDF("doc_id", "text")
+    val bad = Dedup.winnowFingerprints(d, k = 5, w = 4)
+      .join(d, "doc_id")
+      .filter(md5(col("text").substr(col("pos").cast("int"), lit(5))) =!= col("h"))
+    assert(bad.count() === 0L)
+  }
+
+  test("winnowFingerprints guarantee: a duplicate of length w+k-1 shares a fingerprint") {
+    import spark.implicits._
+    val k = 5; val w = 8
+    // planted passage of exactly w+k-1 = 12 chars at different offsets
+    val pass = "XQPZLMVKWYTR"
+    val d = Seq(
+      (1L, s"aaabbbccc${pass}dddeeefff"),
+      (2L, s"z9${pass}y8x7w6v5u4t3s2r1q0")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, k = k, w = w)
+      .join(d, "doc_id")
+      // keep only fingerprints whose k-gram lies fully inside the passage
+      .withColumn("off", expr("locate('" + pass + "', text)"))
+      .filter(col("pos") >= col("off") &&
+        col("pos") <= col("off") + pass.length - k)
+      .select(col("doc_id"), col("h"))
+    val shared = fps.filter(col("doc_id") === 1L).select("h")
+      .intersect(fps.filter(col("doc_id") === 2L).select("h"))
+    assert(shared.count() >= 1L)
+  }
+
+  test("winnowFingerprints: layout-invariant, ~2/(w+1) density, short docs covered") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, s"doc$i " + ((i * 31 + 7) to (i * 31 + 200)).map(j => (j % 89 + 33).toChar).mkString))
+    val d = base.toDF("doc_id", "text")
+    val a = Dedup.winnowFingerprints(d, k = 6, w = 9)
+      .as[(Long, Long, String)].collect().toSet
+    val b = Dedup.winnowFingerprints(d.repartition(7), k = 6, w = 9)
+      .as[(Long, Long, String)].collect().toSet
+    assert(a === b)
+    val nKgrams = base.map(_._2.length - 6 + 1).sum
+    assert(a.size > nKgrams / 10 && a.size < nKgrams / 2) // 2/(w+1) = 0.2 +- slack
+    // a doc shorter than w+k-1 still selects exactly its single-window min
+    val short = Seq((9L, "tinydoc")).toDF("doc_id", "text") // 7 chars, k=6 -> 2 kgrams < w
+    assert(Dedup.winnowFingerprints(short, k = 6, w = 9).count() === 1L)
+  }
 }
 
 /** Builds a minimal MP4 with VERSION-1 mvhd/tkhd boxes (64-bit times and
