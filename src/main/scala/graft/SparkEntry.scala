@@ -1014,6 +1014,14 @@ object SparkEntry {
       Dedup.duplicateSpans(read(s, dir, "documents"), window = 25)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // the ExactSubstr REMOVAL step: every document rebuilt with its
+    // duplicated spans cut out (span-free docs verbatim, fully-duplicated
+    // docs survive empty). Oracle rebuilds per-character (naive is fine
+    // oracle-side); the engine folds the few spans per doc instead.
+    "text_substring_drop" -> ((s, dir) =>
+      Dedup.dropDuplicateSpans(read(s, dir, "documents"), window = 25)
+        .orderBy(col("doc_id"))),
+
     // Winnowing fingerprints (Schleimer et al. SIGMOD'03), the alignment-
     // invariant scale path for substring dedup: every w-window of k-gram
     // hashes selects its minimum. Oracle replays the selection exactly via
@@ -2032,6 +2040,40 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 24 AS span_end,
         |       max(pos) + 24 - min(pos) + 1 AS span_len
         |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // removal replay: same span derivation, then a per-character kept-position
+    // rebuild (the oracle may be naive; the engine folds spans per doc)
+    "text_substring_drop" ->
+      """WITH k AS (SELECT doc_id, unnest(generate_series(1, len(text) - 25 + 1)) AS pos, text
+        |           FROM documents WHERE len(text) >= 25),
+        |h AS (SELECT doc_id, pos, md5(substr(text, pos, 25)) AS h FROM k),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM h WHERE h IN (SELECT h FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 25
+        |               THEN 1 ELSE 0 END AS brk
+        |        FROM m),
+        |g AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 24 AS e
+        |          FROM g GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(e - s + 1) AS BIGINT) AS chars_dropped
+        |        FROM spans GROUP BY doc_id),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(text))) AS p, text
+        |        FROM documents),
+        |kept AS (SELECT pos.doc_id, p, substr(text, p, 1) AS ch
+        |         FROM pos LEFT JOIN spans sp
+        |           ON pos.doc_id = sp.doc_id AND p >= sp.s AND p <= sp.e
+        |         WHERE sp.doc_id IS NULL),
+        |outp AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS text_out
+        |         FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |       coalesce(a.chars_dropped, CAST(0 AS BIGINT)) AS chars_dropped,
+        |       coalesce(o.text_out, '') AS text_out
+        |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN outp o USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // winnowing selection replayed exactly: per-position k-gram hash encoded
     // as 'hash#paddedPos', min over each complete window of 16 starts (short

@@ -446,6 +446,49 @@ object Dedup {
       (col("span_end") - col("span_start") + 1).as("span_len"))
   }
 
+  /** The removal step of ExactSubstr dedup: rebuild every document with its
+    * duplicated spans (from [[duplicateSpans]]) cut out. Policy: ALL
+    * occurrences drop — boilerplate-removal semantics, the same rule
+    * [[dedupLines]] applies at line granularity (keep-one-occurrence needs a
+    * global canonical pick across documents; layer it on the span report if
+    * a pipeline wants it).
+    *
+    * Returns (idCol, n_spans, chars_dropped, text_out) for EVERY input
+    * document — span-free documents pass through verbatim, fully-duplicated
+    * ones survive with text_out = "".
+    *
+    * Scale: spans per document are few and disjoint (islands merge), so the
+    * rebuild is one collect_list + a fold over the span array per document —
+    * no per-character explosion on the engine side (the oracle may be as
+    * naive as it likes).
+    */
+  def dropDuplicateSpans(docs: DataFrame, window: Int, minOccurrences: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, window, minOccurrences, idCol, textCol)
+    val perDoc = spans.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("span_len")).as("chars_dropped"),
+      array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("spans"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
+        when(col("spans").isNull, col(textCol)).otherwise(
+          // fold spans left-to-right carrying (rebuilt text, cursor): emit
+          // the gap before each span, skip the span, then emit the tail
+          aggregate(col("spans"),
+            struct(lit("").as("t"), lit(1L).as("cur")),
+            (acc, s) => struct(
+              concat(acc.getField("t"),
+                col(textCol).substr(acc.getField("cur").cast("int"),
+                  (s.getField("span_start") - acc.getField("cur")).cast("int"))).as("t"),
+              (s.getField("span_end") + 1).as("cur")),
+            acc => concat(acc.getField("t"),
+              col(textCol).substr(acc.getField("cur").cast("int"),
+                (length(col(textCol)) - acc.getField("cur") + 1).cast("int"))))
+        ).as("text_out"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
     * MOSS local fingerprinting algorithm): hash every character k-gram, then
     * in each window of `w` consecutive k-gram hashes select the minimum.

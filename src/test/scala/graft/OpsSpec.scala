@@ -318,6 +318,32 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.duplicateSpans(uniq, window = 5).count() === 0L)
   }
 
+  test("dropDuplicateSpans rebuilds docs with spans cut; pass-through and full-cover edges") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "qwzuiSHAREDPASSAGEBLOCKmnbvc"),     // span 6..23 cut -> "qwzui" + "mnbvc"
+      (2L, "03k7fgtplSHAREDPASSAGEBLOCKxe19"),  // span 10..27 cut
+      (3L, "entirely unrelated filler material"), // no spans -> verbatim
+      (4L, "IDENTICALWHOLEDOCUMENT"),
+      (5L, "IDENTICALWHOLEDOCUMENT")             // 4,5 fully duplicated -> ""
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(d, window = 6)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, 1L, 18L, "qwzuimnbvc"),
+      (2L, 1L, 18L, "03k7fgtplxe19"),
+      (3L, 0L, 0L, "entirely unrelated filler material"),
+      (4L, 1L, 22L, ""),
+      (5L, 1L, 22L, "")))
+    // two spans in one doc: gap between them survives
+    val two = Seq(
+      (1L, "AAAAAAAAAA-keep-BBBBBBBBBB"),
+      (2L, "xyAAAAAAAAAAzw"), (3L, "qrBBBBBBBBBBst")).toDF("doc_id", "text")
+    val r = Dedup.dropDuplicateSpans(two, window = 10)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).head
+    assert(r === ((1L, 2L, 20L, "-keep-")))
+  }
+
   test("winnowFingerprints: every fingerprint is a real k-gram at its position") {
     import spark.implicits._
     val d = Seq(
