@@ -78,6 +78,58 @@ object SparkEntry {
       |    AND list_cosine_similarity(a.emb, b.emb) >= 0.25),
       |sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e)""".stripMargin
 
+  /** Unrolled Brandes oracle for graph_betweenness: forward σ levels
+    * l0..lH with cumulative visited sets, backward δ levels bH..b1 (each
+    * fed by the level above through the contribution join cD), then
+    * Σδ/2 rounded. Generated mechanically so the horizon lives in ONE
+    * constant shared with the Spark side.
+    */
+  private def betweennessSql(h: Int): String = {
+    val sb = new StringBuilder
+    // every CTE MATERIALIZED: DuckDB otherwise inlines each reference, and a
+    // 10-level unroll re-expands the whole prefix exponentially (hundreds of
+    // parquet re-scans — the gate died on fd exhaustion before this)
+    sb ++= simEdgesCte
+      .replace("WITH v AS (", "WITH v AS MATERIALIZED (")
+      .replace("e AS (", "e AS MATERIALIZED (")
+      .replace("sym AS (", "sym AS MATERIALIZED (")
+    sb ++= ",\nl0 AS MATERIALIZED (SELECT s AS src_id, s AS v, CAST(1 AS BIGINT) AS sigma" +
+      " FROM (SELECT DISTINCT s FROM sym) t),\n"
+    sb ++= "vis0 AS MATERIALIZED (SELECT src_id, v FROM l0)"
+    for (d <- 1 to h) {
+      sb ++= s""",
+l$d AS MATERIALIZED (
+  SELECT p.src_id, y.d AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM l${d - 1} p JOIN sym y ON p.v = y.s
+  WHERE NOT EXISTS (SELECT 1 FROM vis${d - 1} x
+                    WHERE x.src_id = p.src_id AND x.v = y.d)
+  GROUP BY p.src_id, y.d),
+vis$d AS MATERIALIZED (SELECT * FROM vis${d - 1} UNION ALL SELECT src_id, v FROM l$d)"""
+    }
+    sb ++= s",\nb$h AS MATERIALIZED (SELECT src_id, v, CAST(0 AS DOUBLE) AS delta FROM l$h)"
+    for (d <- h to 1 by -1) {
+      sb ++= s""",
+c$d AS MATERIALIZED (
+  SELECT w.src_id, y.d AS v,
+         sum(CAST(u.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+             * (1 + bw.delta)) AS delta
+  FROM l$d w JOIN b$d bw ON w.src_id = bw.src_id AND w.v = bw.v
+  JOIN sym y ON w.v = y.s
+  JOIN l${d - 1} u ON u.src_id = w.src_id AND u.v = y.d
+  GROUP BY w.src_id, y.d),
+b${d - 1} AS MATERIALIZED (
+  SELECT p.src_id, p.v, coalesce(c.delta, 0) AS delta
+  FROM l${d - 1} p LEFT JOIN c$d c ON p.src_id = c.src_id AND p.v = c.v)"""
+    }
+    val accs = (1 to h).map(d => s"SELECT src_id, v, delta FROM b$d")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"""
+SELECT v AS id, round(sum(delta) / 2, 6) AS betweenness
+FROM ($accs)
+GROUP BY v ORDER BY id"""
+    sb.toString
+  }
+
   private def smallSynth = TranscriptGen.Config(numConvs = 6, turnsPerConv = 20, skew = 3)
 
   /** Flagship: full KG construction on synthesized transcripts. */
@@ -961,6 +1013,15 @@ object SparkEntry {
           .select(col("dst").as("src"), col("src").as("dst")))
       graft.query.GraphAlgos.stronglyConnected(directed).orderBy(col("id"))
     }),
+
+    // exact Brandes betweenness over the shared similarity graph (horizon 10
+    // >= the graph's diameter at every SF, so the bounded-horizon semantics
+    // coincide with textbook betweenness here); oracle = the same forward-
+    // sigma/backward-delta recurrence unrolled level by level in DuckDB
+    "graph_betweenness" -> ((s, dir) =>
+      graft.query.GraphAlgos.betweenness(simEdges(s, dir), maxDepth = 10)
+        .select(col("id"), round(col("betweenness"), 6).as("betweenness"))
+        .orderBy(col("id"))),
 
     // count-min heavy hitters: a 4×256 sketch over l_partkey (≈2k distinct
     // keys → real collisions, real over-counts), estimates joined to truth;
@@ -1950,6 +2011,8 @@ object SparkEntry {
          |SELECT r1.src AS id, min(r1.dst) AS component
          |FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
          |GROUP BY r1.src ORDER BY id""".stripMargin,
+
+    "graph_betweenness" -> betweennessSql(10),
 
     // the oracle rebuilds the identical 4×256 sketch from the same 16-bit
     // md5 slices, then takes the same min-over-rows estimate

@@ -603,4 +603,76 @@ object GraphAlgos {
     }
     out
   }
+
+  /** Betweenness centrality (Brandes 2001 as iterative DataFrame joins),
+    * exact within a bounded shortest-path horizon: (id, betweenness) where
+    * betweenness(v) = Σ_{s≠v≠t} σ_st(v)/σ_st over UNDIRECTED shortest paths
+    * of length ≤ `maxDepth`. With maxDepth ≥ the graph diameter this is
+    * exact textbook betweenness; a bounded horizon is itself the standard
+    * web-scale relaxation (distant pairs contribute little and cost most).
+    *
+    * Forward pass: one multi-source BFS level table per depth carrying the
+    * shortest-path COUNT σ(s,v) (sum over predecessors — never path
+    * enumeration). Backward pass: Brandes dependency accumulation
+    * δ(s,u) = Σ_{w: succ} σ(s,u)/σ(s,w) · (1 + δ(s,w)), level by level.
+    * betweenness(v) = Σ_s δ(s,v) / 2 (each unordered pair counted from both
+    * endpoints).
+    *
+    * Shape: 2·maxDepth join+aggregate rounds over (source, vertex) states —
+    * O(n²) state for all-sources exact mode, never O(paths). Per-round
+    * lineage truncation keeps plans flat. At 10^12-edge scale pass a
+    * deterministic source sample as `sources` (Brandes–Pich 2007): the
+    * returned sums then estimate n/|S| · betweenness — the caller scales,
+    * keeping raw sums exact and engine-portable here.
+    */
+  def betweenness(edges: DataFrame, maxDepth: Int,
+      sources: Option[DataFrame] = None): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val adj = Checkpoints.truncate(sym(edges))
+    val verts = adj.select(col("src").as("id")).distinct()
+    val srcs = sources.map(_.toDF("id").distinct()).getOrElse(verts)
+    // forward BFS: levels(d) = (s, v, sigma) for vertices first reached at
+    // depth d, sigma = number of distinct shortest s→v paths
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    levels += Checkpoints.truncate(srcs.select(
+      col("id").as("s"), col("id").as("v"), lit(1L).as("sigma")))
+    var visited = levels(0).select(col("s"), col("v"))
+    var d = 1
+    while (d <= maxDepth) {
+      val next = levels(d - 1).join(adj, levels(d - 1)("v") === adj("src"))
+        .select(col("s"), adj("dst").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val nextT = Checkpoints.truncate(next)
+      levels += nextT
+      visited = Checkpoints.truncate(
+        visited.unionByName(nextT.select(col("s"), col("v"))))
+      d += 1
+    }
+    // backward accumulation: deltaCur holds δ for the level being consumed
+    var deltaCur = levels(maxDepth).select(
+      col("s"), col("v"), lit(0.0).as("delta"))
+    var acc = deltaCur // deepest level's δ = 0: contributes nothing but keeps
+    d = maxDepth       // every reached (s,v≠s) pair present in the output sum
+    while (d >= 1) {
+      val wlv = levels(d).join(deltaCur, Seq("s", "v"))
+      val contrib = wlv.join(adj, wlv("v") === adj("src"))
+        .select(col("s"), adj("dst").as("v"),
+          col("sigma").as("sigma_w"), col("delta"))
+        .join(levels(d - 1).select(col("s"), col("v"),
+          col("sigma").as("sigma_u")), Seq("s", "v"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sigma_u").cast("double") / col("sigma_w").cast("double")
+          * (lit(1.0) + col("delta"))).as("delta"))
+      val prev = levels(d - 1).select(col("s"), col("v"))
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), coalesce(col("delta"), lit(0.0)).as("delta"))
+      deltaCur = Checkpoints.truncate(prev)
+      if (d > 1) acc = acc.unionByName(deltaCur) // level 0 is v = s: excluded
+      d -= 1
+    }
+    acc.groupBy(col("v").as("id"))
+      .agg((sum(col("delta")) / 2.0).as("betweenness"))
+  }
 }

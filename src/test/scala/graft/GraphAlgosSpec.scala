@@ -287,4 +287,40 @@ class GraphAlgosSpec extends SparkSpec {
     val ring = (0L until n).map(i => i -> ((i + 1) % n))
     assert(scc(ring: _*) === (0L until n).map(_ -> 0L).toMap)
   }
+
+  private def bc(maxDepth: Int, es: (Long, Long)*): Map[Long, Double] =
+    GraphAlgos.betweenness(edges(es: _*), maxDepth)
+      .as[(Long, Double)].collect().toMap
+
+  test("betweenness: path interior nodes carry the crossings, endpoints zero") {
+    // path 0-1-2-3: pairs through 1 = (0,2),(0,3); through 2 = (0,3),(1,3)
+    assert(bc(5, 0L -> 1L, 1L -> 2L, 2L -> 3L) ===
+      Map(0L -> 0.0, 1L -> 2.0, 2L -> 2.0, 3L -> 0.0))
+  }
+
+  test("betweenness: star center sees every leaf pair; split paths halve") {
+    // K1,3: 3 leaf pairs through the center
+    assert(bc(4, 9L -> 1L, 9L -> 2L, 9L -> 3L) ===
+      Map(9L -> 3.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+    // diamond 0-1, 0-2, 1-3, 2-3: (0,3) splits over 1 and 2; (1,2) over 0 and 3
+    assert(bc(4, 0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L) ===
+      Map(0L -> 0.5, 1L -> 0.5, 2L -> 0.5, 3L -> 0.5))
+  }
+
+  test("betweenness: horizon truncation drops pairs farther than maxDepth") {
+    // path 0-1-2-3 at maxDepth=2: (0,3) no longer counted from either end
+    assert(bc(2, 0L -> 1L, 1L -> 2L, 2L -> 3L) ===
+      Map(0L -> 0.0, 1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
+  test("betweenness: sampled sources accumulate only those sources' dependencies") {
+    // path 0-1-2-3, sources={0}: delta_0(1)=2 (covers 2 and 3), delta_0(2)=1
+    val got = GraphAlgos.betweenness(
+        edges(0L -> 1L, 1L -> 2L, 2L -> 3L), maxDepth = 5,
+        sources = Some(Seq(0L).toDF("id")))
+      .as[(Long, Double)].collect().toMap
+    // the source itself is never an interior vertex of its own paths, so it
+    // is absent (same "no incident evidence -> absent" convention as degrees)
+    assert(got === Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0))
+  }
 }
