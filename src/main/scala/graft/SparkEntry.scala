@@ -1023,6 +1023,15 @@ GROUP BY v ORDER BY id"""
         .select(col("id"), round(col("betweenness"), 6).as("betweenness"))
         .orderBy(col("id"))),
 
+    // closeness + harmonic centrality, exact at horizon 10 >= diameter;
+    // oracle = all-sources recursive-CTE min distances, same aggregates
+    "graph_closeness" -> ((s, dir) =>
+      graft.query.GraphAlgos.closeness(simEdges(s, dir), maxDepth = 10)
+        .select(col("id"), col("reached"),
+          round(col("closeness"), 6).as("closeness"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy(col("id"))),
+
     // count-min heavy hitters: a 4×256 sketch over l_partkey (≈2k distinct
     // keys → real collisions, real over-counts), estimates joined to truth;
     // md5 buckets make the ENTIRE sketch recomputable by the oracle
@@ -2013,6 +2022,23 @@ GROUP BY v ORDER BY id"""
          |GROUP BY r1.src ORDER BY id""".stripMargin,
 
     "graph_betweenness" -> betweennessSql(10),
+
+    // all-sources bounded BFS distances via one recursive CTE, then the
+    // same reached/closeness/harmonic aggregates (CAST(1 AS DOUBLE): bare
+    // literals are DECIMAL in DuckDB — the pagerank-oracle lesson)
+    "graph_closeness" ->
+      s"""${simEdgesCte.replace("WITH v AS", "WITH RECURSIVE v AS")},
+         |walk(src_id, id, dist) AS (
+         |  SELECT s, s, 0 FROM (SELECT DISTINCT s FROM sym) t
+         |  UNION
+         |  SELECT w.src_id, y.d, w.dist + 1 FROM walk w JOIN sym y ON w.id = y.s
+         |  WHERE w.dist < 10),
+         |md AS (SELECT src_id, id, min(dist) AS dist FROM walk
+         |       GROUP BY src_id, id HAVING min(dist) > 0)
+         |SELECT src_id AS id, CAST(count(*) AS BIGINT) AS reached,
+         |       round(CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE), 6) AS closeness,
+         |       round(sum(CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE)), 6) AS harmonic
+         |FROM md GROUP BY src_id ORDER BY id""".stripMargin,
 
     // the oracle rebuilds the identical 4×256 sketch from the same 16-bit
     // md5 slices, then takes the same min-over-rows estimate

@@ -40,7 +40,7 @@ object QueryApp {
       "usage: QueryApp <warehouseDir> research|search|entity|neighbors|subgraph|timeline <text> " +
         "[--topk N] [--hint text] [--hops N] [--ontology topics.json] [--master local[N]]\n" +
         "       QueryApp <warehouseDir> path <entityA> --to <entityB> [--hops N]\n" +
-        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] | stats [--master local[N]]")
+        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] [--full true] | stats [--master local[N]]")
     sys.exit(2)
   }
 
@@ -77,7 +77,7 @@ object QueryApp {
       case Array(k, v) if k.startsWith("--") => k -> v
     }.toMap
     val unknown = opts.keys
-      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters", "--seed", "--hops", "--to"))
+      .filterNot(Set("--topk", "--hint", "--ontology", "--master", "--iters", "--seed", "--hops", "--to", "--full"))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown option(s): ${unknown.mkString(", ")}"); sys.exit(2)
     }
@@ -184,13 +184,29 @@ object QueryApp {
         }
         // one report = PageRank + degree over ONE shared symmetrized
         // adjacency (separate calls would symmetrize the edge list twice)
-        val out = graft.query.GraphAlgos.centralityReport(edges, iters, seeds)
+        val report = graft.query.GraphAlgos.centralityReport(edges, iters, seeds)
+        // --full true: add Brandes betweenness + harmonic closeness at a
+        // bounded horizon (entity graphs are shallow; 6 covers them) — the
+        // expensive trio a one-off health report wants but a default query
+        // should not pay for
+        val withExtra = if (opts.get("--full").exists(_.toBoolean)) {
+          val bc = graft.query.GraphAlgos.betweenness(edges, maxDepth = 6)
+          val cl = graft.query.GraphAlgos.closeness(edges, maxDepth = 6)
+            .select(col("id"), col("harmonic"))
+          report.join(bc, Seq("id"), "left").join(cl, Seq("id"), "left")
+            .withColumn("betweenness", coalesce(col("betweenness"), lit(0.0)))
+            .withColumn("harmonic", coalesce(col("harmonic"), lit(0.0)))
+        } else report
+        val baseCols = Seq(col("canonical_name"), col("entity_type"),
+          col("rank"), coalesce(col("degree"), lit(0L)).as("degree"))
+        val cols = if (opts.get("--full").exists(_.toBoolean))
+          baseCols ++ Seq(col("betweenness"), col("harmonic")) else baseCols
+        val out = withExtra
           .withColumnRenamed("id", "entity_uuid")
           .join(table("entities")
             .select(col("entity_uuid"), col("canonical_name"), col("entity_type")),
             Seq("entity_uuid"))
-          .select(col("canonical_name"), col("entity_type"), col("rank"),
-            coalesce(col("degree"), lit(0L)).as("degree"))
+          .select(cols: _*)
           .orderBy(col("rank").desc, col("canonical_name"))
         show(out, topK)
 

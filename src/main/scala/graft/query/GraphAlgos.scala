@@ -675,4 +675,45 @@ object GraphAlgos {
     acc.groupBy(col("v").as("id"))
       .agg((sum(col("delta")) / 2.0).as("betweenness"))
   }
+
+  /** Closeness + harmonic centrality within a bounded horizon:
+    * (id, reached, closeness, harmonic) over undirected min-hop distances
+    * d(v,·) ≤ maxDepth, where reached = |{u ≠ v : d ≤ maxDepth}|,
+    * closeness = reached / Σ d(v,u) (the Wasserman–Faust form is
+    * reached/(n-1) × this — callers scale), harmonic = Σ 1/d(v,u).
+    * Harmonic is the form that stays meaningful on disconnected graphs
+    * (Boldi–Vigna); both are exact when maxDepth ≥ the diameter, and the
+    * bounded horizon is the standard web-scale relaxation otherwise.
+    *
+    * Shape: the same all-sources BFS as [[betweenness]]'s forward pass —
+    * maxDepth rounds of frontier ⋈ adjacency with an anti-join, O(n·reached)
+    * state, one final aggregation per source. At 10^12-edge scale run it
+    * over a source sample or swap the exact BFS for HyperBall-style HLL
+    * neighborhood sketches ([[graft.ops.Sketch.hllRegisters]] is the
+    * register layer that approach needs).
+    */
+  def closeness(edges: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val adj = Checkpoints.truncate(sym(edges))
+    var level = Checkpoints.truncate(adj.select(col("src").as("s")).distinct()
+      .select(col("s"), col("s").as("v")))
+    var visited = level
+    // accumulate (s, dist) per reached v>0 level; distances are the level no.
+    var acc = level.filter(lit(false)).withColumn("dist", lit(0))
+    var d = 1
+    while (d <= maxDepth) {
+      val next = level.join(adj, level("v") === adj("src"))
+        .select(col("s"), adj("dst").as("v")).distinct()
+        .join(visited, Seq("s", "v"), "left_anti")
+      val nextT = Checkpoints.truncate(next)
+      level = nextT
+      visited = Checkpoints.truncate(visited.unionByName(nextT))
+      acc = acc.unionByName(nextT.withColumn("dist", lit(d)))
+      d += 1
+    }
+    acc.groupBy(col("s").as("id")).agg(
+      count(lit(1)).as("reached"),
+      (count(lit(1)).cast("double") / sum(col("dist")).cast("double")).as("closeness"),
+      sum(lit(1.0) / col("dist").cast("double")).as("harmonic"))
+  }
 }

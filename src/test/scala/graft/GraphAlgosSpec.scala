@@ -323,4 +323,20 @@ class GraphAlgosSpec extends SparkSpec {
     // is absent (same "no incident evidence -> absent" convention as degrees)
     assert(got === Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0))
   }
+
+  test("closeness/harmonic: hand-checked path values; horizon bounds the sums") {
+    // path 0-1-2-3: node 0 dists (1,2,3), node 1 dists (1,1,2)
+    val c = GraphAlgos.closeness(edges(0L -> 1L, 1L -> 2L, 2L -> 3L), maxDepth = 5)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(c(0L) === ((0L, 3L, 0.5, 1.0 + 0.5 + 1.0 / 3)))
+    assert(c(1L) === ((1L, 3L, 0.75, 2.5)))
+    // horizon 1: only direct neighbors count
+    val h1 = GraphAlgos.closeness(edges(0L -> 1L, 1L -> 2L, 2L -> 3L), maxDepth = 1)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(h1(0L) === ((0L, 1L, 1.0, 1.0)) && h1(1L) === ((1L, 2L, 1.0, 2.0)))
+    // disconnected components never see each other (harmonic's raison d'etre)
+    val disc = GraphAlgos.closeness(edges(0L -> 1L, 5L -> 6L), maxDepth = 5)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(disc(0L) === ((0L, 1L, 1.0, 1.0)) && disc(5L) === ((5L, 1L, 1.0, 1.0)))
+  }
 }
