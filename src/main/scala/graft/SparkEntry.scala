@@ -130,6 +130,44 @@ GROUP BY v ORDER BY id"""
     sb.toString
   }
 
+  /** Unrolled HyperBall oracle: per-vertex p=4 HLL registers of {v} (the
+    * identical md5 hex arithmetic as sketch_hll_registers), then `rounds`
+    * register-max merge rounds over the symmetric adjacency. MATERIALIZED
+    * for the same inlining reason as [[betweennessSql]].
+    */
+  private def hyperBallSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= simEdgesCte
+      .replace("WITH v AS (", "WITH v AS MATERIALIZED (")
+      .replace("e AS (", "e AS MATERIALIZED (")
+      .replace("sym AS (", "sym AS MATERIALIZED (")
+    sb ++= """,
+verts AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
+hx AS MATERIALIZED (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts),
+r0 AS MATERIALIZED (
+  SELECT id, ('0x' || substr(h, 1, 1))::INT AS register,
+    CASE WHEN regexp_replace(substr(h, 2, 15), '^0*', '') = '' THEN 61
+         ELSE (length(substr(h, 2, 15))
+               - length(regexp_replace(substr(h, 2, 15), '^0*', ''))) * 4
+              + CASE substr(regexp_replace(substr(h, 2, 15), '^0*', ''), 1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1
+    END AS max_rho FROM hx)"""
+    for (d <- 1 to rounds) {
+      sb ++= s""",
+r$d AS MATERIALIZED (
+  SELECT id, register, max(max_rho) AS max_rho FROM (
+    SELECT y.d AS id, r.register, r.max_rho
+    FROM r${d - 1} r JOIN sym y ON r.id = y.s
+    UNION ALL SELECT id, register, max_rho FROM r${d - 1}) t
+  GROUP BY id, register)"""
+    }
+    sb ++= s"\nSELECT id, register, CAST(max_rho AS INT) AS max_rho" +
+      s" FROM r$rounds ORDER BY id, register"
+    sb.toString
+  }
+
   private def smallSynth = TranscriptGen.Config(numConvs = 6, turnsPerConv = 20, skew = 3)
 
   /** Flagship: full KG construction on synthesized transcripts. */
@@ -1031,6 +1069,15 @@ GROUP BY v ORDER BY id"""
           round(col("closeness"), 6).as("closeness"),
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy(col("id"))),
+
+    // HyperBall neighborhood sketches (Boldi-Vigna): 8 register-max merge
+    // rounds of per-vertex p=4 HLLs — the sketch layer that replaces exact
+    // BFS state at 10^12-edge scale. Register-IDENTICAL oracle (no float
+    // estimates in the driver row; accuracy is spec-asserted against the
+    // exact closeness instead).
+    "graph_hyperball" -> ((s, dir) =>
+      graft.query.GraphAlgos.hyperBall(simEdges(s, dir), maxDepth = 8, p = 4)
+        .orderBy(col("id"), col("register"))),
 
     // count-min heavy hitters: a 4×256 sketch over l_partkey (≈2k distinct
     // keys → real collisions, real over-counts), estimates joined to truth;
@@ -2039,6 +2086,8 @@ GROUP BY v ORDER BY id"""
          |       round(CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE), 6) AS closeness,
          |       round(sum(CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE)), 6) AS harmonic
          |FROM md GROUP BY src_id ORDER BY id""".stripMargin,
+
+    "graph_hyperball" -> hyperBallSql(8),
 
     // the oracle rebuilds the identical 4×256 sketch from the same 16-bit
     // md5 slices, then takes the same min-over-rows estimate

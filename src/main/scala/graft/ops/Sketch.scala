@@ -83,7 +83,18 @@ object Sketch {
     *
     * @param p register-index bits; multiple of 4 (hex alignment), 4..12.
     */
-  def hllRegisters(items: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int = 8): DataFrame =
+    hllRegistersBy(items, Nil, keyCol, p)
+
+  /** Per-GROUP HLL registers: one register set per distinct `groupCols`
+    * value — (groupCols..., register, max_rho). The layer grouped sketches
+    * build on: per-source audit sketches, per-partition lineage
+    * cardinalities, and HyperBall's per-vertex neighborhood balls
+    * ([[graft.query.GraphAlgos.hyperBall]]). `groupCols = Nil` is the plain
+    * whole-table sketch of [[hllRegisters]].
+    */
+  def hllRegistersBy(items: DataFrame, groupCols: Seq[String], keyCol: String,
+      p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 12 && p % 4 == 0, s"p must be 4, 8, or 12, got $p")
     val h = md5(col(keyCol).cast("string"))
     val reg = conv(substring(h, 1, p / 4), 16, 10).cast("int")
@@ -98,8 +109,9 @@ object Sketch {
     val rho = when(stripped === "", lit(61))
       .otherwise(zeros * 4 + extraBits + 1)
     items.filter(col(keyCol).isNotNull)
-      .select(reg.as("register"), rho.as("rho"))
-      .groupBy(col("register")).agg(max(col("rho")).as("max_rho"))
+      .select(groupCols.map(col) ++ Seq(reg.as("register"), rho.as("rho")): _*)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max(col("rho")).as("max_rho"))
   }
 
   /** Merge HLL register sets built with the same p: registers take max. */
@@ -130,6 +142,33 @@ object Sketch {
     val zeroRegs = m - present
     if (raw <= 2.5 * m && zeroRegs > 0) m * math.log(m.toDouble / zeroRegs)
     else raw
+  }
+
+  /** Per-GROUP distinct-count estimates from [[hllRegistersBy]] output:
+    * (groupCols..., estimate) — the same bias-corrected harmonic mean +
+    * linear-counting branch as [[hllEstimate]], as one aggregation (never a
+    * per-group driver collect).
+    */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use hllEstimate)")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val agg = registers.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("max_rho"))).as("s_present"),
+        count(lit(1)).as("present"))
+    val mD = lit(m.toDouble)
+    val zero = (mD - col("present")).cast("double")
+    val sFull = col("s_present") + zero
+    val raw = lit(alpha) * mD * mD / sFull
+    agg.select(groupCols.map(col) :+
+      when(raw <= lit(2.5 * m) && zero > 0, mD * log(mD / zero))
+        .otherwise(raw).as("estimate"): _*)
   }
 
   /** QUANTILE sketch as a deterministic Bernoulli row sample: keep the rows

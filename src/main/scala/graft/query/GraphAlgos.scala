@@ -716,4 +716,75 @@ object GraphAlgos {
       (count(lit(1)).cast("double") / sum(col("dist")).cast("double")).as("closeness"),
       sum(lit(1.0) / col("dist").cast("double")).as("harmonic"))
   }
+
+  /** HyperBall (Boldi & Vigna, 2013): per-vertex HLL sketches of the
+    * distance-≤d neighborhood balls — THE way closeness/harmonic scale to
+    * 10^12 edges, replacing [[closeness]]'s exact O(n·reached) BFS state
+    * with O(n · 2^p) register rows that never grow with ball size.
+    *
+    * regs_0(v) = HLL({v}); regs_d(v) = register-wise max of regs_{d-1}(v)
+    * and every neighbor's regs_{d-1} — max-merge is exactly HLL union, so
+    * regs_d(v) sketches B(v, d). One join + one max-aggregation per round;
+    * every register derives from the same md5 hex arithmetic as
+    * [[graft.ops.Sketch.hllRegistersBy]], so the whole recurrence is
+    * deterministic and engine-replayable (the driver oracle re-runs it
+    * register-identically in DuckDB).
+    *
+    * Returns the round-`maxDepth` sketches: (id, register, max_rho).
+    */
+  def hyperBall(edges: DataFrame, maxDepth: Int, p: Int = 8): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val adj = Checkpoints.truncate(sym(edges))
+    val verts = adj.select(col("src").as("id")).distinct()
+    var regs = Checkpoints.truncate(graft.ops.Sketch.hllRegistersBy(
+      verts.withColumn("member", col("id")), Seq("id"), "member", p))
+    var d = 1
+    while (d <= maxDepth) {
+      val nbr = regs.join(adj, regs("id") === adj("src"))
+        .select(adj("dst").as("id"), col("register"), col("max_rho"))
+      regs = Checkpoints.truncate(
+        nbr.unionByName(regs)
+          .groupBy(col("id"), col("register"))
+          .agg(max(col("max_rho")).as("max_rho")))
+      d += 1
+    }
+    regs
+  }
+
+  /** Approximate neighborhood function + harmonic centrality from the
+    * [[hyperBall]] recurrence: (id, ball_est, harmonic_est) where ball_est
+    * estimates |B(v, maxDepth)| (self included) and
+    * harmonic_est ≈ Σ_u 1/d(v,u) via Σ_d (est_d − est_{d−1})/d. Per-round
+    * shrinkage (estimates can wiggle at the linear-counting boundary even
+    * though registers only grow) clamps to 0, per the paper. Standard error
+    * per estimate ≈ 1.04/√2^p.
+    */
+  def hyperBallHarmonic(edges: DataFrame, maxDepth: Int, p: Int = 8): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val adj = Checkpoints.truncate(sym(edges))
+    val verts = adj.select(col("src").as("id")).distinct()
+    var regs = Checkpoints.truncate(graft.ops.Sketch.hllRegistersBy(
+      verts.withColumn("member", col("id")), Seq("id"), "member", p))
+    def estAt(d: Int) = graft.ops.Sketch.hllEstimateBy(regs, Seq("id"), p)
+      .withColumn("d", lit(d))
+    var ests = estAt(0)
+    var d = 1
+    while (d <= maxDepth) {
+      val nbr = regs.join(adj, regs("id") === adj("src"))
+        .select(adj("dst").as("id"), col("register"), col("max_rho"))
+      regs = Checkpoints.truncate(
+        nbr.unionByName(regs)
+          .groupBy(col("id"), col("register"))
+          .agg(max(col("max_rho")).as("max_rho")))
+      ests = ests.unionByName(estAt(d))
+      d += 1
+    }
+    val byId = Window.partitionBy(col("id")).orderBy(col("d"))
+    ests
+      .withColumn("growth",
+        greatest(col("estimate") - lag(col("estimate"), 1).over(byId), lit(0.0)))
+      .groupBy(col("id"))
+      .agg(max(when(col("d") === maxDepth, col("estimate"))).as("ball_est"),
+        sum(when(col("d") > 0, col("growth") / col("d"))).as("harmonic_est"))
+  }
 }

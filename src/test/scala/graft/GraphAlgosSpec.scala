@@ -339,4 +339,36 @@ class GraphAlgosSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
     assert(disc(0L) === ((0L, 1L, 1.0, 1.0)) && disc(5L) === ((5L, 1L, 1.0, 1.0)))
   }
+
+  test("hyperBall registers at round H equal the HLL of the exact reachable ball") {
+    val es = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 7L -> 8L)
+    val got = GraphAlgos.hyperBall(es, maxDepth = 2, p = 8)
+      .as[(Long, Int, Int)].collect().toSet
+    val balls = Map(
+      0L -> Seq(0L, 1L, 2L), 1L -> Seq(0L, 1L, 2L, 3L),
+      2L -> Seq(0L, 1L, 2L, 3L), 3L -> Seq(1L, 2L, 3L),
+      7L -> Seq(7L, 8L), 8L -> Seq(7L, 8L))
+    val pairs = balls.toSeq.flatMap { case (v, ms) => ms.map(m => (v, m)) }
+    val expected = graft.ops.Sketch.hllRegistersBy(
+        pairs.toDF("id", "member"), Seq("id"), "member", p = 8)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("hyperBallHarmonic tracks exact harmonic within sketch tolerance") {
+    // ring of 24 with chords — diameter ~6, one component
+    val ring = (0L until 24L).map(i => i -> ((i + 1) % 24))
+    val chords = (0L until 24L by 4).map(i => i -> ((i + 9) % 24))
+    val es = edges((ring ++ chords): _*)
+    val exact = GraphAlgos.closeness(es, maxDepth = 10)
+      .select(col("id"), col("harmonic")).as[(Long, Double)].collect().toMap
+    val hb = GraphAlgos.hyperBallHarmonic(es, maxDepth = 10, p = 8)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // deterministic md5 registers -> these bounds are exact replays, not flaky
+    val relErrs = exact.map { case (v, h) => math.abs(hb(v)._2 - h) / h }
+    assert(relErrs.sum / relErrs.size < 0.15,
+      s"mean rel err ${relErrs.sum / relErrs.size}")
+    // every ball estimate lands near the true component size (24, self incl.)
+    hb.values.foreach { case (ball, _) => assert(ball > 18 && ball < 31) }
+  }
 }
