@@ -168,4 +168,40 @@ class PlanSpec extends SparkSpec {
         assert(!plan.contains("NestedLoopJoin"), s"$name:\n$plan")
     }
   }
+
+  test("substring dedup: window-frequency agg is partial (map-side combine), no cartesian") {
+    val docs = (0L until 30L).map(i => (i, s"prefix$i shared passage body $i")).toDF("doc_id", "text")
+    for ((name, df) <- Seq(
+        "duplicateSpans" -> graft.ops.Dedup.duplicateSpans(docs, window = 8),
+        "dropDuplicateSpans" -> graft.ops.Dedup.dropDuplicateSpans(docs, window = 8),
+        "winnowFingerprints" -> graft.ops.Dedup.winnowFingerprints(docs, k = 5, w = 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+        s"$name:\n$plan")
+      // the O(corpus-chars) frequency/distinct aggregation must combine
+      // map-side — shuffling every raw window row would move corpus-sized
+      // bytes twice
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, s"$name:\n$plan")
+    }
+    // winnowing's per-doc rolling min must be ONE window pass: a single
+    // sort-based exchange on doc_id, no repeated shuffles of the k-gram rows
+    val wf = graft.ops.Dedup.winnowFingerprints(docs, k = 5, w = 4)
+    val exchanges = wf.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2, // doc_id window + final distinct
+      s"winnowFingerprints shuffles:\n${exchanges.mkString("\n")}")
+  }
+
+  test("centrality iterations: betweenness/closeness/hyperBall hash-join on vertex keys only") {
+    val edges = (0L until 30L).map(i => (i, (i * 11 + 5) % 30)).toDF("src", "dst")
+    for ((name, df) <- Seq(
+        "betweenness" -> graft.query.GraphAlgos.betweenness(edges, maxDepth = 3),
+        "closeness" -> graft.query.GraphAlgos.closeness(edges, maxDepth = 3),
+        "hyperBall" -> graft.query.GraphAlgos.hyperBall(edges, maxDepth = 3, p = 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+        s"$name:\n$plan")
+    }
+  }
 }
