@@ -1070,6 +1070,20 @@ r$d AS MATERIALIZED (
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy(col("id"))),
 
+    // weighted single-source shortest distances (bounded Bellman-Ford, 12
+    // relaxation rounds both sides): md5-derived integer weights 1..9 per
+    // undirected pair, seed = the smallest edge endpoint; oracle = bounded
+    // recursive-CTE relaxation with the identical hop bound (integer costs
+    // -> exact min parity, no float ties)
+    "graph_weighted_dist" -> ((s, dir) => {
+      val e = simEdges(s, dir).withColumn("w",
+        (conv(substring(md5(concat_ws(":", col("src"), col("dst"))), 1, 1),
+          16, 10).cast("int") % 9) + 1)
+      val seed = e.select(least(min(col("src")), min(col("dst"))).as("id"))
+      graft.query.GraphAlgos.weightedDistances(e, seed, maxRounds = 12)
+        .orderBy(col("id"))
+    }),
+
     // HyperBall neighborhood sketches (Boldi-Vigna): 8 register-max merge
     // rounds of per-vertex p=4 HLLs — the sketch layer that replaces exact
     // BFS state at 10^12-edge scale. Register-IDENTICAL oracle (no float
@@ -2088,6 +2102,24 @@ r$d AS MATERIALIZED (
          |FROM md GROUP BY src_id ORDER BY id""".stripMargin,
 
     "graph_hyperball" -> hyperBallSql(8),
+
+    // bounded weighted relaxation: walk rows carry (id, cost, hops); UNION
+    // dedups repeats, the cost cap (100 > any attainable minimum: weights
+    // <= 9 x unweighted diameter <= 8) prunes doomed prefixes, and both
+    // engines bound hops at 12 so the contract is identical
+    "graph_weighted_dist" ->
+      s"""${simEdgesCte.replace("WITH v AS", "WITH RECURSIVE v AS")},
+         |we AS (SELECT s, d, (('0x' || substr(md5(CAST(s AS VARCHAR) || ':'
+         |           || CAST(d AS VARCHAR)), 1, 1))::INT % 9) + 1 AS w FROM e),
+         |wsym AS (SELECT s, d, w FROM we UNION SELECT d, s, w FROM we),
+         |walk(id, cost, hops) AS (
+         |  SELECT (SELECT min(s) FROM e), 0, 0
+         |  UNION
+         |  SELECT y.d, wk.cost + y.w, wk.hops + 1
+         |  FROM walk wk JOIN wsym y ON wk.id = y.s
+         |  WHERE wk.hops < 12 AND wk.cost + y.w < 100)
+         |SELECT id, CAST(min(cost) AS BIGINT) AS wdist
+         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     // the oracle rebuilds the identical 4×256 sketch from the same 16-bit
     // md5 slices, then takes the same min-over-rows estimate

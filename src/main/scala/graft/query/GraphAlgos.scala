@@ -717,6 +717,51 @@ object GraphAlgos {
       sum(lit(1.0) / col("dist").cast("double")).as("harmonic"))
   }
 
+  /** Weighted shortest distances from `seeds` under a bounded relaxation
+    * horizon — Bellman–Ford as iterative joins: (id, wdist) with wdist the
+    * minimum total edge weight over UNDIRECTED paths of at most `maxRounds`
+    * hops (non-negative weights; exact SSSP whenever every optimal path
+    * uses ≤ maxRounds edges — always true at maxRounds = n−1; the bounded
+    * form is the scale contract, same stance as [[kHop]]/[[betweenness]]).
+    *
+    * Input edges carry (src, dst, w); each edge relaxes both directions.
+    * Per round: frontier ⋈ adjacency, a min-aggregation per vertex, and a
+    * keep-better merge into the label table — only IMPROVED labels re-enter
+    * the frontier, so post-convergence rounds are empty joins. Integer
+    * weights keep min-comparisons exact across engines (no float-tie
+    * ambiguity in the oracle).
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val adj = Checkpoints.truncate(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+          col("w").cast("long").as("w")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var best = Checkpoints.truncate(
+      seeds.toDF("id").distinct().withColumn("wdist", lit(0L)))
+    var frontier = best
+    var r = 0
+    while (r < maxRounds) {
+      val cand = frontier.join(adj, frontier("id") === adj("src"))
+        .select(adj("dst").as("id"), (col("wdist") + col("w")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val improved = cand.join(
+          best.select(col("id").as("bid"), col("wdist").as("bw")),
+          cand("id") === col("bid"), "left")
+        .filter(col("bw").isNull || col("cand") < col("bw"))
+        .select(col("id"), col("cand").as("wdist"))
+      val impT = Checkpoints.truncate(improved)
+      best = Checkpoints.truncate(
+        best.join(impT.select(col("id").as("iid")),
+          best("id") === col("iid"), "left_anti").unionByName(impT))
+      frontier = impT
+      r += 1
+    }
+    best
+  }
+
   /** HyperBall (Boldi & Vigna, 2013): per-vertex HLL sketches of the
     * distance-≤d neighborhood balls — THE way closeness/harmonic scale to
     * 10^12 edges, replacing [[closeness]]'s exact O(n·reached) BFS state

@@ -340,6 +340,21 @@ class GraphAlgosSpec extends SparkSpec {
     assert(disc(0L) === ((0L, 1L, 1.0, 1.0)) && disc(5L) === ((5L, 1L, 1.0, 1.0)))
   }
 
+  test("weightedDistances: relaxation prefers light detours; hop bound truncates") {
+    val e = Seq((0L, 1L, 10L), (1L, 2L, 1L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val full = GraphAlgos.weightedDistances(e, Seq(0L).toDF("id"), maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(full === Map(0L -> 0L, 1L -> 2L, 2L -> 1L)) // 0-2-1 beats the direct 10
+    val oneRound = GraphAlgos.weightedDistances(e, Seq(0L).toDF("id"), maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound === Map(0L -> 0L, 1L -> 10L, 2L -> 1L)) // no detour in 1 hop
+    // vertices beyond the hop bound stay unlabeled
+    val chain = Seq((0L, 1L, 1L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val b = GraphAlgos.weightedDistances(chain, Seq(0L).toDF("id"), maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(b === Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("hyperBall registers at round H equal the HLL of the exact reachable ball") {
     val es = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 7L -> 8L)
     val got = GraphAlgos.hyperBall(es, maxDepth = 2, p = 8)
