@@ -1145,6 +1145,18 @@ r$d AS MATERIALIZED (
       Dedup.duplicateSpans(read(s, dir, "documents"), window = 25)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // DSIR-style importance scores (distribution-matching data selection):
+    // target = the English documents, raw pool = everything else; hashed
+    // bigram buckets, add-one smoothing. Oracle replays buckets, histograms,
+    // totals and the per-doc log-ratio sum.
+    "text_dsir_scores" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ops.DataSelection.dsirScores(
+          docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), col("n_grams"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the ExactSubstr REMOVAL step: every document rebuilt with its
     // duplicated spans cut out (span-free docs verbatim, fully-duplicated
     // docs survive empty). Oracle rebuilds per-character (naive is fine
@@ -2210,6 +2222,39 @@ r$d AS MATERIALIZED (
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 24 AS span_end,
         |       max(pos) + 24 - min(pos) + 1 AS span_len
         |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // DSIR replay: identical tokenization/bigrams (the text_repetition
+    // idiom), 16-bit md5 buckets, add-one smoothed log-ratio weights, and
+    // the per-doc occurrence-weighted sum
+    "text_dsir_scores" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)),
+        |                          i -> array_to_string(t[i : i + 1], ' '))) AS gram
+        |  FROM tok),
+        |b AS (SELECT doc_id, lang,
+        |        (('0x' || substr(md5('dsir:' || gram), 1, 4))::INT) % 1024 AS bucket
+        |      FROM g),
+        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+        |rawg AS (SELECT doc_id, bucket FROM b WHERE lang <> 'en'),
+        |rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM rawg GROUP BY bucket),
+        |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt,
+        |               (SELECT coalesce(sum(cr), 0) FROM rb) AS tr),
+        |w AS (SELECT rb.bucket,
+        |        ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 1024 AS DOUBLE))
+        |        - ln(CAST(rb.cr + 1 AS DOUBLE) / CAST(tot.tr + 1024 AS DOUBLE)) AS lw
+        |      FROM rb LEFT JOIN tgt USING (bucket), tot),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |              round(sum(lw), 6) AS score
+        |       FROM rawg JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |       coalesce(pd.score, CAST(0 AS DOUBLE)) AS score
+        |FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
+        |LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // removal replay: same span derivation, then a per-character kept-position
     // rebuild (the oracle may be naive; the engine folds spans per doc)

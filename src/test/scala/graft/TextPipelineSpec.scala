@@ -155,4 +155,32 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(fuzzy === Set(1L, 3L)) // cluster {1,2} keeps min id
   }
+
+  test("dsirScores rank target-like docs above off-domain ones; no-gram docs score 0") {
+    import graft.ops.DataSelection
+    // target grams need real frequency: with add-one smoothing, a gram seen
+    // once scores ~ln(2/(Tt+B)) - ln(2/(Tr+B)) ~ 0 and the sign is noise
+    val target = Seq(
+      (100L, Seq.fill(5)("market earnings revenue quarter").mkString(" ")),
+      (101L, Seq.fill(5)("earnings revenue quarter guidance").mkString(" "))
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "market earnings revenue quarter guidance outlook"), // on-domain
+      (1L, "zebra habitat savanna migration herd grassland"),   // off-domain
+      (2L, "x")                                                  // no bigrams
+    ).toDF("doc_id", "text")
+    val s = DataSelection.dsirScores(raw, target, n = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(s(0L)._3 > s(1L)._3, s"on-domain must outrank off-domain: $s")
+    assert(s(2L) === ((2L, 0L, 0.0)))
+    // deterministic under repartition
+    val s2 = DataSelection.dsirScores(raw.repartition(5), target.repartition(3), n = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(s2(0L)._3 - s(0L)._3) < 1e-9 &&
+      math.abs(s2(1L)._3 - s(1L)._3) < 1e-9)
+    // selection keeps the top-k by (score desc, id)
+    val kept = DataSelection.dsirSelect(raw, target, keep = 1, n = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(0L))
+  }
 }
