@@ -1157,6 +1157,22 @@ r$d AS MATERIALIZED (
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style perplexity filter: bigram LM trained on the English docs,
+    // every other doc scored (same target/raw split as text_dsir_scores —
+    // the two quality signals a corpus pipeline combines). Oracle re-derives
+    // the full model and every per-token log-probability.
+    "text_perplexity" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val (big, uni, v, t) = graft.ops.LanguageModel.trainBigram(
+        docs.filter(col("lang") === "en"))
+      graft.ops.LanguageModel.perplexity(
+          docs.filter(col("lang") =!= "en"), big, uni, v, t)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_logprob"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the ExactSubstr REMOVAL step: every document rebuilt with its
     // duplicated spans cut out (span-free docs verbatim, fully-duplicated
     // docs survive empty). Oracle rebuilds per-character (naive is fine
@@ -2222,6 +2238,47 @@ r$d AS MATERIALIZED (
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 24 AS span_end,
         |       max(pos) + 24 - min(pos) + 1 AS span_len
         |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // perplexity replay: the model (unigram/bigram counts, V, T) and every
+    // per-token log-probability re-derived; first token scores against the
+    // unigram, later tokens against the smoothed bigram conditional
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT u, CAST(count(*) AS BIGINT) AS cu
+        |        FROM (SELECT unnest(t) AS u FROM tok WHERE lang = 'en') GROUP BY u),
+        |vt AS (SELECT (SELECT count(*) FROM uni) AS v,
+        |              (SELECT coalesce(sum(cu), 0) FROM uni) AS tt),
+        |bsplit AS (
+        |  SELECT doc_id, lang,
+        |    string_split(g, ' ')[1] AS u, string_split(g, ' ')[2] AS w
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_transform(range(1, greatest(len(t), 1)),
+        |                                i -> array_to_string(t[i : i + 1], ' '))) AS g
+        |        FROM tok)),
+        |big AS (SELECT u, w, CAST(count(*) AS BIGINT) AS c
+        |        FROM bsplit WHERE lang = 'en' GROUP BY u, w),
+        |flp AS (SELECT r.doc_id,
+        |          ln(CAST(coalesce(uni.cu, 0) + 1 AS DOUBLE) / CAST(vt.tt + vt.v AS DOUBLE)) AS lp
+        |        FROM (SELECT doc_id, t[1] AS w FROM tok
+        |              WHERE lang <> 'en' AND len(t) >= 1) r
+        |        LEFT JOIN uni ON r.w = uni.u, vt),
+        |plp AS (SELECT rp.doc_id,
+        |          ln(CAST(coalesce(big.c, 0) + 1 AS DOUBLE)
+        |             / CAST(coalesce(uni.cu, 0) + vt.v AS DOUBLE)) AS lp
+        |        FROM (SELECT doc_id, u, w FROM bsplit WHERE lang <> 'en') rp
+        |        LEFT JOIN big ON rp.u = big.u AND rp.w = big.w
+        |        LEFT JOIN uni ON rp.u = uni.u, vt),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |              round(avg(lp), 6) AS avg_logprob,
+        |              round(exp(-avg(lp)), 4) AS ppl
+        |       FROM (SELECT * FROM flp UNION ALL SELECT * FROM plp) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |       sc.avg_logprob, sc.ppl
+        |FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
+        |LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // DSIR replay: identical tokenization/bigrams (the text_repetition
     // idiom), 16-bit md5 buckets, add-one smoothed log-ratio weights, and

@@ -183,4 +183,27 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(0L))
   }
+
+  test("bigram-LM perplexity: hand-checked probabilities, unseen backoff, empty docs null") {
+    import graft.ops.LanguageModel
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val (big, uni, v, t) = LanguageModel.trainBigram(ref)
+    assert(v === 2L && t === 4L)
+    val docs = Seq((0L, "a b"), (1L, "b a"), (2L, "z z"), (3L, "")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexity(docs, big, uni, v, t)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // "a b": first a -> (2+1)/(4+2); (a,b) -> (2+1)/(2+2)
+    val lpAB = (math.log(0.5) + math.log(0.75)) / 2
+    // "b a": first b -> 0.5; (b,a) -> (1+1)/(2+2)
+    val lpBA = (math.log(0.5) + math.log(0.5)) / 2
+    // "z z": unseen first -> 1/6; unseen pair, empty context -> 1/(0+2)
+    val lpZZ = (math.log(1.0 / 6) + math.log(0.5)) / 2
+    assert(out(0L)._1 === 2L && math.abs(out(0L)._2.get - lpAB) < 1e-12)
+    assert(math.abs(out(1L)._2.get - lpBA) < 1e-12)
+    assert(math.abs(out(2L)._2.get - lpZZ) < 1e-12)
+    assert(out(3L) === ((0L, None))) // no tokens: no evidence, not "perfect"
+    // fluent-under-the-model text must get LOWER perplexity than gibberish
+    assert(out(0L)._2.get > out(2L)._2.get)
+  }
 }
