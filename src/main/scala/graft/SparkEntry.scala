@@ -168,6 +168,44 @@ r$d AS MATERIALIZED (
     sb.toString
   }
 
+  /** Unrolled BPE-training oracle: word-count table → sentinel-wrapped
+    * symbol strings, then `rounds` chained (pair-count, top-1, greedy
+    * replace) CTE triples — the identical representation and total order
+    * the Spark side uses. `finalSelect` picks merges vs vocabulary.
+    */
+  private def bpeSql(rounds: Int, finalSelect: String): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH tok AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
+  FROM documents),
+wt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+w0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(string_split(w, ''), c -> '<' || c || '>'), ' ') AS s,
+         freq
+  FROM wt)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+p$r AS MATERIALIZED (
+  SELECT pair, sum(freq) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(ss), 1)),
+                                 i -> ss[i] || ' ' || ss[i+1])) AS pair, freq
+    FROM (SELECT string_split(s, ' ') AS ss, freq FROM w${r - 1})) GROUP BY pair),
+m$r AS MATERIALIZED (SELECT $r AS round, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+w$r AS MATERIALIZED (
+  SELECT CASE WHEN m.pair IS NULL THEN w.s
+         ELSE replace(w.s, m.pair, replace(m.pair, '> <', '')) END AS s, w.freq
+  FROM w${r - 1} w LEFT JOIN m$r m ON true)"""
+    }
+    sb ++= "\n" + finalSelect
+      .replace("__MERGES__",
+        (1 to rounds).map(r => s"SELECT round, pair, cnt FROM m$r")
+          .mkString("\n  UNION ALL "))
+      .replace("__WFINAL__", s"w$rounds")
+    sb.toString
+  }
+
   private def smallSynth = TranscriptGen.Config(numConvs = 6, turnsPerConv = 20, skew = 3)
 
   /** Flagship: full KG construction on synthesized transcripts. */
@@ -1156,6 +1194,19 @@ r$d AS MATERIALIZED (
         .select(col("doc_id"), col("n_grams"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))
     }),
+
+    // BPE tokenizer training (20 merges over the corpus word table) — the
+    // merge sequence IS the tokenizer model; oracle replays every round's
+    // pair count, tie-break and greedy rewrite
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.trainMerges(read(s, dir, "documents"), rounds = 20)
+        .orderBy(col("round"))),
+
+    // the symbol vocabulary the 20 merges induce (alphabet + merged symbols
+    // with corpus occurrence counts under the final segmentation)
+    "text_bpe_vocab" -> ((s, dir) =>
+      graft.ops.Bpe.vocab(read(s, dir, "documents"), rounds = 20)
+        .orderBy(col("symbol"))),
 
     // CCNet-style perplexity filter: bigram LM trained on the English docs,
     // every other doc scored (same target/raw split as text_dsir_scores —
@@ -2238,6 +2289,19 @@ r$d AS MATERIALIZED (
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 24 AS span_end,
         |       max(pos) + 24 - min(pos) + 1 AS span_len
         |FROM g GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "text_bpe_merges" -> bpeSql(20,
+      """SELECT round,
+        |  regexp_replace(string_split(pair, ' ')[1], '[<>]', '', 'g') AS "left",
+        |  regexp_replace(string_split(pair, ' ')[2], '[<>]', '', 'g') AS "right",
+        |  CAST(cnt AS BIGINT) AS freq
+        |FROM (__MERGES__) ORDER BY round""".stripMargin),
+
+    "text_bpe_vocab" -> bpeSql(20,
+      """SELECT regexp_replace(sym, '[<>]', '', 'g') AS symbol,
+        |  CAST(sum(freq) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(s, ' ')) AS sym, freq FROM __WFINAL__)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // perplexity replay: the model (unigram/bigram counts, V, T) and every
     // per-token log-probability re-derived; first token scores against the

@@ -206,4 +206,28 @@ class TextPipelineSpec extends SparkSpec {
     // fluent-under-the-model text must get LOWER perplexity than gibberish
     assert(out(0L)._2.get > out(2L)._2.get)
   }
+
+  test("BPE merges: overlapping pair counts, greedy rewrite, deterministic ties") {
+    import graft.ops.Bpe
+    // word counts: aaab x3, ab x2
+    val corpus = Seq((0L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(corpus, rounds = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    // r1: (a,a) 6 (aaab has TWO overlapping (a,a) per occurrence);
+    // r2: (a,b) 5 (greedy rewrite left "<aa> <a> <b>", not "<a> <aa> <b>");
+    // r3: (aa,ab) 3
+    assert(merges === Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+    val v = Bpe.vocab(corpus, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(v === Map("aaab" -> 3L, "ab" -> 2L))
+    // tie at count 2 breaks to the lexicographically smaller pair
+    val tie = Seq((0L, "xy xy zw zw")).toDF("doc_id", "text")
+    val m1 = Bpe.trainMerges(tie, rounds = 1)
+      .as[(Int, String, String, Long)].collect().head
+    assert(m1 === ((1, "x", "y", 2L)))
+    // more rounds than mergeable pairs: extra rounds yield no rows
+    val exhausted = Bpe.trainMerges(Seq((0L, "ab ab")).toDF("doc_id", "text"), rounds = 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(exhausted === Seq((1, "a", "b", 2L)))
+  }
 }
