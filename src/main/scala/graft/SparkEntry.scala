@@ -176,7 +176,8 @@ r$d AS MATERIALIZED (
   private def bpeSql(rounds: Int, finalSelect: String): String = {
     val sb = new StringBuilder
     sb ++= """WITH tok AS MATERIALIZED (
-  SELECT list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
   FROM documents),
 wt AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -198,11 +199,28 @@ w$r AS MATERIALIZED (
          ELSE replace(w.s, m.pair, replace(m.pair, '> <', '')) END AS s, w.freq
   FROM w${r - 1} w LEFT JOIN m$r m ON true)"""
     }
+    if (finalSelect.contains("__DFINAL__")) {
+      sb ++= """,
+d0 AS MATERIALIZED (
+  SELECT doc_id,
+    array_to_string(list_transform(t, w ->
+      array_to_string(list_transform(string_split(w, ''), c -> '<' || c || '>'), ' ')),
+      ' / ') AS s
+  FROM tok)"""
+      for (r <- 1 to rounds) {
+        sb ++= s""",
+d$r AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN m.pair IS NULL THEN d.s
+         ELSE replace(d.s, m.pair, replace(m.pair, '> <', '')) END AS s
+  FROM d${r - 1} d LEFT JOIN m$r m ON true)"""
+      }
+    }
     sb ++= "\n" + finalSelect
       .replace("__MERGES__",
         (1 to rounds).map(r => s"SELECT round, pair, cnt FROM m$r")
           .mkString("\n  UNION ALL "))
       .replace("__WFINAL__", s"w$rounds")
+      .replace("__DFINAL__", s"d$rounds")
     sb.toString
   }
 
@@ -1207,6 +1225,17 @@ w$r AS MATERIALIZED (
     "text_bpe_vocab" -> ((s, dir) =>
       graft.ops.Bpe.vocab(read(s, dir, "documents"), rounds = 20)
         .orderBy(col("symbol"))),
+
+    // the APPLY step: per-doc token counts under the 20-merge tokenizer —
+    // train-then-encode in one row (the model is 20 rows, collected as the
+    // literal nested-replace fold; no join in the encode pass)
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val model = graft.ops.Bpe.trainMerges(docs, rounds = 20)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.encodeTokenCounts(docs, model).orderBy(col("doc_id"))
+    }),
 
     // CCNet-style perplexity filter: bigram LM trained on the English docs,
     // every other doc scored (same target/raw split as text_dsir_scores —
@@ -2302,6 +2331,11 @@ w$r AS MATERIALIZED (
         |  CAST(sum(freq) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(s, ' ')) AS sym, freq FROM __WFINAL__)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "text_bpe_encode" -> bpeSql(20,
+      """SELECT doc_id,
+        |  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_bpe_tokens
+        |FROM __DFINAL__ ORDER BY doc_id""".stripMargin),
 
     // perplexity replay: the model (unigram/bigram counts, V, T) and every
     // per-token log-probability re-derived; first token scores against the

@@ -106,4 +106,29 @@ object Bpe {
       .groupBy(translate(col("sym"), "<>", "").as("symbol"))
       .agg(sum(col("freq")).as("freq"))
   }
+
+  /** The APPLY step: per-document token counts under a trained merge list.
+    * `merges` is the ordered (left, right) model — tiny by construction
+    * (one row per merge round), so it folds into ONE codegen'd
+    * nested-replace expression: no joins, no shuffle, a single narrow pass
+    * over the corpus (the right 100 TB shape for "how many tokens is this
+    * corpus under my tokenizer", the input [[Packing.packSequences]] and
+    * [[Sampling.tokenBudgetCap]] want).
+    *
+    * Words are joined with " / " before the fold — merge patterns require a
+    * single space between symbols, so merges can never jump a word
+    * boundary, exactly as in training (where each word is its own row).
+    */
+  def encodeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s0 = array_join(transform(TextAnalysis.tokens(col(textCol)),
+      w => array_join(transform(sequence(lit(1), length(w)),
+        i => concat(lit("<"), w.substr(i, lit(1)), lit(">"))), " ")), " / ")
+    val sFinal = merges.foldLeft(s0) { case (acc, (l, r)) =>
+      replace(acc, lit(s"<$l> <$r>"), lit(s"<$l$r>"))
+    }
+    docs.select(col(idCol),
+      (length(sFinal) - length(replace(sFinal, lit("<"), lit(""))))
+        .cast("long").as("n_bpe_tokens"))
+  }
 }

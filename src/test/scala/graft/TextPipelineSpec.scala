@@ -230,4 +230,18 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().sortBy(_._1)
     assert(exhausted === Seq((1, "a", "b", 2L)))
   }
+
+  test("BPE encode: trained merges segment docs; merges never jump word boundaries") {
+    import graft.ops.Bpe
+    val model = Seq(("a", "a"), ("a", "b"), ("aa", "ab")) // from the aaab corpus
+    val docs = Seq(
+      (0L, "aaab ab"),  // <aaab> + <ab> = 2 tokens
+      (1L, "a b"),      // (a,b) is a merge but 'a','b' are separate WORDS = 2
+      (2L, "xyz"),      // unseen chars stay singletons = 3
+      (3L, "")          // empty = 0
+    ).toDF("doc_id", "text")
+    val got = Bpe.encodeTokenCounts(docs, model)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 0L))
+  }
 }
