@@ -1126,6 +1126,14 @@ d$r AS MATERIALIZED (
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy(col("id"))),
 
+    // per-vertex local clustering coefficients over the shared similarity
+    // graph; oracle recomputes degrees + the same triangle enumeration
+    "graph_clustering" -> ((s, dir) =>
+      graft.query.GraphAlgos.clusteringCoefficients(simEdges(s, dir))
+        .select(col("id"), col("degree"), col("triangles"),
+          round(col("coefficient"), 6).as("coefficient"))
+        .orderBy(col("id"))),
+
     // weighted single-source shortest distances (bounded Bellman-Ford, 12
     // relaxation rounds both sides): md5-derived integer weights 1..9 per
     // undirected pair, seed = the smallest edge endpoint; oracle = bounded
@@ -2210,6 +2218,24 @@ d$r AS MATERIALIZED (
          |FROM md GROUP BY src_id ORDER BY id""".stripMargin,
 
     "graph_hyperball" -> hyperBallSql(8),
+
+    "graph_clustering" ->
+      s"""$simEdgesCte,
+         |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM sym GROUP BY s),
+         |tri AS (
+         |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+         |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+         |  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+         |tv AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS triangles
+         |       FROM (SELECT unnest([a, b, c]) AS u FROM tri) GROUP BY u)
+         |SELECT d.id, d.degree,
+         |       coalesce(tv.triangles, CAST(0 AS BIGINT)) AS triangles,
+         |       CASE WHEN d.degree < 2 THEN CAST(0 AS DOUBLE)
+         |            ELSE round(CAST(coalesce(tv.triangles, 0) AS DOUBLE) * 2
+         |                       / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+         |       END AS coefficient
+         |FROM deg d LEFT JOIN tv USING (id) ORDER BY d.id""".stripMargin,
 
     // bounded weighted relaxation: walk rows carry (id, cost, hops); UNION
     // dedups repeats, the cost cap (100 > any attainable minimum: weights

@@ -314,6 +314,25 @@ object GraphAlgos {
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficients: (id, degree, triangles, coefficient)
+    * for every non-isolated vertex — coefficient = 2·T(v)/(deg(v)·(deg(v)−1)),
+    * 0 when deg < 2 (the per-vertex community-density signal PageRank and
+    * degree miss). One shared symmetrized adjacency feeds both the degree
+    * aggregation and the triangle count (the [[graphStats]] sharing
+    * discipline — never two symmetrize shuffles).
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = Checkpoints.truncate(sym(edges))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    deg.join(trianglesFromSym(und), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(coalesce(col("triangles"), lit(0L)).cast("double") * 2.0
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("coefficient"))
+  }
+
   /** Vertices of the k-core: the maximal subgraph in which every vertex
     * has degree >= k (the standard graph-quality filter — noise entities
     * and weakly-attested facts peel away first). Iterative peeling as

@@ -340,6 +340,16 @@ class GraphAlgosSpec extends SparkSpec {
     assert(disc(0L) === ((0L, 1L, 1.0, 1.0)) && disc(5L) === ((5L, 1L, 1.0, 1.0)))
   }
 
+  test("clusteringCoefficients: triangle density per vertex, pendant zero") {
+    // K3 {1,2,3} + pendant edge 3-4
+    val cc = GraphAlgos.clusteringCoefficients(
+        edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(cc(1L) === ((1L, 2L, 1L, 1.0)) && cc(2L) === ((2L, 2L, 1L, 1.0)))
+    assert(cc(3L)._2 === 3L && math.abs(cc(3L)._4 - 1.0 / 3) < 1e-12)
+    assert(cc(4L) === ((4L, 1L, 0L, 0.0)))
+  }
+
   test("weightedDistances: relaxation prefers light detours; hop bound truncates") {
     val e = Seq((0L, 1L, 10L), (1L, 2L, 1L), (0L, 2L, 1L)).toDF("src", "dst", "w")
     val full = GraphAlgos.weightedDistances(e, Seq(0L).toDF("id"), maxRounds = 5)
