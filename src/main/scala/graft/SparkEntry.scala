@@ -1066,6 +1066,17 @@ d$r AS MATERIALIZED (
         .select(col("id").as("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // Newman modularity of the 3-round label-prop communities over the same
+    // similarity graph — the communities plus THEIR quality metric (per-
+    // community contribution rows sum to Q); oracle replays label-prop and
+    // the modularity algebra end to end
+    "graph_modularity" -> ((s, dir) =>
+      graft.query.GraphAlgos.modularity(simEdges(s, dir),
+          graft.query.GraphAlgos.labelPropagation(simEdges(s, dir), iters = 3))
+        .select(col("label"), col("n_vertices"), col("internal_edges"),
+          col("degree_sum"), round(col("contribution"), 6).as("contribution"))
+        .orderBy(col("label"))),
+
     "graph_link_predict" -> ((s, dir) =>
       graft.query.GraphAlgos.linkPrediction(simEdges(s, dir))
         .select(col("a"), col("b"), col("common"),
@@ -1220,6 +1231,31 @@ d$r AS MATERIALIZED (
         .select(col("doc_id"), col("n_grams"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))
     }),
+
+    // fastText-shape trained quality classifier (multinomial NB over hashed
+    // unigram+bigram features — the GPT-3/LLaMA corpus-gate family): pos =
+    // the English docs, neg = the rest, every doc scored and classified.
+    // Oracle re-derives both class histograms, the totals, the prior and
+    // every per-doc feature-weight sum
+    "text_quality_classifier" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ops.QualityClassifier.scores(docs,
+          docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"))
+        .select(col("doc_id"), col("n_features"),
+          round(col("score"), 6).as("score"), col("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Efraimidis–Spirakis weighted sampling without replacement: 50 docs
+    // drawn ∝ n_chars through deterministic md5 uniforms (the mixture-
+    // sampling primitive rand() can't give at scale — retries re-roll it);
+    // oracle replays u, the ln(u)/w key and the exact top-k membership
+    "text_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+          read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          k = 50, weightCol = "n_chars")
+        .select(col("doc_id"), col("n_chars"), round(col("es_key"), 6).as("es_key"))
+        .orderBy(col("doc_id"))),
 
     // BPE tokenizer training (20 merges over the corpus word table) — the
     // merge sequence IS the tokenizer model; oracle replays every round's
@@ -2112,6 +2148,49 @@ d$r AS MATERIALIZED (
          |       WHERE rn = 1)
          |SELECT id AS vec_id, label FROM l3 ORDER BY vec_id""".stripMargin,
 
+    // the label-prop unroll again, then the modularity algebra over it: one
+    // pass over the labeled symmetric adjacency yields each community's
+    // degree sum and doubled internal-edge count; contribution computed in
+    // the same double-op order as the engine (div, then squared div)
+    "graph_modularity" ->
+      s"""$simEdgesCte,
+         |l0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
+         |h1 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM sym JOIN l0 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |l1 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (
+         |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h1)
+         |       WHERE rn = 1),
+         |h2 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM sym JOIN l1 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |l2 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (
+         |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h2)
+         |       WHERE rn = 1),
+         |h3 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
+         |       FROM sym JOIN l2 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |l3 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (
+         |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h3)
+         |       WHERE rn = 1),
+         |wl AS (SELECT a.label AS ls, b.label AS ld
+         |       FROM sym JOIN l3 a ON sym.s = a.id JOIN l3 b ON sym.d = b.id),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
+         |ag AS (SELECT ls AS label, CAST(count(*) AS BIGINT) AS degree_sum,
+         |              CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT)
+         |                AS internal2
+         |       FROM wl GROUP BY ls),
+         |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vertices
+         |       FROM l3 GROUP BY label)
+         |SELECT nv.label, nv.n_vertices,
+         |       CAST(coalesce(ag.internal2, 0) / 2 AS BIGINT) AS internal_edges,
+         |       coalesce(ag.degree_sum, CAST(0 AS BIGINT)) AS degree_sum,
+         |       round(CAST(coalesce(ag.internal2, 0) AS DOUBLE) / m2.m2
+         |             - (CAST(coalesce(ag.degree_sum, 0) AS DOUBLE) / m2.m2)
+         |               * (CAST(coalesce(ag.degree_sum, 0) AS DOUBLE) / m2.m2), 6)
+         |         AS contribution
+         |FROM nv LEFT JOIN ag USING (label), m2 ORDER BY nv.label""".stripMargin,
+
     // distance-2 pairs only (wedge through the shared neighbor), scores in
     // all-DOUBLE arithmetic; round(,6) absorbs sum-order ULP on the two
     // double columns
@@ -2436,6 +2515,61 @@ d$r AS MATERIALIZED (
         |       coalesce(pd.score, CAST(0 AS DOUBLE)) AS score
         |FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
         |LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // NB-classifier replay: identical tokenization, unigrams ++ bigrams,
+    // 16-bit md5 buckets under the "nbq:" salt, add-one smoothed per-class
+    // log-likelihood weights, class prior from doc counts, per-doc sum
+    "text_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(t) AS gram FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)),
+        |                          i -> array_to_string(t[i : i + 1], ' '))) AS gram
+        |  FROM tok),
+        |b AS (SELECT doc_id, lang,
+        |        (('0x' || substr(md5('nbq:' || gram), 1, 4))::INT) % 4096 AS bucket
+        |      FROM g),
+        |hp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cp
+        |       FROM b WHERE lang = 'en' GROUP BY bucket),
+        |hn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cn
+        |       FROM b WHERE lang <> 'en' GROUP BY bucket),
+        |tot AS (SELECT (SELECT coalesce(sum(cp), 0) FROM hp) AS tp,
+        |               (SELECT coalesce(sum(cn), 0) FROM hn) AS tn,
+        |               (SELECT count(*) FROM documents WHERE lang = 'en') AS np,
+        |               (SELECT count(*) FROM documents WHERE lang <> 'en') AS nn),
+        |w AS (SELECT db.bucket,
+        |        ln(CAST(coalesce(hp.cp, 0) + 1 AS DOUBLE) / CAST(tot.tp + 4096 AS DOUBLE))
+        |        - ln(CAST(coalesce(hn.cn, 0) + 1 AS DOUBLE) / CAST(tot.tn + 4096 AS DOUBLE))
+        |          AS lw
+        |      FROM (SELECT DISTINCT bucket FROM b) db
+        |      LEFT JOIN hp USING (bucket) LEFT JOIN hn USING (bucket), tot),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features, sum(lw) AS fsum
+        |       FROM b JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(pd.n_features, CAST(0 AS BIGINT)) AS n_features,
+        |       round(ln(CAST(tot.np AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+        |             + coalesce(pd.fsum, 0.0), 6) AS score,
+        |       CASE WHEN ln(CAST(tot.np AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+        |                  + coalesce(pd.fsum, 0.0) > 0 THEN 1 ELSE 0 END AS predicted
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN pd USING (doc_id), tot ORDER BY d.doc_id""".stripMargin,
+
+    // E-S replay: u = (52 md5 bits + 1) / 2^52 exactly, key = ln(u)/w, top-k
+    // by (key desc, id) — membership AND keys must match bit-for-bit
+    "text_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5('graft-wsample' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |        + 1) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents WHERE n_chars > 0),
+        |top AS (SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+        |FROM top ORDER BY doc_id""".stripMargin,
 
     // removal replay: same span derivation, then a per-character kept-position
     // rebuild (the oracle may be naive; the engine folds spans per doc)

@@ -76,6 +76,39 @@ object Sampling {
     b < threshold
   }
 
+  /** Efraimidis–Spirakis weighted-sampling key (2006, "Weighted random
+    * sampling with a reservoir"): rows compared by u^(1/w) — here as the
+    * monotone-equivalent ln(u)/w, which never under/overflows — with u a
+    * DETERMINISTIC salted-md5 uniform in (0,1], so the k largest keys are a
+    * weighted sample without replacement that every re-run, task retry and
+    * auditing engine reproduces bit-identically (the [[hashBucket]]
+    * properties, lifted from fixed-rate gating to weighted top-k). u is the
+    * first 52 md5 bits shifted into (0,1] as (x+1)/2^52 — exact in IEEE
+    * double, and exactly the arithmetic the DuckDB oracle replays.
+    */
+  def weightedSampleKey(key: Column, weight: Column,
+      salt: String = "graft-wsample"): Column = {
+    val u = (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 13),
+        16, 10).cast("double") + 1.0) / 4503599627370496.0 // 2^52
+    log(u) / weight.cast("double")
+  }
+
+  /** The k rows of `docs` sampled without replacement with probability
+    * proportional to `weightCol` (rows with weight <= 0 are never drawn).
+    * Appends the sort key as `es_key`. Scale shape: the key is a pure
+    * narrow expression and the selection is orderBy+limit → TakeOrdered
+    * (per-partition top-k, no global sort, no full shuffle).
+    */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame, k: Int,
+      weightCol: String, idCol: String = "doc_id",
+      salt: String = "graft-wsample"): org.apache.spark.sql.DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    docs.filter(col(weightCol) > 0)
+      .withColumn("es_key", weightedSampleKey(col(idCol), col(weightCol), salt))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** TOKEN-budget capping per stratum: walk each stratum's rows in
     * deterministic id order and keep rows while the stratum's running token
     * sum stays within `budget` — the token-weighted counterpart of

@@ -274,6 +274,44 @@ object GraphAlgos {
     labels
   }
 
+  /** Newman modularity per community: (label, n_vertices, internal_edges,
+    * degree_sum, contribution), where contribution = e_c/m − (d_c/2m)² and
+    * Σ contributions = Q — the quality metric that tells a user whether the
+    * [[labelPropagation]] communities are real structure or noise (Q near 0
+    * = no better than random given the degree sequence).
+    *
+    * `communities` is any (id, label) assignment; vertices of the edge set
+    * missing from it are dropped from the edge-side stats (their rows can't
+    * be attributed), communities with no surviving edges report zeros. One
+    * shared symmetrized adjacency feeds both per-community aggregates in a
+    * single pass (each directed row contributes 1 to its src community's
+    * degree sum and, when the endpoints agree, 1 to internal×2), and the
+    * global 2m total rides in as a 1-row broadcast — two shuffles on vertex
+    * id + one bounded-by-#communities aggregation at any graph size.
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val und = Checkpoints.truncate(sym(edges))
+    val lab = communities.select(col("id"), col("label"))
+    val withLabels = und
+      .join(lab.select(col("id").as("src"), col("label").as("ls")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("ld")), Seq("dst"))
+    val eStats = withLabels.groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("ls") === col("ld"), lit(1L)).otherwise(lit(0L)))
+          .as("internal2"))
+    val m2 = und.agg(count(lit(1)).as("m2"))
+    lab.groupBy(col("label")).agg(count(lit(1)).as("n_vertices"))
+      .join(eStats, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_vertices"),
+        (coalesce(col("internal2"), lit(0L)) / 2).cast("long").as("internal_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        (coalesce(col("internal2"), lit(0L)).cast("double") / col("m2")
+          - (coalesce(col("degree_sum"), lit(0L)).cast("double") / col("m2"))
+            * (coalesce(col("degree_sum"), lit(0L)).cast("double") / col("m2")))
+          .as("contribution"))
+  }
+
   /** Per-vertex triangle count: (id, triangles), vertices in no triangle
     * omitted. Compact-forward: orient each undirected edge from its lower
     * endpoint by (degree, id), enumerate wedges from the common LOW vertex,

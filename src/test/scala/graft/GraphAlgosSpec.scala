@@ -396,4 +396,32 @@ class GraphAlgosSpec extends SparkSpec {
     // every ball estimate lands near the true component size (24, self incl.)
     hb.values.foreach { case (ball, _) => assert(ball > 18 && ball < 31) }
   }
+
+  test("modularity: perfect split Q=0.5, single community Q=0, hand-checked path") {
+    // two disjoint triangles with the natural communities: each contributes
+    // 3/6 - (6/12)^2 = 0.25, Q = 0.5 (the textbook maximum for this graph)
+    val twoTri = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L)
+    val split = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("id", "label")
+    val q = GraphAlgos.modularity(twoTri, split)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(q(0L) === ((0L, 3L, 3L, 6L, 0.25)) && q(1L) === ((1L, 3L, 3L, 6L, 0.25)))
+    // everything in one community: e_c/m = 1 and d_c/2m = 1 -> Q = 0 exactly
+    val one = GraphAlgos.modularity(twoTri,
+        split.select($"id", lit(9L).as("label")))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(one.toSeq === Seq((9L, 6L, 6L, 12L, 0.0)))
+    // path 1-2-3 with communities {1,2} / {3}: contributions 2/4 - (3/4)^2
+    // = -0.0625 and 0 - (1/4)^2 = -0.0625 (cut communities go negative)
+    val p = GraphAlgos.modularity(edges(1L -> 2L, 2L -> 3L),
+        Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "label"))
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(p(0L) === ((0L, 2L, 1L, 3L, -0.0625)))
+    assert(p(1L) === ((1L, 1L, 0L, 1L, -0.0625)))
+    // labelPropagation communities on the two-triangle graph recover Q = 0.5
+    val lp = GraphAlgos.labelPropagation(twoTri, iters = 3)
+    val qlp = GraphAlgos.modularity(twoTri, lp)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(math.abs(qlp.map(_._5).sum - 0.5) < 1e-12, qlp.toSeq)
+  }
 }

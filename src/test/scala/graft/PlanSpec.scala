@@ -193,6 +193,38 @@ class PlanSpec extends SparkSpec {
       s"winnowFingerprints shuffles:\n${exchanges.mkString("\n")}")
   }
 
+  test("quality classifier: weight/model joins broadcast, per-doc sums combine map-side") {
+    val docs = (0L until 40L).map(i => (i, s"token$i shared words here $i")).toDF("doc_id", "text")
+    val pos = docs.filter($"doc_id" % 2 === 0)
+    val neg = docs.filter($"doc_id" % 2 === 1)
+    val plan = graft.ops.QualityClassifier.scores(docs, pos, neg)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ≤buckets-row weight table must reach the feature stream as a
+    // broadcast hash join — a shuffle join here re-partitions the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // feature histograms + per-doc sums combine map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("weightedSample is a TakeOrdered top-k, never a global sort") {
+    val docs = (0L until 100L).map(i => (i, i % 9 + 1)).toDF("doc_id", "w")
+    val plan = graft.ops.Sampling.weightedSample(docs, k = 10, weightCol = "w")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("ShuffleExchange"), s"key+limit must stay narrow:\n$plan")
+  }
+
+  test("modularity: labeled-adjacency joins are hash joins; 2m rides as a 1-row broadcast") {
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).toDF("src", "dst")
+    val comms = (0L until 40L).map(i => (i, i % 4)).toDF("id", "label")
+    val plan = graft.query.GraphAlgos.modularity(edges, comms)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one nested-loop is legitimate: the 1-row m2 broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("centrality iterations: betweenness/closeness/hyperBall hash-join on vertex keys only") {
     val edges = (0L until 30L).map(i => (i, (i * 11 + 5) % 30)).toDF("src", "dst")
     for ((name, df) <- Seq(

@@ -125,4 +125,31 @@ class SamplingSpec extends SparkSpec {
     assert(nr.keySet === Set(0L, 1L, 2L))
     assert(nr(1L) === (40L, true) && nr(2L) === (70L, false))
   }
+
+  test("weightedSample: weight-proportional, deterministic, zero-weight excluded") {
+    import graft.ops.Sampling
+    // 500 docs: even ids weight 10, odd ids weight 1 -> E[heavy share of a
+    // k=100 E-S draw] ~ 0.91; deterministic hashes make the assertion exact
+    val pool = (0L until 500L).map(i => (i, if (i % 2 == 0) 10L else 1L))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedSample(pool, k = 100, weightCol = "w")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 100)
+    val heavy = got.count(_._2 == 10L)
+    assert(heavy > 75, s"heavy docs must dominate a weighted draw: $heavy/100")
+    // keys are ln(u)/w <= 0 and the selection is exactly the top-k by key
+    assert(got.forall(_._3 <= 0.0))
+    val all = Sampling.weightedSample(pool, k = 500, weightCol = "w")
+      .as[(Long, Long, Double)].collect()
+    val expect = all.sortBy(r => (-r._3, r._1)).take(100).map(_._1).toSet
+    assert(got.map(_._1).toSet === expect)
+    // layout-independent (the task-retry / cluster-size safety property)
+    val again = Sampling.weightedSample(pool.repartition(16), k = 100, "w")
+      .as[(Long, Long, Double)].collect()
+    assert(again.map(_._1).toSet === got.map(_._1).toSet)
+    // weight <= 0 rows are never drawn; k > pool returns the positive pool
+    val mixed = Seq((1L, 0L), (2L, -3L), (3L, 5L)).toDF("doc_id", "w")
+    val m = Sampling.weightedSample(mixed, k = 10, "w").collect().map(_.getLong(0))
+    assert(m.toSeq === Seq(3L))
+  }
 }

@@ -244,4 +244,38 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 0L))
   }
+
+  test("quality classifier: separates the classes it trained on, prior-only fallback") {
+    import graft.ops.QualityClassifier
+    val pos = Seq(
+      (100L, Seq.fill(4)("clear prose with real sentences and structure").mkString(" ")),
+      (101L, Seq.fill(4)("real sentences carry structure and clear meaning").mkString(" "))
+    ).toDF("doc_id", "text")
+    val neg = Seq(
+      (200L, Seq.fill(4)("buy cheap pills casino bonus click here now").mkString(" ")),
+      (201L, Seq.fill(4)("casino bonus cheap pills win win click").mkString(" "))
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "clear prose with real structure"),   // pos-like
+      (1L, "cheap pills casino bonus"),          // neg-like
+      (2L, "")                                   // no features -> prior only
+    ).toDF("doc_id", "text")
+    val s = QualityClassifier.scores(docs, pos, neg)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(s(0L)._3 > 0 && s(0L)._4 === 1, s"pos-like must classify 1: $s")
+    assert(s(1L)._3 < 0 && s(1L)._4 === 0, s"neg-like must classify 0: $s")
+    // equal class priors (2 docs each) -> featureless doc scores ln(1) = 0
+    assert(s(2L)._2 === 0L && math.abs(s(2L)._3) < 1e-12 && s(2L)._4 === 0)
+    // deterministic under repartition (the hashed-feature property)
+    val s2 = QualityClassifier.scores(
+        docs.repartition(5), pos.repartition(3), neg.repartition(2))
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      assert(math.abs(s2(id)._3 - s(id)._3) < 1e-9)
+    }
+    // the model table is mergeable counts, never wider than the bucket domain
+    val m = QualityClassifier.trainCounts(pos, neg, buckets = 64)
+    assert(m.count() <= 64)
+    assert(m.columns.toSeq === Seq("bucket", "cpos", "cneg"))
+  }
 }
