@@ -1066,6 +1066,13 @@ d$r AS MATERIALIZED (
         .select(col("id").as("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // per-edge triangle support (the k-truss peel quantity; support 0 =
+    // bridge) over the shared similarity graph; oracle re-enumerates the
+    // triangles and attributes each to its three canonical edges
+    "graph_truss_support" -> ((s, dir) =>
+      graft.query.GraphAlgos.edgeSupport(simEdges(s, dir))
+        .orderBy(col("src"), col("dst"))),
+
     // Newman modularity of the 3-round label-prop communities over the same
     // similarity graph — the communities plus THEIR quality metric (per-
     // community contribution rows sum to Q); oracle replays label-prop and
@@ -1256,6 +1263,24 @@ d$r AS MATERIALIZED (
           k = 50, weightCol = "n_chars")
         .select(col("doc_id"), col("n_chars"), round(col("es_key"), 6).as("es_key"))
         .orderBy(col("doc_id"))),
+
+    // temperature-scaled mixture (the mT5/XLM-R balancing rule, alpha=0.5):
+    // per-source keep rates ∝ n^(alpha−1) max-normed, then the deterministic
+    // hash gate applied — rates AND the kept-count realization in one row
+    // set; oracle replays the masses, pow, normalization, floor threshold
+    // and every gate decision
+    "text_temperature_mix" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ops.Sampling.temperatureRates(docs, 0.5, "source", "n_chars")
+        .join(graft.ops.Sampling
+            .temperatureKeep(docs, 0.5, "source", "n_chars", "doc_id")
+            .groupBy(col("source")).agg(count(lit(1)).as("kept_docs")),
+          Seq("source"), "left")
+        .select(col("source"), col("stratum_tokens"),
+          round(col("p"), 6).as("p"), round(col("keep_rate"), 6).as("keep_rate"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"))
+        .orderBy(col("source"))
+    }),
 
     // BPE tokenizer training (20 merges over the corpus word table) — the
     // merge sequence IS the tokenizer model; oracle replays every round's
@@ -2148,6 +2173,24 @@ d$r AS MATERIALIZED (
          |       WHERE rn = 1)
          |SELECT id AS vec_id, label FROM l3 ORDER BY vec_id""".stripMargin,
 
+    // triangle triples a<b<c (e is already id-canonical), each exploded to
+    // its three edges; edges outside any triangle report support 0
+    "graph_truss_support" ->
+      s"""$simEdgesCte,
+         |tri AS (
+         |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+         |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+         |  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+         |ed AS (SELECT a AS s, b AS d FROM tri
+         |       UNION ALL SELECT b, c FROM tri
+         |       UNION ALL SELECT a, c FROM tri),
+         |sup AS (SELECT s, d, CAST(count(*) AS BIGINT) AS support
+         |        FROM ed GROUP BY s, d)
+         |SELECT e.s AS src, e.d AS dst,
+         |       coalesce(sup.support, CAST(0 AS BIGINT)) AS support
+         |FROM e LEFT JOIN sup ON e.s = sup.s AND e.d = sup.d
+         |ORDER BY src, dst""".stripMargin,
+
     // the label-prop unroll again, then the modularity algebra over it: one
     // pass over the labeled symmetric adjacency yields each community's
     // degree sum and doubled internal-edge count; contribution computed in
@@ -2558,6 +2601,28 @@ d$r AS MATERIALIZED (
         |                  + coalesce(pd.fsum, 0.0) > 0 THEN 1 ELSE 0 END AS predicted
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN pd USING (doc_id), tot ORDER BY d.doc_id""".stripMargin,
+
+    // temperature-mixture replay: per-source char masses, pow(n, alpha)/
+    // pow(n, alpha-1) in the same op order, max/sum normalizations, the
+    // floor(rate*65536) threshold, and the salted 16-bit gate per doc
+    "text_temperature_mix" ->
+      """WITH n AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT source, n, pow(n, 0.5) AS pa, pow(n, -0.5) AS sc FROM n),
+        |tot AS (SELECT sum(pa) AS pt, max(sc) AS mx FROM s),
+        |r AS (SELECT source, CAST(n AS BIGINT) AS stratum_tokens,
+        |             pa / tot.pt AS p, sc / tot.mx AS keep_rate
+        |      FROM s, tot),
+        |thr AS (SELECT source, CAST(floor(keep_rate * 65536) AS INT) AS t FROM r),
+        |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs
+        |      FROM documents d JOIN thr USING (source)
+        |      WHERE (('0x' || substr(md5('graft-tmix' || CAST(doc_id AS VARCHAR)), 1, 4))::INT)
+        |            < thr.t
+        |      GROUP BY d.source)
+        |SELECT r.source, r.stratum_tokens, round(r.p, 6) AS p,
+        |       round(r.keep_rate, 6) AS keep_rate,
+        |       coalesce(k.kept_docs, CAST(0 AS BIGINT)) AS kept_docs
+        |FROM r LEFT JOIN k USING (source) ORDER BY r.source""".stripMargin,
 
     // E-S replay: u = (52 md5 bits + 1) / 2^52 exactly, key = ln(u)/w, top-k
     // by (key desc, id) — membership AND keys must match bit-for-bit

@@ -76,6 +76,48 @@ object Sampling {
     b < threshold
   }
 
+  /** Temperature-scaled mixture rates (the mT5/XLM-R language-balancing
+    * rule): sampling probability p_i ∝ n_i^alpha over the per-stratum token
+    * masses n_i, realized as per-stratum KEEP RATES normalized so the most
+    * upweighted stratum keeps everything (no upsampling from a filter gate —
+    * [[stratifiedKeep]]'s contract): r_i = n_i^(alpha−1) / max_j n_j^(alpha−1).
+    * alpha = 1 reproduces natural proportions (all rates 1), alpha → 0
+    * approaches uniform-per-stratum. Returns one row per stratum:
+    * (stratumCol, stratum_tokens, p, keep_rate) — at most #strata rows,
+    * broadcastable by construction.
+    */
+  def temperatureRates(docs: org.apache.spark.sql.DataFrame, alpha: Double,
+      stratumCol: String, weightCol: String): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val n = docs.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).cast("double").as("n"))
+    val scored = n.select(col(stratumCol), col("n"),
+      pow(col("n"), lit(alpha)).as("pa"),
+      pow(col("n"), lit(alpha - 1)).as("s"))
+    val tots = scored.agg(sum(col("pa")).as("pt"), max(col("s")).as("mx"))
+    scored.crossJoin(broadcast(tots))
+      .select(col(stratumCol), col("n").cast("long").as("stratum_tokens"),
+        (col("pa") / col("pt")).as("p"),
+        (col("s") / col("mx")).as("keep_rate"))
+  }
+
+  /** The gate for [[temperatureRates]]: keep each row iff its salted hash
+    * bucket falls under floor(keep_rate · 65536) for its stratum — the same
+    * deterministic/portable gate as [[stratifiedKeep]], with the rates
+    * COMPUTED from the corpus instead of hand-configured. The rate table
+    * joins in as a broadcast (#strata rows); the gate stays a narrow filter.
+    */
+  def temperatureKeep(docs: org.apache.spark.sql.DataFrame, alpha: Double,
+      stratumCol: String, weightCol: String, idCol: String,
+      salt: String = "graft-tmix"): org.apache.spark.sql.DataFrame = {
+    val thr = temperatureRates(docs, alpha, stratumCol, weightCol)
+      .select(col(stratumCol),
+        floor(col("keep_rate") * Buckets).cast("int").as("_thr"))
+    docs.join(broadcast(thr), Seq(stratumCol))
+      .filter(hashBucket(col(idCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Efraimidis–Spirakis weighted-sampling key (2006, "Weighted random
     * sampling with a reservoir"): rows compared by u^(1/w) — here as the
     * monotone-equivalent ln(u)/w, which never under/overflows — with u a

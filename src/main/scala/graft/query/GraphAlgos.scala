@@ -328,7 +328,17 @@ object GraphAlgos {
   /** [[triangles]] over an already-symmetrized, deduplicated, materialized
     * adjacency — shared by [[graphStats]] so the report symmetrizes once.
     */
-  private def trianglesFromSym(und: DataFrame): DataFrame = {
+  private def trianglesFromSym(und: DataFrame): DataFrame =
+    triangleTriples(und)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+
+  /** Each triangle exactly once as (u, v, w): u = the degree-ordered apex
+    * both oriented wedge arms leave from, v < w by id. Shared by the
+    * per-vertex counts ([[trianglesFromSym]]) and the per-edge support
+    * ([[edgeSupport]]) so both inherit the compact-forward bound.
+    */
+  private def triangleTriples(und: DataFrame): DataFrame = {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     // orient low→high by (degree, id); each undirected edge survives once
     val oriented = Checkpoints.truncate(
@@ -347,9 +357,56 @@ object GraphAlgos {
     // order is plain id)
     val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
     val closing = und.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    wedges.join(closing, Seq("v", "w"), "left_semi")
+  }
+
+  /** Per-edge triangle support: (src, dst, support) for every undirected
+    * edge in id-canonical orientation (src < dst) — the edge-level dual of
+    * [[clusteringCoefficients]] and the quantity k-truss peels on (an edge
+    * with high support sits inside a dense community; support 0 = bridge
+    * or noise). Same cost envelope as [[triangles]]: the triple enumeration
+    * plus one canonicalize-explode-aggregate keyed by the edge.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame =
+    edgeSupportFromSym(Checkpoints.truncate(sym(edges)))
+
+  private def edgeSupportFromSym(und: DataFrame): DataFrame = {
+    val tris = triangleTriples(und)
+    def canon(x: String, y: String) = tris.select(
+      least(col(x), col(y)).as("src"), greatest(col(x), col(y)).as("dst"))
+    val sup = canon("u", "v").union(canon("u", "w")).union(canon("v", "w"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("support"))
+    und.filter(col("src") < col("dst"))
+      .join(sup, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Edges of the k-truss: the maximal subgraph in which every edge sits in
+    * at least k−2 triangles of that subgraph — the edge-level strengthening
+    * of [[kCore]] (a k-truss is always inside the (k−1)-core but prunes
+    * tree-like tendrils a core keeps). Iterative peel to fixpoint, same
+    * driver discipline as kCore: per-round edge COUNTS only, per-round
+    * lineage truncation, O(peel-rounds) triangle passes. Returns the
+    * surviving edges in id-canonical orientation (src, dst).
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    var e = Checkpoints.truncate(sym(edges).filter(col("src") < col("dst")))
+    var prev = e.count()
+    var round = 0
+    while (prev > 0 && round < maxRounds) {
+      val und = Checkpoints.truncate(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
+      e = Checkpoints.truncate(
+        edgeSupportFromSym(und).filter(col("support") >= k - 2)
+          .select(col("src"), col("dst")))
+      val n = e.count()
+      if (n == prev) return e // fixpoint: every edge meets the bound
+      prev = n
+      round += 1
+    }
+    e
   }
 
   /** Local clustering coefficients: (id, degree, triangles, coefficient)

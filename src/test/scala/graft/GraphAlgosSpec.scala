@@ -397,6 +397,24 @@ class GraphAlgosSpec extends SparkSpec {
     hb.values.foreach { case (ball, _) => assert(ball > 18 && ball < 31) }
   }
 
+  test("edgeSupport + kTruss: shared-edge support 2, pendant 0, truss peels cascades") {
+    // two triangles sharing edge 2-3, plus pendant 4-5
+    val g = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L)
+    val sup = GraphAlgos.edgeSupport(g)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(sup === Map((1L, 2L) -> 1L, (2L, 3L) -> 2L, (1L, 3L) -> 1L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L, (4L, 5L) -> 0L))
+    // 3-truss = every edge in >= 1 triangle: only the pendant peels
+    val t3 = GraphAlgos.kTruss(g, 3).as[(Long, Long)].collect().toSet
+    assert(t3 === Set((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    // 4-truss: dropping the support-1 edges leaves 2-3 alone, whose support
+    // then collapses to 0 — the CASCADE a one-shot filter would miss
+    assert(GraphAlgos.kTruss(g, 4).isEmpty)
+    // K4 is a 4-truss (every edge closes 2 triangles) — nothing peels
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(GraphAlgos.kTruss(k4, 4).count() === 6L)
+  }
+
   test("modularity: perfect split Q=0.5, single community Q=0, hand-checked path") {
     // two disjoint triangles with the natural communities: each contributes
     // 3/6 - (6/12)^2 = 0.25, Q = 0.5 (the textbook maximum for this graph)

@@ -126,6 +126,36 @@ class SamplingSpec extends SparkSpec {
     assert(nr(1L) === (40L, true) && nr(2L) === (70L, false))
   }
 
+  test("temperatureRates: alpha=0.5 hand-check, alpha=1 natural, gate tracks the rate") {
+    import graft.ops.Sampling
+    // source a: 100 docs x 1 char; source b: 100 docs x 4 chars
+    val docs = ((0L until 100L).map(i => (i, "a", 1L)) ++
+        (100L until 200L).map(i => (i, "b", 4L)))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Sampling.temperatureRates(docs, 0.5, "source", "n_chars")
+      .as[(String, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    // n_a=100, n_b=400: p ∝ sqrt(n) -> 10:20; rates ∝ 1/sqrt(n), max-normed
+    assert(r("a") === (("a", 100L, 1.0 / 3, 1.0)))
+    assert(math.abs(r("b")._3 - 2.0 / 3) < 1e-15 && r("b")._4 === 0.5)
+    // alpha = 1: natural proportions, nothing downsampled
+    val nat = Sampling.temperatureRates(docs, 1.0, "source", "n_chars")
+      .as[(String, Long, Double, Double)].collect()
+    assert(nat.forall(_._4 === 1.0))
+    // the gate keeps everything from the rate-1.0 stratum and ~half of the
+    // rate-0.5 stratum (16-bit hash on 100 draws: ±20 abs is > 4 sigma)
+    val kept = Sampling.temperatureKeep(docs, 0.5, "source", "n_chars", "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("a") === 100L)
+    assert(kept("b") > 30L && kept("b") < 70L, kept)
+    // deterministic under repartition
+    val again = Sampling.temperatureKeep(
+        docs.repartition(16), 0.5, "source", "n_chars", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val first = Sampling.temperatureKeep(docs, 0.5, "source", "n_chars", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === first)
+  }
+
   test("weightedSample: weight-proportional, deterministic, zero-weight excluded") {
     import graft.ops.Sampling
     // 500 docs: even ids weight 10, odd ids weight 1 -> E[heavy share of a
