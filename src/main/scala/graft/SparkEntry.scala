@@ -2153,20 +2153,23 @@ d$r AS MATERIALIZED (
     "graph_label_prop" ->
       s"""$simEdgesCte,
          |l0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
-         |h1 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
-         |       FROM sym JOIN l0 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |h1 AS (SELECT id, label, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT sym.d AS id, l.label FROM sym JOIN l0 l ON sym.s = l.id
+         |         UNION ALL SELECT id, label FROM l0) GROUP BY id, label),
          |l1 AS (SELECT id, label FROM (
          |       SELECT id, label, row_number() OVER (
          |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h1)
          |       WHERE rn = 1),
-         |h2 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
-         |       FROM sym JOIN l1 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |h2 AS (SELECT id, label, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT sym.d AS id, l.label FROM sym JOIN l1 l ON sym.s = l.id
+         |         UNION ALL SELECT id, label FROM l1) GROUP BY id, label),
          |l2 AS (SELECT id, label FROM (
          |       SELECT id, label, row_number() OVER (
          |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h2)
          |       WHERE rn = 1),
-         |h3 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
-         |       FROM sym JOIN l2 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |h3 AS (SELECT id, label, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT sym.d AS id, l.label FROM sym JOIN l2 l ON sym.s = l.id
+         |         UNION ALL SELECT id, label FROM l2) GROUP BY id, label),
          |l3 AS (SELECT id, label FROM (
          |       SELECT id, label, row_number() OVER (
          |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h3)
@@ -2198,20 +2201,23 @@ d$r AS MATERIALIZED (
     "graph_modularity" ->
       s"""$simEdgesCte,
          |l0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
-         |h1 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
-         |       FROM sym JOIN l0 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |h1 AS (SELECT id, label, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT sym.d AS id, l.label FROM sym JOIN l0 l ON sym.s = l.id
+         |         UNION ALL SELECT id, label FROM l0) GROUP BY id, label),
          |l1 AS (SELECT id, label FROM (
          |       SELECT id, label, row_number() OVER (
          |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h1)
          |       WHERE rn = 1),
-         |h2 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
-         |       FROM sym JOIN l1 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |h2 AS (SELECT id, label, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT sym.d AS id, l.label FROM sym JOIN l1 l ON sym.s = l.id
+         |         UNION ALL SELECT id, label FROM l1) GROUP BY id, label),
          |l2 AS (SELECT id, label FROM (
          |       SELECT id, label, row_number() OVER (
          |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h2)
          |       WHERE rn = 1),
-         |h3 AS (SELECT sym.d AS id, l.label, CAST(count(*) AS BIGINT) AS c
-         |       FROM sym JOIN l2 l ON sym.s = l.id GROUP BY sym.d, l.label),
+         |h3 AS (SELECT id, label, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT sym.d AS id, l.label FROM sym JOIN l2 l ON sym.s = l.id
+         |         UNION ALL SELECT id, label FROM l2) GROUP BY id, label),
          |l3 AS (SELECT id, label FROM (
          |       SELECT id, label, row_number() OVER (
          |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h3)

@@ -40,7 +40,7 @@ object QueryApp {
       "usage: QueryApp <warehouseDir> research|search|entity|neighbors|subgraph|timeline <text> " +
         "[--topk N] [--hint text] [--hops N] [--ontology topics.json] [--master local[N]]\n" +
         "       QueryApp <warehouseDir> path <entityA> --to <entityB> [--hops N]\n" +
-        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] [--full true] | stats [--master local[N]]")
+        "       QueryApp <warehouseDir> centrality [--topk N] [--iters N] [--seed \"entity name\"] [--full true] | communities [--iters N] | stats [--master local[N]]")
     sys.exit(2)
   }
 
@@ -66,7 +66,7 @@ object QueryApp {
     val Array(wh, cmd) = args.take(2)
     // centrality/stats take no free-text argument; everything else requires
     // one (taken verbatim — a query may legitimately start with '--')
-    val needsText = cmd != "centrality" && cmd != "stats"
+    val needsText = cmd != "centrality" && cmd != "stats" && cmd != "communities"
     if (needsText && args.length < 3) usage()
     if (!needsText && args.length > 2 && !args(2).startsWith("--")) {
       System.err.println(s"$cmd takes no positional argument: '${args(2)}'")
@@ -306,6 +306,35 @@ object QueryApp {
         val facts = table("triples").count()
         println(s"[stats] entities=$ents facts=$facts")
         show(graft.query.GraphAlgos.graphStats(edges), 1)
+
+      case "communities" =>
+        // community structure of the committed graph: label-propagation
+        // communities (--iters rounds) scored by THEIR modularity
+        // contribution, largest first, each named by its top-PageRank
+        // member so the report reads as "the cluster around X"
+        val edges = table("triples")
+          .select(col("subject_uuid").as("src"), col("object_uuid").as("dst"))
+        val iters = opts.get("--iters").map(_.toInt).getOrElse(5)
+        val comms = graft.query.GraphAlgos.labelPropagation(edges, iters)
+        val q = graft.query.GraphAlgos.modularity(edges, comms)
+        val names = comms
+          .join(graft.query.GraphAlgos.pageRank(edges, iters = 3)
+            .withColumnRenamed("id", "entity_uuid"),
+            comms("id") === col("entity_uuid"))
+          .join(table("entities")
+            .select(col("entity_uuid"), col("canonical_name")), Seq("entity_uuid"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+              .orderBy(col("rank").desc, col("canonical_name"))))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("canonical_name").as("around"))
+        val totalQ = q.agg(coalesce(sum(col("contribution")), lit(0.0)))
+          .collect()(0).getDouble(0)
+        println(f"[communities] n=${q.count()} modularity=$totalQ%.4f")
+        show(q.join(names, Seq("label"), "left")
+          .select(col("around"), col("n_vertices"), col("internal_edges"),
+            col("degree_sum"), round(col("contribution"), 6).as("contribution"))
+          .orderBy(col("n_vertices").desc, col("around")), topK)
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()

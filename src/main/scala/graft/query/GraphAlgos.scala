@@ -262,9 +262,17 @@ object GraphAlgos {
       .orderBy(col("c").desc, col("label").asc)
     var it = 0
     while (it < iters) {
-      val hist = adj
+      // neighbor votes PLUS one self-vote: pure synchronous neighbor-only
+      // LPA provably cuts every edge of a star or isolated pair forever
+      // (the endpoints adopt each other's label in lockstep each round —
+      // measured on the entity graph as modularity < 0 with zero internal
+      // edges everywhere); the self-vote is the standard damping that
+      // stabilizes those shapes while majority neighborhoods still win
+      val votes = adj
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+      val hist = votes.groupBy(col("id"), col("label"))
         .agg(count(lit(1)).as("c"))
       val next = hist.withColumn("rn", row_number().over(top1))
         .filter(col("rn") === 1).select(col("id"), col("label"))

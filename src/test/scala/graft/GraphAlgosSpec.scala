@@ -124,16 +124,23 @@ class GraphAlgosSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(lt === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
-    // synchronous-update semantics pinned: a single edge SWAPS labels each
-    // round (period-2 oscillation on bipartite regions is the documented
-    // sync-LPA behavior; fixed iters keeps it deterministic)
+    // self-vote semantics pinned: an isolated pair AGREES on the min label
+    // in one round and stays there (pure neighbor-only sync LPA would swap
+    // labels forever and cut the edge in every even/odd snapshot — the star
+    // pathology the self-vote exists to kill)
     val one = edges(1L -> 2L)
     val swap = GraphAlgos.labelPropagation(one, iters = 1)
       .as[(Long, Long)].collect().toMap
-    assert(swap === Map(1L -> 2L, 2L -> 1L))
+    assert(swap === Map(1L -> 1L, 2L -> 1L))
     val back = GraphAlgos.labelPropagation(one, iters = 2)
       .as[(Long, Long)].collect().toMap
-    assert(back === Map(1L -> 1L, 2L -> 2L))
+    assert(back === Map(1L -> 1L, 2L -> 1L))
+    // star K1,3: the hub + leaves collapse to one community (the entity-
+    // graph shape that motivated the self-vote)
+    val star = GraphAlgos.labelPropagation(
+        edges(5L -> 1L, 5L -> 2L, 5L -> 3L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(star.values.toSet.size === 1, s"star must unify: $star")
   }
 
   test("triangles: K4 has each vertex in 3 triangles; squares have none") {
