@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.functions.{col, lit, max, sum}
 
 import graft.tables.SnapshotLog
 
@@ -41,7 +41,8 @@ object TableApp {
     System.err.println(
       "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]\n" +
         "       TableApp <warehouseDir> export <outDir> [csv|jsonl] | walks <outDir> [length] [walksPerNode]\n" +
-        "       TableApp <warehouseDir> sketch <table> <column> [width] [depth] [p]")
+        "       TableApp <warehouseDir> sketch <table> <column> [width] [depth] [p]\n" +
+        "       TableApp <warehouseDir> classifier <table> <textCol> <labelCol> <posValue> [buckets]")
     sys.exit(2)
   }
 
@@ -306,6 +307,75 @@ object TableApp {
           println(f"[table] $t.$colName sketches committed ($mode, source " +
             f"snapshot $srcSnap): cms ${width}x$depth, hll p=$p " +
             f"distinct≈${estimate}%.0f")
+        }
+
+      // classifier <table> <textCol> <labelCol> <posValue> [buckets]:
+      // build-or-refresh the committed NB quality-classifier model
+      // (QualityClassifier.trainCounts) over a text column, labeled pos/neg
+      // by labelCol == posValue. Appends since the last build fold in by
+      // plain count addition — O(delta), the sketch discipline; compaction/
+      // upsert since the last build forces a full rebuild. The committed
+      // model drives QualityClassifier.scoreWithModel.
+      case "classifier" =>
+        if (args.length < 6) usage()
+        val t = args(2)
+        val textCol = args(3)
+        val labelCol = args(4)
+        val posValue = args(5)
+        val buckets = args.lift(6).map(_.toInt).getOrElse(4096)
+        val src = log.read(t).getOrElse {
+          System.err.println(s"no committed table: $t"); sys.exit(2)
+        }
+        for (c <- Seq(textCol, labelCol) if !src.columns.contains(c)) {
+          System.err.println(s"table $t has no '$c' column"); sys.exit(2)
+        }
+        val srcSnap = log.latestSnapshot(t).get
+        val modelName = s"${t}_classifier_$textCol"
+        val meta = Seq("source_snapshot", "buckets", "npos", "nneg",
+          "label_col", "pos_value")
+        val prior = log.read(modelName)
+        val priorSnap = prior.map(
+          _.agg(max(col("source_snapshot"))).collect()(0).getLong(0))
+        // label definition is part of the model identity: folding counts
+        // trained under a different labeling would silently corrupt it
+        val sameParams = prior.forall(d =>
+          d.agg(max(col("buckets")), max(col("label_col")),
+              max(col("pos_value"))).collect()(0) match {
+            case r => r.getInt(0) == buckets && r.getString(1) == labelCol &&
+              r.getString(2) == posValue
+          })
+        if (priorSnap.contains(srcSnap) && sameParams) {
+          println(s"[table] $modelName already at snapshot $srcSnap")
+        } else {
+          val delta = priorSnap.filter(_ => sameParams)
+            .flatMap(ps => log.readSince(t, ps))
+          val input = delta.getOrElse(src)
+          def split(df: DataFrame) =
+            (df.filter(col(labelCol) === posValue),
+              df.filter(col(labelCol) =!= posValue || col(labelCol).isNull))
+          val (pos, neg) = split(input)
+          val counts = graft.ops.QualityClassifier
+            .trainCounts(pos, neg, buckets, textCol)
+          val (nPos, nNeg) = (pos.count(), neg.count())
+          val (model, np, nn, mode) = delta match {
+            case Some(_) =>
+              val prev = prior.get
+              val (pp, pn) = prev.agg(max(col("npos")), max(col("nneg")))
+                .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) }
+              // counts are mergeable by construction: add per bucket
+              (prev.drop(meta: _*).union(counts).groupBy(col("bucket"))
+                .agg(sum(col("cpos")).as("cpos"), sum(col("cneg")).as("cneg")),
+                pp + nPos, pn + nNeg, "incremental")
+            case None => (counts, nPos, nNeg, "full")
+          }
+          log.commit(modelName, model
+            .withColumn("source_snapshot", lit(srcSnap))
+            .withColumn("buckets", lit(buckets))
+            .withColumn("npos", lit(np)).withColumn("nneg", lit(nn))
+            .withColumn("label_col", lit(labelCol))
+            .withColumn("pos_value", lit(posValue)))
+          println(s"[table] $modelName committed ($mode, source snapshot " +
+            s"$srcSnap): buckets=$buckets npos=$np nneg=$nn")
         }
 
       case "walks" =>

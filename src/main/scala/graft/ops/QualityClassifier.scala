@@ -74,18 +74,33 @@ object QualityClassifier {
     */
   def scores(docs: DataFrame, pos: DataFrame, neg: DataFrame,
       buckets: Int = 4096, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    scoreWithModel(docs, trainCounts(pos, neg, buckets, textCol),
+      pos.agg(count(lit(1))).collect()(0).getLong(0),
+      neg.agg(count(lit(1))).collect()(0).getLong(0),
+      buckets, idCol, textCol)
+
+  /** Score `docs` against an ALREADY-TRAINED model (the [[trainCounts]]
+    * shape plus the two class doc counts for the prior) — the apply path
+    * for a model committed to the warehouse and refreshed O(delta)
+    * (TableApp `classifier`): counts are mergeable, so the model a full
+    * retrain produces and the model increments folded into are identical,
+    * and so are the scores.
+    */
+  def scoreWithModel(docs: DataFrame, model: DataFrame, nPos: Long,
+      nNeg: Long, buckets: Int = 4096, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
-    val model = trainCounts(pos, neg, buckets, textCol)
+    require(nPos > 0 && nNeg > 0,
+      s"both classes need training documents, got pos=$nPos neg=$nNeg")
     val docFeats = bucketsOf(docs, textCol, buckets, col(idCol))
     // totals + prior ride in as a 1-row broadcast (the pageRank
     // dangling-mass idiom); weights only for buckets the scored docs hit
     val tots = model
       .agg(coalesce(sum(col("cpos")), lit(0L)).as("tp"),
         coalesce(sum(col("cneg")), lit(0L)).as("tn"))
-      .crossJoin(pos.agg(count(lit(1)).as("np")))
-      .crossJoin(neg.agg(count(lit(1)).as("nn")))
+      .withColumn("np", lit(nPos)).withColumn("nn", lit(nNeg))
     val weights = docFeats.select(col("bucket")).distinct()
       .join(model, Seq("bucket"), "left")
       .crossJoin(broadcast(tots))

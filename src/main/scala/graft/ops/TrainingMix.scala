@@ -32,6 +32,7 @@ object TrainingMix {
               decontamN: Int = 5,
               mixtureRates: Map[String, Double] = Map.empty,
               defaultRate: Double = 1.0,
+              temperatureAlpha: Option[Double] = None,
               maxDupNgramFrac: Option[Double] = None,
               maxTopBigramFrac: Option[Double] = None,
               fuzzyThreshold: Option[Double] = None,
@@ -78,9 +79,20 @@ object TrainingMix {
 
     val clean = Decontam.decontaminate(deduped, evalDocs, decontamN, idCol, textCol)
 
-    clean
-      .filter(Sampling.stratifiedKeep(col(idCol), col(sourceCol),
-        mixtureRates, defaultRate))
+    // mixture stage: hand-configured per-source rates, or temperature-
+    // scaled rates COMPUTED from the surviving corpus's token masses
+    // (Sampling.temperatureRates — the mT5/XLM-R rule). One or the other:
+    // composing both would double-gate every stratum.
+    val mixed = temperatureAlpha match {
+      case Some(alpha) =>
+        require(mixtureRates.isEmpty,
+          "set mixtureRates or temperatureAlpha, not both")
+        Sampling.temperatureKeep(clean, alpha, sourceCol, "n_tokens", idCol)
+      case None =>
+        clean.filter(Sampling.stratifiedKeep(col(idCol), col(sourceCol),
+          mixtureRates, defaultRate))
+    }
+    mixed
       .select(col(idCol), col(sourceCol), col("lang_pred"),
         col("n_tokens"), col("quality"),
         Sampling.datasetSplit(col(idCol)).as("split"))

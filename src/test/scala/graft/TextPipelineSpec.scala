@@ -134,6 +134,18 @@ class TextPipelineSpec extends SparkSpec {
         maxTopBigramFrac = Some(0.99))
       .collect().map(_.getLong(0)).toSet
     assert(permissive === Set(1L))
+
+    // temperature mixture: the single surviving source keeps rate 1 (max-
+    // normalized), so alpha changes nothing here; configuring both mixture
+    // styles at once is rejected
+    val temp = TrainingMix.prepare(docs, evalDocs, minTokens = 10,
+        minQuality = 0.3, decontamN = 5, temperatureAlpha = Some(0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(temp === Set(1L))
+    intercept[IllegalArgumentException] {
+      TrainingMix.prepare(docs, evalDocs, mixtureRates = Map("srcA" -> 0.5),
+        temperatureAlpha = Some(0.5)).collect()
+    }
   }
 
   test("TrainingMix fuzzy stage drops a NEAR-duplicate that exact dedup keeps") {
@@ -277,5 +289,22 @@ class TextPipelineSpec extends SparkSpec {
     val m = QualityClassifier.trainCounts(pos, neg, buckets = 64)
     assert(m.count() <= 64)
     assert(m.columns.toSeq === Seq("bucket", "cpos", "cneg"))
+    // MERGEABILITY (the TableApp classifier O(delta) refresh contract):
+    // train on two halves, add counts per bucket == train on the union
+    val posB = Seq((102L, "structured clear writing has meaning")).toDF("doc_id", "text")
+    val folded = QualityClassifier.trainCounts(pos, neg, 64)
+      .union(QualityClassifier.trainCounts(posB, neg.limit(0), 64))
+      .groupBy("bucket")
+      .agg(sum($"cpos").as("cpos"), sum($"cneg").as("cneg"))
+    val whole = QualityClassifier.trainCounts(pos.union(posB), neg, 64)
+    assert(folded.except(whole).isEmpty && whole.except(folded).isEmpty)
+    // and scoring through the committed-model path == the train-and-score
+    // path (same model, same prior)
+    val viaModel = QualityClassifier.scoreWithModel(docs, whole, nPos = 3,
+        nNeg = 2, buckets = 64)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    val direct = QualityClassifier.scores(docs, pos.union(posB), neg, buckets = 64)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(viaModel === direct)
   }
 }
