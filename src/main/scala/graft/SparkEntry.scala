@@ -1066,6 +1066,12 @@ d$r AS MATERIALIZED (
         .select(col("id").as("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // Newman degree assortativity over the similarity graph — one row, the
+    // three stub sums exact-integer, the coefficient double-rounded; oracle
+    // replays sums and the pinned final arithmetic
+    "graph_assortativity" -> ((s, dir) =>
+      graft.query.GraphAlgos.assortativity(simEdges(s, dir))),
+
     // per-edge triangle support (the k-truss peel quantity; support 0 =
     // bridge) over the shared similarity graph; oracle re-enumerates the
     // triangles and attributes each to its three canonical edges
@@ -2175,6 +2181,31 @@ d$r AS MATERIALIZED (
          |         PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM h3)
          |       WHERE rn = 1)
          |SELECT id AS vec_id, label FROM l3 ORDER BY vec_id""".stripMargin,
+
+    // stub sums over the symmetric adjacency (exact integers), Pearson in
+    // the engine's op order: mean = s1/m computed once, num/den each
+    // (sum/m − mean·mean), NULL when the degree variance is zero
+    "graph_assortativity" ->
+      s"""$simEdgesCte,
+         |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS d
+         |        FROM sym GROUP BY s),
+         |pairs AS (SELECT a.d AS j, b.d AS k
+         |          FROM sym JOIN deg a ON sym.s = a.id
+         |          JOIN deg b ON sym.d = b.id),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |                CAST(sum(j * k) AS BIGINT) AS se,
+         |                CAST(sum(j) AS BIGINT) AS s1,
+         |                CAST(sum(j * j) AS BIGINT) AS s2 FROM pairs)
+         |SELECT m, se, s1, s2,
+         |       CASE WHEN CAST(s2 AS DOUBLE) / m
+         |                 - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m) = 0
+         |            THEN NULL
+         |            ELSE round((CAST(se AS DOUBLE) / m
+         |                        - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m))
+         |                       / (CAST(s2 AS DOUBLE) / m
+         |                          - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m)), 6)
+         |       END AS assortativity
+         |FROM sums""".stripMargin,
 
     // triangle triples a<b<c (e is already id-canonical), each exploded to
     // its three edges; edges outside any triangle report support 0

@@ -647,6 +647,35 @@ object GraphAlgos {
     degStats.crossJoin(edgeCount).crossJoin(comps).crossJoin(triTotal)
   }
 
+  /** Newman degree assortativity (2002): the Pearson correlation of endpoint
+    * degrees over directed edge stubs — positive = hubs attach to hubs
+    * (social shape), negative = hub-and-spoke (the typical KG shape; a star
+    * is exactly −1), NULL on a regular graph (zero variance). One row:
+    * (m, se, s1, s2, assortativity) with the three stub sums kept as EXACT
+    * integers (the double arithmetic happens once, at the end, in a pinned
+    * op order — the oracle reproduces the row bit-for-bit). Two shuffles:
+    * the degree aggregation and its broadcast-back join; the sums combine
+    * map-side. Integer sums hold to ~10^6 max degree at 10^12 edges —
+    * past that, pre-divide degrees or switch the sums to double.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = Checkpoints.truncate(sym(edges))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("id").as("src"), col("d").as("j")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("k")), Seq("dst"))
+    val sums = pairs.agg(count(lit(1)).as("m"),
+      sum(col("j") * col("k")).as("se"),
+      sum(col("j")).as("s1"),
+      sum(col("j") * col("j")).as("s2"))
+    val mean = col("s1").cast("double") / col("m")
+    val num = col("se").cast("double") / col("m") - mean * mean
+    val den = col("s2").cast("double") / col("m") - mean * mean
+    sums.select(col("m"), col("se"), col("s1"), col("s2"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(round(num / den, 6)).as("assortativity"))
+  }
+
   /** Link prediction over non-adjacent vertex pairs that share at least one
     * neighbor: (a, b, common, jaccard, adamic_adar) with a < b. The classic
     * missing-edge scores — common-neighbor count, Jaccard overlap of the

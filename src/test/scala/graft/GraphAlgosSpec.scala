@@ -422,6 +422,20 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.kTruss(k4, 4).count() === 6L)
   }
 
+  test("assortativity: path is -1-free hand-check, star -1, regular graph NULL") {
+    // path 1-2-3: stub pairs (1,2)x2, (2,1)x2 -> r = -1 (ends meet middle)
+    val p = GraphAlgos.assortativity(edges(1L -> 2L, 2L -> 3L)).collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) === ((4L, 8L, 6L, 10L)))
+    assert(p.getDouble(4) === -1.0)
+    // star K1,4 is perfectly disassortative
+    val s = GraphAlgos.assortativity(
+      edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)).collect()(0)
+    assert(s.getDouble(4) === -1.0)
+    // K3 is regular: zero degree variance -> NULL, not NaN
+    val k = GraphAlgos.assortativity(edges(1L -> 2L, 2L -> 3L, 1L -> 3L)).collect()(0)
+    assert(k.isNullAt(4))
+  }
+
   test("modularity: perfect split Q=0.5, single community Q=0, hand-checked path") {
     // two disjoint triangles with the natural communities: each contributes
     // 3/6 - (6/12)^2 = 0.25, Q = 0.5 (the textbook maximum for this graph)
