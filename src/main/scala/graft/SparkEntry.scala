@@ -1288,6 +1288,16 @@ d$r AS MATERIALIZED (
         .orderBy(col("source"))
     }),
 
+    // fixed-quota stratified sample: 10 docs per language by the salted
+    // (hash, id) total order — deterministic eval-set construction; oracle
+    // replays the hash order and every rank
+    "text_quota_sample" -> ((s, dir) =>
+      graft.ops.Sampling.quotaSample(
+          read(s, dir, "documents").select(col("doc_id"), col("lang")),
+          k = 10, stratumCol = "lang", idCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
     // BPE tokenizer training (20 merges over the corpus word table) — the
     // merge sequence IS the tokenizer model; oracle replays every round's
     // pair count, tie-break and greedy rewrite
@@ -2660,6 +2670,18 @@ d$r AS MATERIALIZED (
         |       round(r.keep_rate, 6) AS keep_rate,
         |       coalesce(k.kept_docs, CAST(0 AS BIGINT)) AS kept_docs
         |FROM r LEFT JOIN k USING (source) ORDER BY r.source""".stripMargin,
+
+    // quota replay: the same salted 16-bit hash, (hash, id) rank per
+    // language, keep rank <= 10
+    "text_quota_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (('0x' || substr(md5('graft-quota' || CAST(doc_id AS VARCHAR)), 1, 4))::INT),
+        |               doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     // E-S replay: u = (52 md5 bits + 1) / 2^52 exactly, key = ln(u)/w, top-k
     // by (key desc, id) — membership AND keys must match bit-for-bit

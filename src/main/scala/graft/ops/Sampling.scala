@@ -151,6 +151,38 @@ object Sampling {
       .limit(k)
   }
 
+  /** Fixed-QUOTA stratified sample: the k rows of each stratum with the
+    * smallest (salted-hash-bucket, id) key — deterministic per-language /
+    * per-source eval-set construction, the fixed-SIZE counterpart of the
+    * fixed-RATE [[stratifiedKeep]] gate. Returns the input columns plus
+    * `sample_rank` (1..k within the stratum). Membership and ranks are
+    * partitioning-independent (the key is a total order over rows).
+    *
+    * Scale shape: two-phase top-k. A single `Window.partitionBy(stratum)`
+    * would collapse the largest stratum onto one task (the [[tokenBudgetCap]]
+    * concern), so phase 1 ranks within (stratum, input partition) — a
+    * distributed composite-key window — and keeps only k rows per cell;
+    * phase 2 ranks the ≤ k·numPartitions survivors per stratum. Per-stratum
+    * top-k equals the top-k of the union of per-cell top-k's, so the
+    * pre-prune never changes the answer.
+    */
+  def quotaSample(docs: org.apache.spark.sql.DataFrame, k: Int,
+      stratumCol: String, idCol: String,
+      salt: String = "graft-quota"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val key = hashBucket(col(idCol), salt)
+    val pre = Window.partitionBy(col(stratumCol), col("_pid"))
+      .orderBy(key, col(idCol))
+    val fin = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    docs.withColumn("_pid", spark_partition_id())
+      .withColumn("_pr", row_number().over(pre))
+      .filter(col("_pr") <= k)
+      .drop("_pid", "_pr")
+      .withColumn("sample_rank", row_number().over(fin))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** TOKEN-budget capping per stratum: walk each stratum's rows in
     * deterministic id order and keep rows while the stratum's running token
     * sum stays within `budget` — the token-weighted counterpart of

@@ -156,6 +156,29 @@ class SamplingSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("quotaSample: exact k per stratum, layout-invariant, small strata whole, NULL stratum kept") {
+    import graft.ops.Sampling
+    val pool = ((0L until 300L).map(i => (i, Some("a"))) ++
+        (300L until 320L).map(i => (i, Some("b"))) ++
+        (320L until 323L).map(i => (i, None: Option[String])))
+      .toDF("doc_id", "source")
+    val got = Sampling.quotaSample(pool, k = 10, "source", "doc_id")
+      .as[(Long, Option[String], Int)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc(Some("a")).length === 10 && bySrc(Some("b")).length === 10)
+    assert(bySrc(None).length === 3, "NULL stratum must survive as its own group")
+    assert(got.groupBy(_._2).values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1 to g.length)))
+    // membership + ranks identical under a different layout (the two-phase
+    // pre-prune must not change the answer)
+    val again = Sampling.quotaSample(pool.repartition(17), k = 10, "source", "doc_id")
+      .as[(Long, Option[String], Int)].collect()
+    assert(again.map(r => (r._1, r._3)).toSet === got.map(r => (r._1, r._3)).toSet)
+    // ranks follow the (hash, id) total order, not raw id order
+    val ranked = bySrc(Some("a")).sortBy(_._3).map(_._1).toSeq
+    assert(ranked !== ranked.sorted, "hash order should not degenerate to id order")
+  }
+
   test("weightedSample: weight-proportional, deterministic, zero-weight excluded") {
     import graft.ops.Sampling
     // 500 docs: even ids weight 10, odd ids weight 1 -> E[heavy share of a
