@@ -42,7 +42,8 @@ object TableApp {
       "usage: TableApp <warehouseDir> history|snapshot|compact|vacuum|verify|ann-index|ann-refresh [table] [asOf|nCentroids ...]\n" +
         "       TableApp <warehouseDir> export <outDir> [csv|jsonl] | walks <outDir> [length] [walksPerNode]\n" +
         "       TableApp <warehouseDir> sketch <table> <column> [width] [depth] [p]\n" +
-        "       TableApp <warehouseDir> classifier <table> <textCol> <labelCol> <posValue> [buckets]")
+        "       TableApp <warehouseDir> classifier <table> <textCol> <labelCol> <posValue> [buckets]\n" +
+        "       TableApp <warehouseDir> profile <table>")
     sys.exit(2)
   }
 
@@ -308,6 +309,24 @@ object TableApp {
             f"snapshot $srcSnap): cms ${width}x$depth, hll p=$p " +
             f"distinct≈${estimate}%.0f")
         }
+
+      // profile <table>: one-pass column health report (nulls, approx
+      // distincts, ranges) — ONE aggregation job regardless of column count
+      case "profile" =>
+        if (args.length < 3) usage()
+        val t = args(2)
+        val src = log.read(t).getOrElse {
+          System.err.println(s"no committed table: $t"); sys.exit(2)
+        }
+        val prof = graft.ops.Profiler.profile(src).collect()
+        println("column | dtype | rows | nulls | null_frac | distinct~ | min | max")
+        prof.foreach { r =>
+          println((0 until 8).map(i => Option(r.get(i)).map {
+            case s: String if s.length > 32 => s.take(29) + "..."
+            case v => v.toString
+          }.getOrElse("")).mkString(" | "))
+        }
+        println(s"[table] profile $t: ${prof.length} column(s)")
 
       // classifier <table> <textCol> <labelCol> <posValue> [buckets]:
       // build-or-refresh the committed NB quality-classifier model

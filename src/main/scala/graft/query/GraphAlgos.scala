@@ -644,7 +644,17 @@ object GraphAlgos {
     val triTotal = trianglesFromSym(und)
       .agg(coalesce(sum(col("triangles")) / 3, lit(0L)).cast("long").as("triangles"))
     val edgeCount = und.agg((count(lit(1)) / 2).cast("long").as("edges"))
+    // global clustering = 3·triangles / wedges (closed over open triads)
+    // and degree assortativity — the two one-number structure signals
+    val wedges = deg.agg(coalesce(
+      sum(col("degree") * (col("degree") - 1) / 2), lit(0L)).cast("long").as("wedges"))
+    val assort = assortativityFromSym(und).select(col("assortativity"))
     degStats.crossJoin(edgeCount).crossJoin(comps).crossJoin(triTotal)
+      .crossJoin(wedges).crossJoin(assort)
+      .withColumn("global_clustering",
+        when(col("wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(col("triangles").cast("double") * 3 / col("wedges"), 6)))
+      .drop("wedges")
   }
 
   /** Newman degree assortativity (2002): the Pearson correlation of endpoint
@@ -658,8 +668,10 @@ object GraphAlgos {
     * map-side. Integer sums hold to ~10^6 max degree at 10^12 edges —
     * past that, pre-divide degrees or switch the sums to double.
     */
-  def assortativity(edges: DataFrame): DataFrame = {
-    val und = Checkpoints.truncate(sym(edges))
+  def assortativity(edges: DataFrame): DataFrame =
+    assortativityFromSym(Checkpoints.truncate(sym(edges)))
+
+  private def assortativityFromSym(und: DataFrame): DataFrame = {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     val pairs = und
       .join(deg.select(col("id").as("src"), col("d").as("j")), Seq("src"))

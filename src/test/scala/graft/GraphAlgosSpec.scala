@@ -177,10 +177,18 @@ class GraphAlgosSpec extends SparkSpec {
     assert(l("nodes") === 8L && l("edges") === 8L)
     assert(l("components") === 1L && l("largest_component") === 8L)
     assert(l("triangles") === 1L && l("max_degree") === 3L)
+    // wedges = Σ d(d−1)/2 = 9, one closed → global clustering 3·1/9
+    assert(math.abs(r.getDouble(r.fieldIndex("global_clustering")) - 1.0 / 3) < 1e-6)
+    val a = r.getDouble(r.fieldIndex("assortativity"))
+    assert(a >= -1.0 && a <= 1.0)
     // two components when the bridge edge is absent
     val r2 = GraphAlgos.graphStats(edges(1L -> 2L, 10L -> 11L)).collect().head
     assert(r2.getLong(r2.fieldIndex("components")) === 2L)
     assert(r2.getLong(r2.fieldIndex("triangles")) === 0L)
+    // two isolated edges: every degree 1 → no wedges (clustering NULL) and
+    // zero degree variance (assortativity NULL)
+    assert(r2.isNullAt(r2.fieldIndex("global_clustering")))
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
   }
 
   test("linkPrediction scores distance-2 pairs only, hand-checked") {

@@ -393,6 +393,33 @@ class OpsSpec extends SparkSpec {
     val short = Seq((9L, "tinydoc")).toDF("doc_id", "text") // 7 chars, k=6 -> 2 kgrams < w
     assert(Dedup.winnowFingerprints(short, k = 6, w = 9).count() === 1L)
   }
+
+  test("Profiler.profile: one row per column — nulls, distincts, ranges; complex types null/distinct only") {
+    import graft.ops.Profiler
+    val df = Seq(
+      (1L, Some("a"), Seq("x")),
+      (2L, Some("b"), Seq("y")),
+      (3L, None: Option[String], Seq("x")),
+      (4L, Some("a"), Seq.empty[String])
+    ).toDF("id", "s", "arr")
+    val p = Profiler.profile(df)
+      .as[(String, String, Long, Long, Double, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(p.keySet === Set("id", "s", "arr") && p("id")._2 === "bigint")
+    assert(p("id")._3 === 4L && p("id")._4 === 0L && p("id")._5 === 0.0)
+    assert(p("id")._7 === Some("1") && p("id")._8 === Some("4"))
+    assert(p("s")._4 === 1L && p("s")._5 === 0.25)
+    assert(p("s")._7 === Some("a") && p("s")._8 === Some("b"))
+    // HLL++ is exact at tiny cardinalities
+    assert(p("id")._6 === 4L && p("s")._6 === 2L && p("arr")._6 === 3L)
+    // no total order on arrays: min/max absent, not a crash
+    assert(p("arr")._7.isEmpty && p("arr")._8.isEmpty)
+    // empty input: rows 0, null_frac 0, no division blowup
+    val e = Profiler.profile(df.limit(0))
+      .as[(String, String, Long, Long, Double, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(e("id")._3 === 0L && e("id")._5 === 0.0)
+  }
 }
 
 /** Builds a minimal MP4 with VERSION-1 mvhd/tkhd boxes (64-bit times and
