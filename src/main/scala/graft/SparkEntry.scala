@@ -389,6 +389,22 @@ d$r AS MATERIALIZED (
         .orderBy(col("plural_uuid"), col("member_uuid"))
     }),
 
+    // ordered funnel signup→view→purchase within 72h of each user's
+    // earliest signup (anchor semantics pinned in EventAnalytics.funnel);
+    // oracle replays every step's gated min and the depth sum
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.EventAnalytics.funnel(read(s, dir, "events"),
+          Seq("signup", "view", "purchase"), "INTERVAL 72 HOURS")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          col("steps_completed"))
+        .orderBy(col("user_id"))),
+
+    // weekly cohort retention (all-integer: cohort week × offset × distinct
+    // actives) — exact across engines by construction
+    "events_cohort_retention" -> ((s, dir) =>
+      graft.ops.EventAnalytics.cohortRetention(read(s, dir, "events"))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     "events_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
@@ -1585,6 +1601,39 @@ d$r AS MATERIALIZED (
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |         min(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+        |                  THEN e.ts END) AS t2
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'view'
+        |       GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |         min(CASE WHEN e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 72 HOUR
+        |                  THEN e.ts END) AS t3
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3,
+        |       CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |              + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+        |         AS steps_completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "events_cohort_retention" ->
+      """WITH firsts AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |                FROM events GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        |           FROM events)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS active_users
+        |FROM firsts JOIN active USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -179,4 +179,51 @@ class TemporalSpec extends SparkSpec {
       !rjPlan.contains("BroadcastNestedLoop"), rjPlan)
     assert(rjPlan.contains("Join"), rjPlan) // bucket equi-join (SMJ/SHJ/BHJ)
   }
+
+  test("funnel: depth per user, window + order enforced, partials survive, anchor pinned") {
+    import graft.ops.EventAnalytics
+    def t(h: Long) = new Timestamp(h * 3600 * 1000)
+    val events = Seq(
+      (1L, t(0), "signup"), (1L, t(1), "view"), (1L, t(2), "purchase"), // full
+      (2L, t(0), "signup"), (2L, t(100), "view"),        // view out of window
+      (3L, t(0), "view"), (3L, t(1), "purchase"),        // never step 1
+      (4L, t(0), "signup"), (4L, t(1), "purchase"), (4L, t(2), "view"), // order: purchase@1 < t2 -> depth 2
+      (5L, t(0), "signup"), (5L, t(0), "view"),          // same-ts: strictly-after fails
+      (6L, t(0), "signup"), (6L, t(50), "signup"), (6L, t(60), "view")  // anchored at EARLIEST signup
+    ).toDF("user_id", "ts", "event_type")
+    val f = EventAnalytics.funnel(events, Seq("signup", "view", "purchase"),
+        "INTERVAL 72 HOURS")
+      .select($"user_id", $"t1", $"t2", $"t3", $"steps_completed")
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!f.contains(3L), "no step-1 event -> no funnel row")
+    assert(f(1L) === ((1L, t(0), Some(t(1)), Some(t(2)), 3)))
+    assert(f(2L) === ((2L, t(0), None, None, 1)))
+    assert(f(4L)._5 === 2 && f(4L)._3 === Some(t(2)) && f(4L)._4 === None)
+    assert(f(5L)._5 === 1, "step 2 must be STRICTLY after step 1")
+    // pinned semantics: the 60h view is outside 72h of the 0h anchor? No —
+    // inside. Re-check with a 20h window: anchored at 0h, view@60h misses
+    // even though the 50h signup would have caught it
+    val f20 = EventAnalytics.funnel(events.filter($"user_id" === 6L),
+        Seq("signup", "view"), "INTERVAL 20 HOURS")
+      .select($"steps_completed").as[Int].collect()
+    assert(f20.toSeq === Seq(1))
+  }
+
+  test("cohortRetention: first-week cohorts, distinct weekly actives, integer offsets") {
+    import graft.ops.EventAnalytics
+    def d(day: Int, h: Int = 0) = // Jan 2024: Mon Jan 1 starts ISO week 1
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, d(1)), (1L, d(2)), (1L, d(9)),   // cohort wk0; active wk0 + wk1
+      (2L, d(3)), (2L, d(16)),              // cohort wk0; active wk0 + wk2
+      (3L, d(8))                            // cohort wk1; active wk1 only
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.cohortRetention(events)
+      .as[(Timestamp, Int, Long)].collect()
+      .map(x => (x._1.toString.take(10), x._2) -> x._3).toMap
+    assert(r === Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-08", 0) -> 1L))
+  }
 }
