@@ -225,6 +225,30 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("event analytics + quota + truss: user/edge-keyed hash plans, no cartesian, no global collapse") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    val events = (0L until 60L).map(i =>
+      (i % 12, ts(i), Seq("signup", "view", "purchase")(i.toInt % 3)))
+      .toDF("user_id", "ts", "event_type")
+    for ((name, df) <- Seq(
+        "funnel" -> graft.ops.EventAnalytics.funnel(events,
+          Seq("signup", "view", "purchase"), "INTERVAL 72 HOURS"),
+        "cohort" -> graft.ops.EventAnalytics.cohortRetention(events),
+        "edgeSupport" -> graft.query.GraphAlgos.edgeSupport(
+          (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).toDF("src", "dst")))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+        s"$name:\n$plan")
+    }
+    // quotaSample's two-phase windows are keyed (stratum, pid) then stratum:
+    // no empty-partitionBy window = no single-partition exchange
+    val qPlan = graft.ops.Sampling.quotaSample(
+        (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source"),
+        k = 5, "source", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!qPlan.contains("SinglePartition"), qPlan)
+  }
+
   test("centrality iterations: betweenness/closeness/hyperBall hash-join on vertex keys only") {
     val edges = (0L until 30L).map(i => (i, (i * 11 + 5) % 30)).toDF("src", "dst")
     for ((name, df) <- Seq(
