@@ -438,6 +438,17 @@ d$r AS MATERIALIZED (
           n = 1, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Broder containment |A∩B|/min(|A|,|B|) over bigram sets — the
+    // quote-inclusion detector Jaccard dilutes away; exact small-N path,
+    // all-integer except the final ratio
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(
+          read(s, dir, "documents").filter(col("doc_id") < 500),
+          n = 2, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+          col("sz_b"), round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // pairs → transitive closure → one canonical survivor per cluster:
     // exact Jaccard pairs feed ConnectedComponents (the same operator the
     // entity-canonicalization path runs), oracle = recursive reachability
@@ -1659,6 +1670,27 @@ d$r AS MATERIALIZED (
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // bigram-set containment replay: same tokenization as the Jaccard
+    // oracle, shingles via the range/slice idiom, ratio over least size
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(1, greatest(len(t), 1)),
+        |         i -> array_to_string(t[i : i + 1], ' '))) AS toks
+        |       FROM tok),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |    CAST(len(a.toks) AS BIGINT) AS sz_a, CAST(len(b.toks) AS BIGINT) AS sz_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, sz_a, sz_b,
+        |       round(CAST(inter AS DOUBLE) / least(sz_a, sz_b), 6) AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / least(sz_a, sz_b) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_doc_clusters" ->

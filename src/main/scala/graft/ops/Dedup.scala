@@ -75,6 +75,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-duplicate pairs by exact n-gram CONTAINMENT — |A∩B| / min(|A|,|B|)
+    * (Broder 1997's containment coefficient): catches a short document
+    * quoted wholesale inside a long one, where Jaccard dilutes below any
+    * usable threshold (|A∩B|/|A∪B| → |A|/|B| for A ⊂ B). Returns
+    * (id_a, id_b, inter, sz_a, sz_b, containment) with id_a < id_b.
+    * Same exact-path scale caveat as [[ngramJaccardPairs]] — corpus scale
+    * routes through [[minhashLshPairs]] candidates, this is the small-N
+    * oracle / verifier.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 2,
+      threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(shinglesCol(textCol, n))).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("containment"))
+  }
+
   /** Re-verify emitted near-dup pairs against the COLUMN-EXPRESSION shingle
     * path (the arithmetic [[ngramJaccardPairs]] uses — independent of the
     * Scala-UDF shingle path inside [[minhashLshPairs]]'s own verify step).

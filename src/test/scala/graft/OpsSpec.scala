@@ -29,6 +29,23 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment catches a quoted subset that Jaccard dilutes away") {
+    val quoteDocs = Seq(
+      (0L, "alpha beta gamma delta"),                      // the short doc
+      (1L, "alpha beta gamma delta " +                     // quotes 0 inside
+        "unrelated filler words continue onward for a while longer here"),
+      (2L, "totally different content nothing shared at all")
+    ).toDF("doc_id", "text")
+    val c = Dedup.ngramContainmentPairs(quoteDocs, n = 2, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // every bigram of doc 0 appears in doc 1 -> containment exactly 1.0
+    assert(c.map(r => (r._1, r._2)).toSet === Set((0L, 1L)))
+    assert(c.head._6 === 1.0 && c.head._3 === c.head._4)
+    // the same pair is INVISIBLE to Jaccard at any comparable threshold
+    val j = Dedup.ngramJaccardPairs(quoteDocs, n = 2, threshold = 0.9)
+    assert(j.isEmpty)
+  }
+
   test("dedupClusters: transitive chain collapses to one cluster; singleton keeps itself") {
     import spark.implicits._
     val d = Seq((10L, ""), (11L, ""), (12L, ""), (20L, "")).toDF("doc_id", "text")
