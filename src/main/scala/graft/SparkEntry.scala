@@ -555,6 +555,20 @@ d$r AS MATERIALIZED (
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // int8-quantized ANN: per-vector symmetric quantization (pinned
+    // floor(x·scale+0.5)) and EXACT integer-dot ranking — the 4×-compressed
+    // vector path whose scores an oracle replays bit-for-bit with no
+    // floating-point hedging
+    "ann_quantized" -> ((s, dir) => {
+      val v = read(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.quantizedTopK(v, q, k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .select(col("qid"), col("rnk"), col("neighbor_id"), col("qdot"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- retrieval scoring (oracle-checked) ----
 
     "rrf_fusion" -> ((s, dir) => {
@@ -1774,6 +1788,31 @@ d$r AS MATERIALIZED (
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INT) AS rnk
         |  FROM s)
         |SELECT qid, rnk, nid AS neighbor_id FROM r WHERE rnk <= 10
+        |ORDER BY qid, rnk""".stripMargin,
+
+    // quantization replay: same scale, same pinned rounding, exact integer
+    // dot products — the whole row set compares with zero tolerance
+    "ann_quantized" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sc AS (SELECT vec_id, emb,
+        |         CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+        |              THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+        |              ELSE 0.0 END AS scale
+        |       FROM v),
+        |qi AS (SELECT vec_id,
+        |         list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        |       FROM sc),
+        |pairs AS (
+        |  SELECT que.vec_id AS qid, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |                                 i -> c.qv[i] * que.qv[i])) AS BIGINT) AS qdot
+        |  FROM qi c, (SELECT * FROM qi WHERE vec_id < 5) que
+        |  WHERE c.vec_id <> que.vec_id),
+        |r AS (SELECT qid, neighbor_id, qdot,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS INT) AS rnk
+        |      FROM pairs)
+        |SELECT qid, rnk, neighbor_id, qdot FROM r WHERE rnk <= 10
         |ORDER BY qid, rnk""".stripMargin,
 
     "rrf_fusion" ->

@@ -37,6 +37,54 @@ object Similarity {
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("score"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * 127/max|x|, q_i = floor(x_i·scale + 0.5) ∈ [−127, 127] — the standard
+    * 4× vector-storage compression. The rounding formula is pinned (floor
+    * of +0.5, not banker's rounding) so any engine replays the quantized
+    * values bit-for-bit; all-zero vectors quantize to all zeros (scale
+    * null-guarded). Pure narrow expressions — fused into the scan.
+    * Returns the input plus `qvec: array<int>` and `qscale: double`.
+    */
+  def quantize(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val x = transform(col(vecCol), v => v.cast("double"))
+    val mx = array_max(transform(x, abs(_)))
+    val scale = when(mx > 0.0, lit(127.0) / mx).otherwise(lit(0.0))
+    embeddings
+      .withColumn("qscale", scale)
+      .withColumn("qvec",
+        transform(x, v => floor(v * col("qscale") + 0.5).cast("int")))
+  }
+
+  /** Top-k neighbors under the QUANTIZED dot product. The metric is the
+    * MAX-NORMALIZED dot (each vector carries its own 127/max|x| scale), so
+    * it agrees with cosine when vector max-to-norm ratios are comparable —
+    * the usual case for same-encoder embeddings — and the scores are exact
+    * 64-bit integer sums: ranking is bit-reproducible on any engine with
+    * no floating-point hedging at all (a property cosine scores can only
+    * approximate through rounding). Same broadcast + per-query TakeOrdered
+    * shape as [[bruteForceTopK]]; drift vs the full-precision max-
+    * normalized dot is bounded by the 1/254 quantization step.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val qc = quantize(corpus, vecCol)
+      .select(col(idCol), col("qvec").as("cq"))
+    val qq = quantize(queries, qvecCol)
+      .select(col(qidCol), col("qvec").as("qq"))
+    val dot = aggregate(
+      zip_with(col("cq"), col("qq"), (a, b) => a.cast("long") * b),
+      lit(0L), (acc, v) => acc + v)
+    val scored = qc.crossJoin(broadcast(qq))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("qdot", dot)
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("qdot").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("qdot"))
+  }
+
   /** Deterministic k-means (Lloyd) centroid training: seeded with the
     * nCentroids corpus rows of smallest abs(hash(id)) — a
     * TakeOrderedAndProject, NOT a global window — then `iters` rounds of

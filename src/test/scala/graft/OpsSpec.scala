@@ -46,6 +46,48 @@ class OpsSpec extends SparkSpec {
     assert(j.isEmpty)
   }
 
+  test("int8 quantization: pinned rounding, zero-vector safe, quantized top-k ≈ exact top-k") {
+    import graft.ops.Similarity
+    val qz = Similarity.quantize(
+        Seq((0L, Seq(0.5f, -1.0f, 0.25f)), (1L, Seq(0.0f, 0.0f, 0.0f)))
+          .toDF("vec_id", "embedding"))
+      .select($"vec_id", $"qvec", $"qscale")
+      .as[(Long, Seq[Int], Double)].collect().map(r => r._1 -> r).toMap
+    // scale = 127/1.0; floor(0.5*127+0.5)=64, floor(-127+0.5)=-127, floor(31.75+0.5)=32
+    assert(qz(0L)._2 === Seq(64, -127, 32) && qz(0L)._3 === 127.0)
+    assert(qz(1L)._2 === Seq(0, 0, 0) && qz(1L)._3 === 0.0)
+    // the quantized metric is the MAX-NORMALIZED dot (each vector scaled by
+    // its own 127/max|x|) — compare against that same metric in full
+    // precision: overlap loss is then only the 1/254 quantization step
+    val rnd = new scala.util.Random(3L)
+    val raw = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      (i, base.map(_ + rnd.nextFloat() * 0.1f).toSeq)
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def maxNorm(v: Seq[Float]): Seq[Double] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      v.map(_.toDouble / m)
+    }
+    val exact = (0L until 2L).map { q =>
+      val qv = maxNorm(raw(q.toInt)._2)
+      q -> raw.filter(_._1 != q).map { case (id, v) =>
+        id -> maxNorm(v).zip(qv).map { case (a, b) => a * b }.sum
+      }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val quant = Similarity.quantizedTopK(vecs, queries, k = 10)
+      .select($"qid", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(0L, 1L).foreach { q =>
+      val overlap = (exact(q) & quant(q)).size
+      assert(overlap >= 8, s"q$q quantized vs full-precision drift: $overlap/10")
+      // the semantic contract: every quantized neighbor shares q's cluster
+      assert(quant(q).forall(_ % 2 == q % 2), quant(q))
+    }
+  }
+
   test("dedupClusters: transitive chain collapses to one cluster; singleton keeps itself") {
     import spark.implicits._
     val d = Seq((10L, ""), (11L, ""), (12L, ""), (20L, "")).toDF("doc_id", "text")
