@@ -84,6 +84,50 @@ object StreamingIngest {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("conv_id"))
       .agg(count(lit(1)).as("n_turns"))
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelState(ts: Seq[Long])
+  case class FunnelUpdate(user_id: Long, steps_completed: Int, step_ts: Seq[Long])
+
+  /** Streaming window funnel: per-user state = the matched timestamp per
+    * step (−1 = unmatched), advanced by folding each micro-batch's events
+    * in event-time order under EXACTLY the batch rule
+    * ([[graft.ops.EventAnalytics.funnel]]): anchor at the earliest step-1
+    * event, step i matches its first event strictly after step i−1 and
+    * within `windowMs` of the anchor. State is k longs per live user —
+    * bounded for an unbounded stream.
+    *
+    * Parity contract (spec-asserted): when each user's events ARRIVE in
+    * event-time order across batches — the Kafka-keyed-by-user deployment —
+    * the final update per user is identical to the batch funnel. Cross-batch
+    * out-of-order arrivals degrade to arrival-order semantics (a
+    * lower-anchor step-1 event arriving after step 2 matched cannot rewind
+    * matches whose candidate events are gone — the bounded-state price).
+    */
+  def funnelTracker(events: Dataset[FunnelEvent], steps: Seq[String],
+      windowMs: Long): Dataset[FunnelUpdate] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state) =>
+          val ts = state.getOption.map(_.ts.toArray)
+            .getOrElse(Array.fill(steps.size)(-1L))
+          // (ts, type) sort: same-ts ties fold identically either way under
+          // the strictly-after rule, the sort just pins the iteration
+          for (e <- rows.toSeq.sortBy(x => (x.ts.getTime, x.event_type))) {
+            val i = steps.indexOf(e.event_type)
+            val t = e.ts.getTime
+            if (i == 0) { if (ts(0) == -1L) ts(0) = t }
+            else if (i > 0 && ts(i) == -1L && ts(i - 1) != -1L &&
+              t > ts(i - 1) && t <= ts(0) + windowMs) ts(i) = t
+          }
+          state.update(FunnelState(ts.toSeq))
+          Iterator.single(FunnelUpdate(uid, ts.takeWhile(_ != -1L).length, ts.toSeq))
+      }
+  }
+
   /** Per-conversation state summary. */
   case class ConvState(n_turns: Long, n_fact_turns: Long, first_ts: Long, last_ts: Long)
   case class ConvSessionUpdate(conv_id: String, n_turns: Long, n_fact_turns: Long,

@@ -159,4 +159,53 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1L) === "en")
     } finally q.stop()
   }
+
+  test("streaming funnel: in-order arrival reproduces the batch funnel exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.FunnelEvent
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    // the TemporalSpec funnel fixture (full/partial/ordering/tie cases)
+    val fixture = Seq(
+      FunnelEvent(1L, t(0), "signup"), FunnelEvent(1L, t(1), "view"),
+      FunnelEvent(1L, t(2), "purchase"),
+      FunnelEvent(2L, t(0), "signup"), FunnelEvent(2L, t(100), "view"),
+      FunnelEvent(3L, t(0), "view"), FunnelEvent(3L, t(1), "purchase"),
+      FunnelEvent(4L, t(0), "signup"), FunnelEvent(4L, t(1), "purchase"),
+      FunnelEvent(4L, t(2), "view"),
+      FunnelEvent(5L, t(0), "signup"), FunnelEvent(5L, t(0), "view"))
+    val mem = MemoryStream[FunnelEvent]
+    val updates = StreamingIngest.funnelTracker(mem.toDS(),
+      Seq("signup", "view", "purchase"), windowMs = 72L * 3600000L)
+    val q = updates.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_updates").start()
+    try {
+      // feed in event-time order, split mid-stream across micro-batches
+      val ordered = fixture.sortBy(e => (e.ts.getTime, e.user_id))
+      val (b1, b2) = ordered.splitAt(6)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // last update per user = the streaming funnel's final answer
+      val finals = spark.sql("SELECT user_id, steps_completed, step_ts FROM funnel_updates")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        .groupBy(_._1).view.mapValues(_.last).toMap
+      val batch = graft.ops.EventAnalytics.funnel(
+          fixture.map(e => (e.user_id, e.ts, e.event_type))
+            .toDF("user_id", "ts", "event_type"),
+          Seq("signup", "view", "purchase"), "INTERVAL 72 HOURS")
+        .collect().map { r =>
+          r.getLong(0) -> (Seq(Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+            Option(r.getTimestamp(3))).map(_.map(_.getTime).getOrElse(-1L)),
+            r.getInt(4))
+        }.toMap
+      // streaming also tracks users who never hit step 1 (state exists the
+      // moment any event arrives) — they report depth 0; every batch-funnel
+      // row must match exactly
+      assert(finals.keySet === batch.keySet + 3L)
+      assert(finals(3L)._2 === 0)
+      batch.foreach { case (uid, (ts, depth)) =>
+        assert(finals(uid)._2 === depth, s"u$uid depth")
+        assert(finals(uid)._3.toSeq === ts, s"u$uid step timestamps")
+      }
+    } finally q.stop()
+  }
 }
