@@ -239,13 +239,25 @@ d$r AS MATERIALIZED (
     // ---- KG operators over the derived transcripts view (oracle-checked) ----
 
     "kg_chunk_window" -> ((s, dir) => {
-      val t = transcriptsFromEvents(s, dir)
-      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-      t.withColumn("chunk_text",
-          array_join(collect_list(col("text")).over(w.rowsBetween(-2, 0)), "\n"))
-        .withColumn("chunk_id",
-          format_string("%s_chunk_%04d", col("conv_id"), row_number().over(w)))
-        .select(col("conv_id"), col("turn_idx"), col("chunk_id"), col("chunk_text"))
+      // ONE window pass: turn_idx is row_number()-1 over (user_id; ts,
+      // event_id), so ordering by turn_idx within conv_id ≡ ordering by
+      // (ts, event_id) within user_id (conv_id is a cast of user_id) — the
+      // trailing text window and the chunk numbering ride the SAME
+      // partitioning/sort the turn_idx derivation already established,
+      // instead of re-exchanging + re-sorting the derived view (guide §2.4:
+      // windows keyed like a preceding window share one exchange).
+      // Value-identical: rn ≡ row_number over turn_idx asc, frame identical.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      read(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chunk_text",
+          array_join(collect_list(col("props")).over(w.rowsBetween(-2, 0)), "\n"))
+        .select(
+          col("user_id").cast("string").as("conv_id"),
+          (col("rn") - 1).cast("int").as("turn_idx"),
+          format_string("%s_chunk_%04d", col("user_id").cast("string"), col("rn"))
+            .as("chunk_id"),
+          col("chunk_text"))
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
@@ -355,14 +367,22 @@ d$r AS MATERIALIZED (
 
     "kg_firstlast_chunks" -> ((s, dir) => {
       // W3: document-date extraction scans chunks[:6] and chunks[-6:]
-      // (pipeline.py:1346-1348) — here first/last 3 turns per conversation
-      val t = transcriptsFromEvents(s, dir)
-      val asc = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-      val desc = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
-      t.withColumn("rn_a", row_number().over(asc))
-        .withColumn("rn_d", row_number().over(desc))
-        .filter(col("rn_a") <= 3 || col("rn_d") <= 3)
-        .select(col("conv_id"), col("turn_idx"), col("text"),
+      // (pipeline.py:1346-1348) — here first/last 3 turns per conversation.
+      // ONE window pass (same derivation argument as kg_chunk_window):
+      // rn_a ≡ the turn_idx derivation's row_number, and the descending rank
+      // is rn_d = cnt − rn_a + 1 (turn_idx is unique per conversation), so
+      // the desc-sorted second window disappears (guide §2.4). The count
+      // window shares the partition key — no extra exchange or sort.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cw = Window.partitionBy(col("user_id"))
+      read(s, dir, "events")
+        .withColumn("rn_a", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .filter(col("rn_a") <= 3 || col("cnt") - col("rn_a") < 3)
+        .select(
+          col("user_id").cast("string").as("conv_id"),
+          (col("rn_a") - 1).cast("int").as("turn_idx"),
+          col("props").as("text"),
           when(col("rn_a") <= 3, "head").otherwise("tail").as("pos"))
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
@@ -461,18 +481,28 @@ d$r AS MATERIALIZED (
 
     // ---- text analysis (oracle-checked) ----
 
+    // tokenize ONCE per row (staged projection): the five marker
+    // intersections reference the token array, and higher-order lambdas
+    // block codegen subexpression elimination — inlining langId(text) paid
+    // five regex splits per row (guide §1.2; value-identical)
     "text_langid" -> ((s, dir) =>
       read(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), TextAnalysis.langIdOf(col("_toks")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // same staged-tokenization shape: the four stats referenced the token
+    // array ~10× — one split + one projection now (value-identical)
     "text_stats" -> ((s, dir) =>
-      read(s, dir, "documents").select(
+      read(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(
           col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          TextAnalysis.tokenCountOf(col("_toks")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeTokenCountOf(col("_toks")).as("n_bpe_tokens"),
+          TextAnalysis.qualityScoreOf(col("text"), col("_toks")).as("quality"),
+          TextAnalysis.fingerprintOf(col("_toks")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     // ---- deterministic sampling / split assignment (oracle-checked) ----

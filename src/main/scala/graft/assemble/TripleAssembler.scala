@@ -103,8 +103,23 @@ object TripleAssembler {
     val maxBroadcastTopics =
       if (cfg.maxBroadcastTopics > 0) cfg.maxBroadcastTopics
       else derivedTopicCap(spark)
-    // single job: fetch up to the cap + 1; overflow → fallback path
-    val capped = topic0.select($"key", $"r_name").limit(maxBroadcastTopics + 1).collect()
+    // single job: fetch up to the cap + 1; overflow → fallback path.
+    // Scan ALL partitions in the first CollectLimit round (the default
+    // initialNumPartitions=1 costs 4 sequential scale-up jobs on a small
+    // topic table — see ConnectedComponents.run for the same probe shape);
+    // scoped + restored around this one collect.
+    val limitConfKey = "spark.sql.limit.initialNumPartitions"
+    val prevInit = spark.conf.getOption(limitConfKey)
+    val capped =
+      try {
+        spark.conf.set(limitConfKey, 100000)
+        topic0.select($"key", $"r_name").limit(maxBroadcastTopics + 1).collect()
+      } finally {
+        prevInit match {
+          case Some(v) => spark.conf.set(limitConfKey, v)
+          case None => spark.conf.unset(limitConfKey)
+        }
+      }
     val resolved =
       if (cfg.broadcastResolutions && capped.length <= maxBroadcastTopics) {
         val entries = capped.map(r => r.getString(0) -> r.getString(1)).toMap

@@ -60,8 +60,25 @@ object ConnectedComponents {
     // union+distinct shuffle — two separate actions re-plan separately, so
     // nothing else would reuse that shuffle.
     val sym = sym0.persist(StorageLevel.MEMORY_AND_DISK)
-    val probe = sym.limit((smallGraphEdges + 1).toInt)
-      .as[(String, String)].collect()
+    // CollectLimit starts at `spark.sql.limit.initialNumPartitions` (default
+    // 1) and scales up 4× per round — on a 32-partition edge table whose row
+    // count sits under the cap, that is FOUR sequential driver jobs (1, 4,
+    // 16, then all partitions) just to learn "the graph is small". Scanning
+    // every partition in the first round turns the probe into ONE job; the
+    // conf is scoped to the probe and restored (a selective user limit
+    // elsewhere in the session keeps the incremental strategy).
+    val limitConfKey = "spark.sql.limit.initialNumPartitions"
+    val prevInit = spark.conf.getOption(limitConfKey)
+    val probe =
+      try {
+        spark.conf.set(limitConfKey, 100000)
+        sym.limit((smallGraphEdges + 1).toInt).as[(String, String)].collect()
+      } finally {
+        prevInit match {
+          case Some(v) => spark.conf.set(limitConfKey, v)
+          case None => spark.conf.unset(limitConfKey)
+        }
+      }
     if (probe.length <= smallGraphEdges) {
       sym.unpersist(blocking = false)
       return runLocal(spark, probe)

@@ -10,8 +10,14 @@ import graft.functions.VectorOps
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
   * score every corpus vector with codegen'd column arithmetic (zip_with +
-  * aggregate dot product), per-query top-k via window. One corpus scan, no
-  * corpus shuffle beyond the rank window.
+  * aggregate dot product), per-query top-k via a rank window. The
+  * `row_number ≤ k` filter triggers Spark's rank-limit pushdown
+  * (InferWindowGroupLimit, 3.5+): the plan carries a PARTIAL
+  * WindowGroupLimit below the per-query exchange, so each input partition
+  * ships only its own top-k rows per query — the exchange moves
+  * ≤ k·partitions rows per query, never a query's full candidate set, and
+  * no single task ever sorts the corpus (PlanSpec pins this shape). One
+  * corpus scan, no corpus shuffle.
   *
   * Scale path: IVF — corpus is assigned to the nearest of C centroids once
   * (narrow), queries probe only `nprobe` nearest centroid partitions. Recall
@@ -62,7 +68,7 @@ object Similarity {
     * the usual case for same-encoder embeddings — and the scores are exact
     * 64-bit integer sums: ranking is bit-reproducible on any engine with
     * no floating-point hedging at all (a property cosine scores can only
-    * approximate through rounding). Same broadcast + per-query TakeOrdered
+    * approximate through rounding). Same broadcast + group-limit-pruned rank
     * shape as [[bruteForceTopK]]; drift vs the full-precision max-
     * normalized dot is bounded by the 1/254 quantization step.
     */

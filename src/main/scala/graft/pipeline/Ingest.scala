@@ -62,12 +62,26 @@ object Ingest {
     * regex extraction each. Chunks have a single consumer (extraction) — a
     * cache there would be a pure write-read overhead. In the committed `run`
     * path the snapshot tables play the persistence role.
+    *
+    * Raw-triple extraction routes through the FUSED single-pass extractor
+    * whenever the chunker config satisfies its identity precondition
+    * (windowSize == 1, no markdown header stacks — the defaults;
+    * spec-asserted row-identical to extract(chunk(turns))): the chunk table
+    * is NOT an input of the triple stream there, only of chunk-text
+    * provenance, and `Result.chunks` stays lazily available either way — so
+    * an action that materializes only `.triples` pays ONE corpus pass
+    * instead of the chunker's stats + zip passes (guide §1.2: remove whole
+    * passes before tuning inside them). Windowed/header configs keep the
+    * chunk-table route.
     */
   def runInMemory(spark: SparkSession, turns: Dataset[Turn],
       cfg: Config = Config()): Result = {
     import org.apache.spark.storage.StorageLevel
     val chunks = TurnChunker.chunk(spark, turns, cfg.chunker)
-    val raw = TripleExtractor.extract(spark, chunks)
+    val fusable = cfg.chunker.windowSize == 1 && !cfg.chunker.markdownHeaders
+    val raw = (if (fusable)
+        TripleExtractor.extractFused(spark, turns, cfg.chunker.minChars, cfg.chunker.groupId)
+      else TripleExtractor.extract(spark, chunks))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (entities, triples) = inMemoryDownstream(spark, raw, cfg)
     Result(chunks.toDF(), raw.toDF(), entities, triples)

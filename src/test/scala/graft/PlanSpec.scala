@@ -105,6 +105,31 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("similarity top-k: rank-limit pushdown prunes per partition before the per-query exchange") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d)).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    for ((name, df) <- Seq(
+        "brute" -> graft.ops.Similarity.bruteForceTopK(vecs, queries, k = 3),
+        "quantized" -> graft.ops.Similarity.quantizedTopK(vecs, queries, k = 3),
+        "ivf" -> graft.ops.Similarity.ivfTopK(vecs, queries, k = 3,
+          nCentroids = 4, nprobe = 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the row_number ≤ k filter must trigger InferWindowGroupLimit with a
+      // PARTIAL (map-side) group limit below the per-query exchange: each
+      // input partition then ships only its own top-k rows per query, so the
+      // rank exchange never funnels a query's whole candidate set — at
+      // corpus scale the alternative is a single-task sort of the corpus
+      // per query. If this assertion ever breaks (a Spark regression or a
+      // rewrite that loses the rank+filter idiom), restore the pushdown or
+      // add an explicit (qid, spark_partition_id) pre-rank phase.
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"$name: missing partial rank-limit pushdown below the rank window:\n$plan")
+    }
+  }
+
   test("researchBatch plan: scoped/topic paths are broadcast equi-joins, no cartesian product") {
     val r = Ingest.runInMemory(spark,
       TranscriptGen.transcripts(spark, TranscriptGen.Config(3, 15, 2)))
