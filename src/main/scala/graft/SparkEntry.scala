@@ -258,14 +258,20 @@ d$r AS MATERIALIZED (
           format_string("%s_chunk_%04d", col("user_id").cast("string"), col("rn"))
             .as("chunk_id"),
           col("chunk_text"))
-        .orderBy(col("conv_id"), col("turn_idx"))
+      // no trailing orderBy: the driver compare sorts rows before hashing
+      // (Verify.scala contract) and nothing here is limit-gated — the former
+      // global sort range-exchanged the full chunk_text payload a second
+      // time purely for file cosmetics (guide §2.4: an orderBy used only to
+      // make output deterministic is an accidental shuffle)
     }),
 
+    // no trailing orderBy (same argument as kg_chunk_window: driver compare
+    // is order-insensitive, no limit downstream — the global sort moved the
+    // whole text payload through a second exchange for nothing)
     "kg_min_length_filter" -> ((s, dir) =>
       transcriptsFromEvents(s, dir)
         .filter(length(col("text")) >= 9)
-        .select(col("conv_id"), col("turn_idx"), col("text"))
-        .orderBy(col("conv_id"), col("turn_idx"))),
+        .select(col("conv_id"), col("turn_idx"), col("text"))),
 
     "kg_header_prepend" -> ((s, dir) =>
       transcriptsFromEvents(s, dir)

@@ -27,7 +27,11 @@ object Profiler {
     import spark.implicits._
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      // backtick-quote the schema name so a dot is treated as part of the
+      // column name, not struct-field access (bare col(name) — and df(name),
+      // which parses identically — fail analysis on dotted column names;
+      // ADVICE r5 finding). Embedded backticks escape by doubling.
+      val c = col("`" + f.name.replace("`", "``") + "`")
       val orderable = f.dataType match {
         case _: org.apache.spark.sql.types.ArrayType => false
         case _: org.apache.spark.sql.types.MapType => false

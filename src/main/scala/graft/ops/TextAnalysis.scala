@@ -34,8 +34,15 @@ object TextAnalysis {
     * work; value-identical by construction).
     */
   def langIdOf(toks: Column): Column = {
+    // one O(|tokens|) pass against the UNION of all marker words, then the
+    // five per-language intersections run over the ≤50-element distinct-hit
+    // array instead of the full token stream. Value-identical:
+    // array_intersect(t, m) = array_intersect(array_intersect(t, all), m)
+    // for m ⊆ all (both count t's distinct members of m).
+    val allMarkers = langMarkers.flatMap(_._2).distinct.toArray
+    val hits = array_intersect(toks, lit(allMarkers))
     val scores = langMarkers.map { case (lang, words) =>
-      struct(size(array_intersect(toks, lit(words.toArray))).as("hits"),
+      struct(size(array_intersect(hits, lit(words.toArray))).as("hits"),
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
@@ -72,7 +79,13 @@ object TextAnalysis {
   def qualityScoreOf(textCol: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChar = length(textCol).cast("double")
-    val alphaRatio = (length(regexp_replace(lower(textCol), "[^a-z]", "")) / greatest(nChar, lit(1.0)))
+    // count of a-z chars without the regex engine: strip them with a
+    // single-pass translate and diff the lengths — value-identical to
+    // length(regexp_replace(lower(text), "[^a-z]", ""))
+    val lowered = lower(textCol)
+    val alphaChars = length(lowered) -
+      length(translate(lowered, "abcdefghijklmnopqrstuvwxyz", ""))
+    val alphaRatio = (alphaChars / greatest(nChar, lit(1.0)))
     val stopHits = size(array_intersect(toks,
       lit(Array("the", "and", "of", "to", "is", "in", "a", "that")))).cast("double")
     val stopRatio = least(stopHits / lit(4.0), lit(1.0))

@@ -117,10 +117,18 @@ object StreamingIngest {
           // (ts, type) sort: same-ts ties fold identically either way under
           // the strictly-after rule, the sort just pins the iteration
           for (e <- rows.toSeq.sortBy(x => (x.ts.getTime, x.event_type))) {
-            val i = steps.indexOf(e.event_type)
+            // first UNMATCHED position whose step name equals the event type
+            // — `steps.indexOf` only ever saw the first occurrence, so a
+            // funnel with a repeated step type (view→click→view) could never
+            // match the later position, breaking the documented parity with
+            // EventAnalytics.funnel (which matches each position's type
+            // independently). ADVICE r5 finding.
+            val i = steps.indices
+              .find(j => steps(j) == e.event_type && ts(j) == -1L)
+              .getOrElse(-1)
             val t = e.ts.getTime
-            if (i == 0) { if (ts(0) == -1L) ts(0) = t }
-            else if (i > 0 && ts(i) == -1L && ts(i - 1) != -1L &&
+            if (i == 0) ts(0) = t
+            else if (i > 0 && ts(i - 1) != -1L &&
               t > ts(i - 1) && t <= ts(0) + windowMs) ts(i) = t
           }
           state.update(FunnelState(ts.toSeq))

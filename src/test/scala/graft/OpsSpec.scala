@@ -478,6 +478,13 @@ class OpsSpec extends SparkSpec {
       .as[(String, String, Long, Long, Double, Long, Option[String], Option[String])]
       .collect().map(r => r._1 -> r).toMap
     assert(e("id")._3 === 0L && e("id")._5 === 0.0)
+    // dotted column names resolve exactly (df(name), not col(name) which
+    // would parse the dot as struct-field access — ADVICE r5)
+    val dotted = Seq((1L, "x"), (2L, "y")).toDF("a.b", "plain")
+    val pd = Profiler.profile(dotted)
+      .as[(String, String, Long, Long, Double, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(pd.keySet === Set("a.b", "plain") && pd("a.b")._3 === 2L)
   }
 }
 

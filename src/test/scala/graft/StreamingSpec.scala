@@ -208,4 +208,46 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming funnel: repeated step type matches the later position (batch parity)") {
+    // view→click→view: `steps.indexOf` only ever saw position 0 for "view",
+    // so the third step could never match (ADVICE r5). Match against the
+    // first UNMATCHED position of the event's type instead.
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.FunnelEvent
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    val fixture = Seq(
+      // u1 completes view→click→view (the mid-stream view at t1.5h must NOT
+      // steal position 2: batch requires t3 > t2)
+      FunnelEvent(1L, t(0), "view"), FunnelEvent(1L, t(1), "view"),
+      FunnelEvent(1L, t(2), "click"), FunnelEvent(1L, t(3), "view"),
+      // u2 stops at click (no view after it)
+      FunnelEvent(2L, t(0), "view"), FunnelEvent(2L, t(1), "click"))
+    val mem = MemoryStream[FunnelEvent]
+    val updates = StreamingIngest.funnelTracker(mem.toDS(),
+      Seq("view", "click", "view"), windowMs = 72L * 3600000L)
+    val q = updates.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_repeat").start()
+    try {
+      mem.addData(fixture.sortBy(e => (e.ts.getTime, e.user_id)): _*)
+      q.processAllAvailable()
+      val finals = spark.sql("SELECT user_id, steps_completed, step_ts FROM funnel_repeat")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        .groupBy(_._1).view.mapValues(_.last).toMap
+      val batch = graft.ops.EventAnalytics.funnel(
+          fixture.map(e => (e.user_id, e.ts, e.event_type))
+            .toDF("user_id", "ts", "event_type"),
+          Seq("view", "click", "view"), "INTERVAL 72 HOURS")
+        .collect().map { r =>
+          r.getLong(0) -> (Seq(Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+            Option(r.getTimestamp(3))).map(_.map(_.getTime).getOrElse(-1L)),
+            r.getInt(4))
+        }.toMap
+      assert(batch(1L)._2 === 3 && batch(2L)._2 === 2) // fixture sanity
+      batch.foreach { case (uid, (ts, depth)) =>
+        assert(finals(uid)._2 === depth, s"u$uid depth")
+        assert(finals(uid)._3.toSeq === ts, s"u$uid step timestamps")
+      }
+    } finally q.stop()
+  }
 }
