@@ -68,17 +68,20 @@ object Dedup {
     // re-attach afterwards on the ~|pairs| aggregated rows via broadcast.
     val sh = docs.select(col(idCol).as("id"),
         explode(array_distinct(shinglesCol(textCol, n))).as("shingle"))
-    val sizes = docs.select(col(idCol).as("id"),
-      size(array_distinct(shinglesCol(textCol, n))).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // ONE broadcast of the sizes relation joined twice through dataset
+    // aliases (per-side renaming projections would defeat broadcast-exchange
+    // reuse and evaluate the shingle expression twice more)
+    val sizes = broadcast(docs.select(col(idCol).as("vid"),
+      size(array_distinct(shinglesCol(textCol, n))).as("sz")))
+    sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .join(sizes.as("va"), col("id_a") === col("va.vid"))
+      .join(sizes.as("vb"), col("id_b") === col("vb.vid"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        col("inter").cast("double") /
+          (col("va.sz") + col("vb.sz") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -95,24 +98,24 @@ object Dedup {
   def ngramContainmentPairs(docs: DataFrame, n: Int = 2,
       threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // same narrow-sizes shape as [[ngramJaccardPairs]]: sizes from a narrow
-    // projection (no explode+groupBy shuffle), re-attached by broadcast on
-    // the aggregated pair set — the hot join/agg keeps its narrow keys
+    // same narrow-sizes + single-broadcast shape as [[ngramJaccardPairs]]:
+    // sizes from a narrow projection (no explode+groupBy shuffle), ONE
+    // broadcast joined twice via dataset aliases (exchange reuse)
     val sh = docs.select(col(idCol).as("id"),
         explode(array_distinct(shinglesCol(textCol, n))).as("shingle"))
-    val sizes = docs.select(col(idCol).as("id"),
-      size(array_distinct(shinglesCol(textCol, n))).as("sz"))
+    val sizes = broadcast(docs.select(col(idCol).as("vid"),
+      size(array_distinct(shinglesCol(textCol, n))).as("sz")))
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
-      .withColumn("containment",
-        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .join(sizes.as("va"), col("id_a") === col("va.vid"))
+      .join(sizes.as("vb"), col("id_b") === col("vb.vid"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("va.sz").as("sz_a"), col("vb.sz").as("sz_b"),
+        (col("inter").cast("double") / least(col("va.sz"), col("vb.sz")))
+          .as("containment"))
       .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
-        col("sz_b"), col("containment"))
   }
 
   /** Re-verify emitted near-dup pairs against the COLUMN-EXPRESSION shingle
@@ -204,22 +207,32 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // Both verify variants attach a per-id payload to BOTH pair sides. The
+    // payload relation is broadcast ONCE and joined twice through dataset
+    // aliases over the SAME frame — per-side `.select(... as "sh_a")`
+    // projections would make the two broadcast subtrees canonically
+    // different and each join would build (and UDF-evaluate) its own
+    // broadcast; with the shared frame, exchange reuse computes the shingle
+    // sets / signatures once (guide §2.4: share one exchange).
     if (verifyExact) {
-      val sh = docs.select(col(idCol).as("id"), shinglesUdf(col(textCol)).as("sh"))
+      val sh = broadcast(
+        docs.select(col(idCol).as("vid"), shinglesUdf(col(textCol)).as("sh")))
       cand
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .join(sh.as("va"), col("id_a") === col("va.vid"))
+        .join(sh.as("vb"), col("id_b") === col("vb.vid"))
+        .withColumn("inter",
+          size(array_intersect(col("va.sh"), col("vb.sh"))).cast("double"))
         .withColumn("jaccard",
-          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          col("inter") / (size(col("va.sh")) + size(col("vb.sh")) - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     } else {
+      val sg = broadcast(sigs.select(col("id").as("vid"), col("sig")))
       cand
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .join(sg.as("va"), col("id_a") === col("va.vid"))
+        .join(sg.as("vb"), col("id_b") === col("vb.vid"))
         .withColumn("est_jaccard",
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
+          aggregate(zip_with(col("va.sig"), col("vb.sig"),
             (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast("double") / k)
         .filter(col("est_jaccard") >= threshold)
