@@ -1,6 +1,7 @@
 package graft.app
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.pipeline.Ingest
 
@@ -78,6 +79,25 @@ object PipelineStageProbe {
       .write.mode("overwrite").format("noop").save())
     println(s"[probe] counts: raw=${raw.count()} mentions=${mentions.count()} " +
       s"pending=${pending.count()} edges=${edges.count()}")
+    // assembly decomposition (cache-warm raw): where does the final job's
+    // task CPU go — cache scan, lookup joins + id UDFs, or the fact_uuid
+    // dedup exchange?
+    locally {
+      val (e2, r2) = graft.canon.EntityDedup.dedup(spark, mentions)
+      val topicNames = raw.toDF().select(
+        explode(concat($"topics",
+          when(lower($"subject_type") === "topic", array($"subject")).otherwise(array()),
+          when(lower($"object_type") === "topic", array($"object")).otherwise(array())))
+          .as("name"), $"group_id").distinct()
+      val Seq(_, remapT, topicsT) = graft.tables.Checkpoints.truncateAll(
+        e2.toDF(), r2,
+        graft.link.TopicResolver.resolve(spark, topicNames, graft.synth.TranscriptGen.ontology,
+          graft.link.TopicResolver.Config()))
+      t("  raw cache scan only")(raw.toDF().write.mode("overwrite").format("noop").save())
+      val asm = graft.assemble.TripleAssembler.assemble(spark, raw, remapT, topicsT)
+      t("  assemble (joins+udfs+dedup)")(asm.write.mode("overwrite").format("noop").save())
+      t("  assemble rep2")(asm.write.mode("overwrite").format("noop").save())
+    }
     pending.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("Aggregate") || l.contains("Sort") || l.contains("Exchange"))
       .foreach(l => println(s"[probe] plan: ${l.take(160)}"))

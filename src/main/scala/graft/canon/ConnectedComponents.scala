@@ -44,22 +44,16 @@ object ConnectedComponents {
     // localCheckpoint otherwise (single-JVM local mode)
     def truncate(df: DataFrame): DataFrame = graft.tables.Checkpoints.truncate(df)
 
-    val sym0 = edges.select($"src", $"dst")
-      .union(edges.select($"dst".as("src"), $"src".as("dst")))
-      .filter($"src" =!= $"dst")
-      .distinct()
-
-    // small-graph probe and fetch in ONE job: pull up to the cap + 1 rows —
-    // if they all fit, that IS the edge list (the former count()-then-
-    // collect() pair cost two executions of the edge subtree plus a
-    // persist/unpersist round; on the pipeline's ~10³-edge graphs the fixed
-    // job rounds were the whole CC cost). Persisting BEFORE the probe makes
-    // every partition the probe touches land in the cache whole (the block
-    // store materializes full partitions), so on the LARGE path the later
-    // count() completes materialization instead of re-running the
-    // union+distinct shuffle — two separate actions re-plan separately, so
-    // nothing else would reuse that shuffle.
-    val sym = sym0.persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph probe and fetch in ONE job over the RAW edge relation:
+    // pull up to the cap + 1 rows — if they all fit, that IS the edge list.
+    // Probing raw edges (not the symmetrized+distinct view) matters twice:
+    // the union-with-own-reversal plan evaluates the edge SUBTREE two times
+    // inside one job (each union branch re-runs it — e.g. the declared CC
+    // query's broadcast-NL cosine pair gen ran its whole scan twice), and
+    // the distinct costs a full exchange round. Union-find is direction- and
+    // duplicate-insensitive, so runLocal on the raw rows (self-loops dropped
+    // here) produces the identical labeling; the former count()-then-
+    // collect() pair additionally cost two executions plus a persist round.
     // CollectLimit starts at `spark.sql.limit.initialNumPartitions` (default
     // 1) and scales up 4× per round — on a 32-partition edge table whose row
     // count sits under the cap, that is FOUR sequential driver jobs (1, 4,
@@ -72,18 +66,28 @@ object ConnectedComponents {
     val probe =
       try {
         spark.conf.set(limitConfKey, 100000)
-        sym.limit((smallGraphEdges + 1).toInt).as[(String, String)].collect()
+        edges.select($"src", $"dst")
+          .limit((smallGraphEdges + 1).toInt).as[(String, String)].collect()
       } finally {
         prevInit match {
           case Some(v) => spark.conf.set(limitConfKey, v)
           case None => spark.conf.unset(limitConfKey)
         }
       }
-    if (probe.length <= smallGraphEdges) {
-      sym.unpersist(blocking = false)
-      return runLocal(spark, probe)
-    }
-    sym.count() // complete cache materialization for the iterative rounds
+    if (probe.length <= smallGraphEdges)
+      return runLocal(spark, probe.filter { case (a, b) => a != b })
+
+    // large path: symmetrize + distinct once, persisted for the iterative
+    // rounds (the probe's partial scan is not reusable here — the cap bounds
+    // raw rows at ≤ cap+1, so the distinct symmetrized relation is ≤ ~2×cap
+    // away from the raw count and the routing boundary only shifts between
+    // two equally-correct paths).
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" =!= $"dst")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count() // materialize the cache for the iterative rounds
 
     val vertices = sym.select($"src".as("id"))
       .union(edges.select($"src".as("id")))
@@ -136,8 +140,10 @@ object ConnectedComponents {
   /** Driver union-find with path compression (the reference's own structure,
     * entity_dedup.py:68-97) for graphs under SmallGraphEdges. Produces the
     * identical (id, min-reachable-id) labeling as the distributed loop.
+    * `private[graft]`: EntityDedup's bounded driver-local fast path feeds it
+    * locally-generated edges directly (no self-loops by construction there).
     */
-  private def runLocal(spark: SparkSession, edges: Array[(String, String)]): DataFrame = {
+  private[graft] def runLocal(spark: SparkSession, edges: Array[(String, String)]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     def find(x: String): String = {

@@ -97,6 +97,11 @@ object EntityDedup {
       // block is O(n²), and one hot token ("The", "Global"...) would
       // otherwise own the stage at corpus scale
       maxBlockSize: Int = 1000,
+      // pending tables at or under this row count take the driver-local
+      // edges+components fast path (same bounded-collect discipline as
+      // ConnectedComponents.SmallGraphEdges; ≤ ~75 MB transient at the cap).
+      // 0 forces the distributed path (tests / memory-tight drivers).
+      maxLocalPending: Long = 50000L,
       groupId: String = "default")
 
   /** Collect distinct pending entities from mentions (phase 2a/2b analogue:
@@ -227,6 +232,80 @@ object EntityDedup {
     aliasEdges.union(simEdges)
   }
 
+  /** Driver-local edges + connected components for bounded pending tables
+    * (same bounded-collect discipline as ConnectedComponents.SmallGraphEdges):
+    * ONE narrow probe collect of (uuid, name, type, embedding) replaces the
+    * hot-block count job, the alias-window + blocked-self-join edge
+    * exchanges, AND ConnectedComponents' symmetrize/distinct + probe job —
+    * on the in-memory pipeline those sequential fixed job rounds were most
+    * of the dedup stage's wall clock while the edge data itself is only
+    * ~|distinct names| rows. The edge SET (and so the components) is
+    * identical to the distributed path by construction: same
+    * aliasKey/firstTokenKey functions, same min-uuid star hubs, same
+    * maxBlockSize capping with the same skip-log, and `Embed.cosine` is
+    * bit-identical to the codegen `CosineSimilarity` the distributed pair
+    * filter uses (CosineExprSpec pins the parity; uuid `<` is an ASCII
+    * compare in both). Returns None when pending exceeds the cap — the
+    * caller then takes the distributed edges+CC path (the 10^12 shape).
+    */
+  private[graft] def localComponents(spark: SparkSession, pending: DataFrame,
+      cfg: Config): Option[DataFrame] = {
+    if (cfg.maxLocalPending <= 0) return None
+    // scan every partition in the probe's first CollectLimit round — the
+    // probe wants the whole (tiny) table; see ConnectedComponents.run
+    val limitConfKey = "spark.sql.limit.initialNumPartitions"
+    val prevInit = spark.conf.getOption(limitConfKey)
+    val probe =
+      try {
+        spark.conf.set(limitConfKey, 100000)
+        pending.select("entity_uuid", "name", "entity_type", "embedding")
+          .limit((cfg.maxLocalPending + 1).toInt).collect()
+      } finally {
+        prevInit match {
+          case Some(v) => spark.conf.set(limitConfKey, v)
+          case None => spark.conf.unset(limitConfKey)
+        }
+      }
+    if (probe.length > cfg.maxLocalPending) return None
+    // (uuid, akey, fkey, type, embedding) — same derivations as candidateEdges
+    val rows = probe.map { r =>
+      (r.getString(0), aliasKey(r.getString(1)), firstTokenKey(r.getString(1)),
+        r.getString(2), r.getSeq[Double](3).toArray)
+    }
+    val edges = Array.newBuilder[(String, String)]
+    // (1) alias-rule star edges: hub = min uuid per (akey, type)
+    rows.groupBy(r => (r._2, r._4)).valuesIterator.foreach { ms =>
+      if (ms.length > 1) {
+        val hub = ms.iterator.map(_._1).min
+        ms.foreach(m => if (m._1 != hub) edges += ((hub, m._1)))
+      }
+    }
+    // (2) similarity pairs within capped firstToken blocks
+    val blocks = rows.groupBy(r => (r._3, r._4))
+    val hot = blocks.filter(_._2.length > cfg.maxBlockSize)
+    if (hot.nonEmpty) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"candidateEdges: ${hot.size} firstToken block(s) exceed " +
+        s"maxBlockSize=${cfg.maxBlockSize}; similarity pairs skipped for them " +
+        s"(alias-rule merges still apply): " +
+        hot.take(10).map { case ((k, t), ms) => s"$k/$t=${ms.length}" }.mkString(", "))
+    blocks.valuesIterator.foreach { ms =>
+      if (ms.length > 1 && ms.length <= cfg.maxBlockSize) {
+        var i = 0
+        while (i < ms.length) {
+          var j = i + 1
+          while (j < ms.length) {
+            val (a, b) = if (ms(i)._1 < ms(j)._1) (ms(i), ms(j)) else (ms(j), ms(i))
+            if (graft.functions.Embed.cosine(a._5, b._5) > cfg.similarityThreshold)
+              edges += ((a._1, b._1))
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    Some(ConnectedComponents.runLocal(spark, edges.result()))
+  }
+
   /** Full dedup: mentions → canonical entity table + uuid remap.
     *
     * @return (entities, remap) — remap has columns
@@ -242,8 +321,10 @@ object EntityDedup {
     // inside broadcast subqueries. Reliable checkpoint when configured
     // (cluster failure model), localCheckpoint otherwise.
     val pending = graft.tables.Checkpoints.truncate(pendingEntities(spark, mentions, cfg))
-    val edges = candidateEdges(spark, pending, cfg)
-    val components = ConnectedComponents.run(spark, edges) // (id, component)
+    val components = localComponents(spark, pending, cfg).getOrElse {
+      val edges = candidateEdges(spark, pending, cfg)
+      ConnectedComponents.run(spark, edges)
+    } // (id, component)
 
     val labeled = pending
       .join(components.withColumnRenamed("id", "entity_uuid"), Seq("entity_uuid"), "left")

@@ -79,6 +79,29 @@ class DedupSpec extends SparkSpec {
     assert(r("Aapl") === "Apple Inc.")
   }
 
+  test("driver-local dedup fast path == forced distributed edges+CC path") {
+    // alias merge (suffix strip), curated-alias merge, similarity candidates
+    // sharing a firstToken, and a type guardrail — every edge rule exercised
+    val ms = Seq(
+      mention("Quantum Dynamics Inc.", idx = 0),
+      mention("Quantum Dynamics", idx = 3),
+      mention("Quantum Dynamics Corporation", idx = 7),
+      mention("Granite Foods LLC", idx = 1),
+      mention("Granite Foods Limited", idx = 6),
+      mention("AAPL", idx = 2),
+      mention("Apple Inc.", idx = 4),
+      mention("Tim Cook", typ = "Person", idx = 5),
+      mention("Tim Cook Inc.", idx = 8)).toDS()
+    val (eLocal, rLocal) = EntityDedup.dedup(spark, ms)
+    val (eDist, rDist) = EntityDedup.dedup(spark, ms,
+      EntityDedup.Config(maxLocalPending = 0L))
+    def ekey(e: graft.model.Entity) =
+      (e.entity_uuid, e.canonical_name, e.entity_type, e.summary,
+        e.aliases.sorted.mkString("|"), e.source_chunks.sorted.mkString("|"))
+    assert(eLocal.collect().map(ekey).toSet === eDist.collect().map(ekey).toSet)
+    assert(rLocal.collect().map(_.toSeq).toSet === rDist.collect().map(_.toSeq).toSet)
+  }
+
   test("guardrail: Person never merges with Organization (entity_registry.py:50-62)") {
     val ms = Seq(
       mention("Tim Cook", typ = "Person"),
