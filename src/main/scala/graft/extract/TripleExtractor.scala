@@ -146,18 +146,29 @@ object TripleExtractor {
   def extractFused(spark: SparkSession, turns: Dataset[Turn], minChars: Int = 50,
       groupId: String = "default"): Dataset[RawTriple] = {
     import spark.implicits._
-    turns.mapPartitions { it =>
-      it.flatMap { t =>
-        if (t.text == null) Iterator.empty
-        else {
-          val body = t.text.trim
-          if (body.length >= minChars && !body.startsWith("---"))
-            extractBody(body, t.conv_id, t.turn_idx, groupId,
-              () => graft.functions.Ids.stableUuid(groupId, t.conv_id, s"idx:${t.turn_idx}"))
-          else Iterator.empty
+    import org.apache.spark.sql.functions.col
+    // Explicit 3-column projection BELOW the object boundary: extraction
+    // reads only (conv_id, turn_idx, text), but the opaque mapPartitions
+    // would force the full Turn struct through the scan — the projection
+    // lets the parquet scan prune the other columns and the decode build a
+    // 3-field tuple instead of a 6-field Turn (guide §2.3 / §4.1: project
+    // before the opaque operation). Emission-identical: only projected-away
+    // metadata columns are dropped.
+    turns.toDF()
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (convId, turnIdx, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val body = text.trim
+            if (body.length >= minChars && !body.startsWith("---"))
+              extractBody(body, convId, turnIdx, groupId,
+                () => graft.functions.Ids.stableUuid(groupId, convId, s"idx:$turnIdx"))
+            else Iterator.empty
+          }
         }
       }
-    }
   }
 
   /** Phase-2a analogue: collect entity mentions from fact subjects/objects
