@@ -368,7 +368,6 @@ d$r AS MATERIALIZED (
         .join(cc.withColumn("vec_id", col("id").cast("long")), Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("component").cast("long"), col("vec_id")).as("component"))
-        .orderBy(col("vec_id"))
     }),
 
     "kg_firstlast_chunks" -> ((s, dir) => {
@@ -461,8 +460,7 @@ d$r AS MATERIALIZED (
 
     "dedup_token_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(read(s, dir, "documents").filter(col("doc_id") < 100),
-          n = 1, threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))),
+          n = 1, threshold = 0.8)),
 
     // Broder containment |A∩B|/min(|A|,|B|) over bigram sets — the
     // quote-inclusion detector Jaccard dilutes away; exact small-N path,
@@ -494,8 +492,7 @@ d$r AS MATERIALIZED (
     "text_langid" -> ((s, dir) =>
       read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
-        .select(col("doc_id"), TextAnalysis.langIdOf(col("_toks")).as("lang_pred"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), TextAnalysis.langIdOf(col("_toks")).as("lang_pred"))),
 
     // same staged-tokenization shape: the four stats referenced the token
     // array ~10× — one split + one projection now (value-identical)
@@ -508,8 +505,7 @@ d$r AS MATERIALIZED (
           TextAnalysis.tokenCountOf(col("_toks")).cast("long").as("n_tokens"),
           TextAnalysis.bpeTokenCountOf(col("_toks")).as("n_bpe_tokens"),
           TextAnalysis.qualityScoreOf(col("text"), col("_toks")).as("quality"),
-          TextAnalysis.fingerprintOf(col("_toks")).as("fingerprint"))
-        .orderBy(col("doc_id"))),
+          TextAnalysis.fingerprintOf(col("_toks")).as("fingerprint"))),
 
     // ---- deterministic sampling / split assignment (oracle-checked) ----
 
@@ -588,7 +584,6 @@ d$r AS MATERIALIZED (
       Similarity.bruteForceTopK(v, q, k = 10)
         .withColumnRenamed("rank", "rnk")
         .select(col("qid"), col("rnk"), col("neighbor_id"))
-        .orderBy(col("qid"), col("rnk"))
     }),
 
     // int8-quantized ANN: per-vector symmetric quantization (pinned
@@ -621,7 +616,6 @@ d$r AS MATERIALIZED (
         .groupBy(col("event_id"))
         .agg(sum(lit(1.0) / (lit(60) + col("rnk"))).as("rrf_score"),
           count(lit(1)).as("n_sources"))
-        .orderBy(col("event_id"))
     }),
 
     "cross_source_boost" -> ((s, dir) => {
@@ -649,8 +643,7 @@ d$r AS MATERIALIZED (
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
-          count(lit(1)).as("cnt"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+          count(lit(1)).as("cnt"))),
 
     "q_join_agg" -> ((s, dir) => {
       val o = read(s, dir, "orders")
@@ -671,7 +664,6 @@ d$r AS MATERIALIZED (
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_custkey"), col("rnk"))
     }),
 
     "q_anti_join" -> ((s, dir) => {
@@ -848,8 +840,7 @@ d$r AS MATERIALIZED (
 
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(read(s, dir, "documents").filter(col("doc_id") < 200),
-          n = 1, k = 32, bands = 8, threshold = 0.7)
-        .orderBy(col("id_a"), col("id_b"))),
+          n = 1, k = 32, bands = 8, threshold = 0.7)),
 
     // EXACT empty-relation check for MinHash-LSH's verify step: every pair
     // the operator emitted is re-verified by the INDEPENDENT column-
@@ -898,8 +889,7 @@ d$r AS MATERIALIZED (
 
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(read(s, dir, "documents").filter(col("doc_id") < 200),
-          maxHamming = 12)
-        .orderBy(col("id_a"), col("id_b"))),
+          maxHamming = 12)),
 
     "dedup_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(
