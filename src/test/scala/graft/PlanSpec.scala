@@ -285,4 +285,22 @@ class PlanSpec extends SparkSpec {
         s"$name:\n$plan")
     }
   }
+
+  test("bench queries carry no cosmetic trailing global sort (round-6 §6: " +
+      "a range exchange is a boundary-sampling job + shuffle+sort round of " +
+      "pure fixed cost; membership is fixed upstream, driver compare is " +
+      "row-sorted)") {
+    // every rangepartitioning left in these plans must feed a limit/top-k
+    // (none do today — the queries end in agg/filter/project); rrf_fusion's
+    // limit-feeding TakeOrderedAndProject is NOT a rangepartitioning node
+    for (name <- Seq("q1_agg", "kg_chunk_window", "kg_min_length_filter",
+        "kg_connected_components", "dedup_token_jaccard",
+        "dedup_minhash_pairs", "dedup_simhash_pairs", "ann_topk",
+        "text_stats", "text_langid", "rrf_fusion", "q_window_topk")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"$name regained a global sort:\n$plan")
+    }
+  }
 }
